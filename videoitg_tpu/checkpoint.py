@@ -1,0 +1,203 @@
+"""Checkpoint conversion and IO.
+
+Converts HF-format VideoITG checkpoints (torch state dicts / safetensors —
+the layout written by the reference's trainer, see its
+eagle/model/builder.py:42-176) into this package's stacked-layer JAX pytrees,
+and provides orbax-based native save/load for training.
+
+Naming map (reference HF checkpoint -> ours):
+  model.embed_tokens.weight                          lm.embed.w
+  model.layers.{i}.self_attn.{q,k,v}_proj.*          lm.layers.{q,k,v} (stacked)
+  model.layers.{i}.self_attn.o_proj.weight           lm.layers.o
+  model.layers.{i}.mlp.{gate,up,down}_proj.weight    lm.layers.{gate,up,down}
+  model.layers.{i}.input_layernorm.weight            lm.layers.input_norm
+  model.layers.{i}.post_attention_layernorm.weight   lm.layers.post_attn_norm
+  model.norm.weight                                  lm.final_norm
+  lm_head.weight                                     lm.lm_head (VLM only)
+  model.vision_tower.vision_tower.vision_model.*     vision.*
+  model.mm_projector.out_projection.{0,2}.*          projector.{fc1,fc2}
+  out_proj.*                                         out_proj
+
+All torch Linear weights [out, in] are transposed to [in, out]; the SigLIP
+patch-embedding conv kernel [O, C, kh, kw] becomes a [kh*kw*C, O] matmul
+weight matching models/siglip._patchify ordering.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Callable, Dict, Mapping
+
+import jax.numpy as jnp
+import numpy as np
+
+from videoitg_tpu.config import GroundingConfig, LMConfig, VisionConfig
+from videoitg_tpu.models.common import stack_layer_params
+
+
+def _np(t) -> np.ndarray:
+    """torch tensor / numpy array -> numpy (upcast to fp32 from bf16/fp16)."""
+    if hasattr(t, "detach"):
+        t = t.detach()
+        if str(t.dtype) == "torch.bfloat16":
+            t = t.float()
+        t = t.cpu().numpy()
+    t = np.asarray(t)
+    if t.dtype == np.float16:
+        t = t.astype(np.float32)
+    return t
+
+
+def _lin(sd: Mapping, prefix: str, dtype) -> dict:
+    p = {"w": jnp.asarray(_np(sd[prefix + ".weight"]).T, dtype=dtype)}
+    if prefix + ".bias" in sd:
+        p["b"] = jnp.asarray(_np(sd[prefix + ".bias"]), dtype=dtype)
+    return p
+
+
+def convert_qwen2(
+    sd: Mapping, cfg: LMConfig, dtype=jnp.float32, prefix: str = "", with_lm_head: bool = False
+) -> dict:
+    """HF Qwen2Model state dict -> qwen2 params. `prefix` locates the
+    decoder (e.g. "model." inside a ForCausalLM checkpoint)."""
+
+    def layer(i: int) -> dict:
+        lp = f"{prefix}layers.{i}."
+        return {
+            "input_norm": {"scale": jnp.asarray(_np(sd[lp + "input_layernorm.weight"]), dtype=dtype)},
+            "post_attn_norm": {
+                "scale": jnp.asarray(_np(sd[lp + "post_attention_layernorm.weight"]), dtype=dtype)
+            },
+            "q": _lin(sd, lp + "self_attn.q_proj", dtype),
+            "k": _lin(sd, lp + "self_attn.k_proj", dtype),
+            "v": _lin(sd, lp + "self_attn.v_proj", dtype),
+            "o": _lin(sd, lp + "self_attn.o_proj", dtype),
+            "gate": _lin(sd, lp + "mlp.gate_proj", dtype),
+            "up": _lin(sd, lp + "mlp.up_proj", dtype),
+            "down": _lin(sd, lp + "mlp.down_proj", dtype),
+        }
+
+    params = {
+        "embed": {"w": jnp.asarray(_np(sd[prefix + "embed_tokens.weight"]), dtype=dtype)},
+        "layers": stack_layer_params([layer(i) for i in range(cfg.num_layers)]),
+        "final_norm": {"scale": jnp.asarray(_np(sd[prefix + "norm.weight"]), dtype=dtype)},
+    }
+    if with_lm_head:
+        head_key = "lm_head"
+        if head_key + ".weight" in sd and not cfg.tie_word_embeddings:
+            params["lm_head"] = _lin(sd, head_key, dtype)
+    return params
+
+
+def convert_siglip(sd: Mapping, cfg: VisionConfig, dtype=jnp.float32, prefix: str = "") -> dict:
+    """HF SiglipVisionModel state dict -> siglip params. `prefix` locates
+    vision_model (e.g. "vision_model." for a bare tower)."""
+
+    def ln(name: str) -> dict:
+        return {
+            "scale": jnp.asarray(_np(sd[name + ".weight"]), dtype=dtype),
+            "bias": jnp.asarray(_np(sd[name + ".bias"]), dtype=dtype),
+        }
+
+    def layer(i: int) -> dict:
+        lp = f"{prefix}encoder.layers.{i}."
+        return {
+            "ln1": ln(lp + "layer_norm1"),
+            "ln2": ln(lp + "layer_norm2"),
+            "q": _lin(sd, lp + "self_attn.q_proj", dtype),
+            "k": _lin(sd, lp + "self_attn.k_proj", dtype),
+            "v": _lin(sd, lp + "self_attn.v_proj", dtype),
+            "o": _lin(sd, lp + "self_attn.out_proj", dtype),
+            "fc1": _lin(sd, lp + "mlp.fc1", dtype),
+            "fc2": _lin(sd, lp + "mlp.fc2", dtype),
+        }
+
+    # Conv kernel [O, C, kh, kw] -> [kh, kw, C, O] -> [kh*kw*C, O]
+    conv_w = _np(sd[prefix + "embeddings.patch_embedding.weight"])
+    o, c, kh, kw = conv_w.shape
+    patch_w = conv_w.transpose(2, 3, 1, 0).reshape(kh * kw * c, o)
+
+    return {
+        "patch_embed": {
+            "w": jnp.asarray(patch_w, dtype=dtype),
+            "b": jnp.asarray(_np(sd[prefix + "embeddings.patch_embedding.bias"]), dtype=dtype),
+        },
+        "pos_embed": jnp.asarray(
+            _np(sd[prefix + "embeddings.position_embedding.weight"]), dtype=dtype
+        ),
+        "layers": stack_layer_params([layer(i) for i in range(cfg.num_layers)]),
+    }
+
+
+def convert_projector(sd: Mapping, dtype=jnp.float32, prefix: str = "") -> dict:
+    """seq_mlp projector: out_projection.0 / out_projection.2 Linears."""
+    return {
+        "fc1": _lin(sd, prefix + "out_projection.0", dtype),
+        "fc2": _lin(sd, prefix + "out_projection.2", dtype),
+    }
+
+
+def convert_grounding_checkpoint(sd: Mapping, cfg: GroundingConfig, dtype=jnp.float32) -> dict:
+    """Full EagleQwenG HF checkpoint -> grounding params pytree."""
+    return {
+        "lm": convert_qwen2(sd, cfg.lm, dtype=dtype, prefix="model."),
+        "vision": convert_siglip(
+            sd, cfg.vision, dtype=dtype, prefix="model.vision_tower.vision_tower.vision_model."
+        ),
+        "projector": convert_projector(sd, dtype=dtype, prefix="model.mm_projector."),
+        "out_proj": _lin(sd, "out_proj", dtype),
+    }
+
+
+def load_hf_state_dict(model_dir: str) -> Dict[str, np.ndarray]:
+    """Read all *.safetensors (or pytorch_model*.bin) in an HF model dir."""
+    sd: Dict[str, np.ndarray] = {}
+    st_files = sorted(
+        f for f in os.listdir(model_dir) if re.fullmatch(r".*\.safetensors", f)
+    )
+    if st_files:
+        from safetensors import safe_open
+
+        for fname in st_files:
+            with safe_open(os.path.join(model_dir, fname), framework="np") as f:
+                for k in f.keys():
+                    sd[k] = f.get_tensor(k)
+        return sd
+    bin_files = sorted(f for f in os.listdir(model_dir) if f.endswith(".bin"))
+    if bin_files:
+        import torch
+
+        for fname in bin_files:
+            part = torch.load(
+                os.path.join(model_dir, fname), map_location="cpu", weights_only=True
+            )
+            sd.update(part)
+        return sd
+    raise FileNotFoundError(f"no safetensors/bin weights under {model_dir}")
+
+
+def load_grounding_model(model_dir: str, cfg: GroundingConfig | None = None, dtype=jnp.bfloat16):
+    """Load an HF-format VideoITG checkpoint directory -> (params, cfg)."""
+    if cfg is None:
+        cfg = GroundingConfig.videoitg_8b()
+    sd = load_hf_state_dict(model_dir)
+    return convert_grounding_checkpoint(sd, cfg, dtype=dtype), cfg
+
+
+# ---- native (orbax) checkpointing for training ----
+
+
+def save_orbax(path: str, params, step: int | None = None) -> None:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.join(path, f"step_{step}" if step is not None else "params"), params)
+
+
+def restore_orbax(path: str, template):
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(path), template)

@@ -1,0 +1,122 @@
+"""SigLIP vision tower (ViT-SO400M-14/384) in functional JAX.
+
+Behavior contract (reference eagle/model/multimodal_encoder/clip_encoder.py:98-154):
+frozen google/siglip-so400m-patch14-384, output = hidden state selected by
+mm_vision_select_layer=-2 → the output of the second-to-last encoder layer,
+patch features only (SigLIP has no CLS token), shape [T, 729, 1152]. The
+final encoder layer and post-layernorm never run.
+
+TPU-first choices: NHWC input; patch embedding as an unfold+matmul (the MXU
+sees one [T*729, 588]x[588, 1152] GEMM instead of a conv); encoder layers
+stacked and scanned; attention in fp32 softmax. The reference chunks >384
+frames (clip_encoder.py:140-152) to fit GPU memory — here the whole frame
+batch is one program and XLA pipelines HBM; callers control batching.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from videoitg_tpu.config import VisionConfig
+from videoitg_tpu.models.common import (
+    gelu_tanh,
+    init_linear,
+    layer_norm,
+    linear,
+    slice_layer_params,
+    stack_layer_params,
+)
+from videoitg_tpu.ops.attention import mha
+
+
+def init_siglip(key, cfg: VisionConfig, dtype=jnp.float32) -> dict:
+    keys = jax.random.split(key, cfg.num_layers + 2)
+    patch_dim = cfg.patch_size * cfg.patch_size * 3
+
+    def init_layer(k):
+        ks = jax.random.split(k, 6)
+        h, m = cfg.hidden_size, cfg.intermediate_size
+        return {
+            "ln1": {"scale": jnp.ones((h,), dtype), "bias": jnp.zeros((h,), dtype)},
+            "ln2": {"scale": jnp.ones((h,), dtype), "bias": jnp.zeros((h,), dtype)},
+            "q": init_linear(ks[0], h, h, dtype=dtype),
+            "k": init_linear(ks[1], h, h, dtype=dtype),
+            "v": init_linear(ks[2], h, h, dtype=dtype),
+            "o": init_linear(ks[3], h, h, dtype=dtype),
+            "fc1": init_linear(ks[4], h, m, dtype=dtype),
+            "fc2": init_linear(ks[5], m, h, dtype=dtype),
+        }
+
+    return {
+        "patch_embed": init_linear(keys[0], patch_dim, cfg.hidden_size, dtype=dtype),
+        "pos_embed": jax.random.normal(
+            keys[1], (cfg.num_patches, cfg.hidden_size), jnp.float32
+        ).astype(dtype)
+        * 0.02,
+        "layers": stack_layer_params(
+            [init_layer(keys[2 + i]) for i in range(cfg.num_layers)]
+        ),
+    }
+
+
+def _patchify(images: jax.Array, patch: int) -> jax.Array:
+    """NHWC [T, H, W, C] -> [T, (H/p)*(W/p), p*p*C].
+
+    Patch vector ordering is (kh, kw, c) — the weight converter reshapes the
+    torch conv kernel [O, C, kh, kw] to match (checkpoint.py).
+    """
+    t, h, w, c = images.shape
+    gh, gw = h // patch, w // patch
+    x = images.reshape(t, gh, patch, gw, patch, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # [T, gh, gw, kh, kw, C]
+    return x.reshape(t, gh * gw, patch * patch * c)
+
+
+def _encoder_layer(params, x: jax.Array, cfg: VisionConfig, use_flash: bool) -> jax.Array:
+    t, p, h = x.shape
+    residual = x
+    y = layer_norm(params["ln1"], x, cfg.layer_norm_eps)
+    q = linear(params["q"], y).reshape(t, p, cfg.num_heads, cfg.head_dim)
+    k = linear(params["k"], y).reshape(t, p, cfg.num_heads, cfg.head_dim)
+    v = linear(params["v"], y).reshape(t, p, cfg.num_heads, cfg.head_dim)
+    q, k, v = (a.transpose(0, 2, 1, 3) for a in (q, k, v))
+    attn = mha(q, k, v, valid=None, causal=False, use_flash=use_flash)
+    attn = attn.transpose(0, 2, 1, 3).reshape(t, p, h)
+    x = residual + linear(params["o"], attn)
+
+    residual = x
+    y = layer_norm(params["ln2"], x, cfg.layer_norm_eps)
+    y = linear(params["fc2"], gelu_tanh(linear(params["fc1"], y)))
+    return residual + y
+
+
+def siglip_features(
+    params: dict,
+    images: jax.Array,
+    cfg: VisionConfig,
+    use_flash: bool = False,
+    remat: bool = False,
+) -> jax.Array:
+    """[T, H, W, 3] preprocessed frames -> [T, num_patches, hidden] features.
+
+    Runs cfg.num_effective_layers encoder layers (26 of 27 for select_layer
+    -2) and returns the raw hidden state — no post-layernorm, matching the
+    reference's hidden_states[-2] selection.
+    """
+    x = _patchify(images, cfg.patch_size)
+    x = linear(params["patch_embed"], x)
+    x = x + params["pos_embed"].astype(x.dtype)[None]
+
+    n_eff = cfg.num_effective_layers
+    layers = slice_layer_params(params["layers"], n_eff)
+
+    def body(carry, layer_params):
+        fn = _encoder_layer
+        if remat:
+            fn = jax.checkpoint(fn, static_argnums=(2, 3))
+        return fn(layer_params, carry, cfg, use_flash), None
+
+    # scan wants body(carry, xs); reorder args.
+    x, _ = jax.lax.scan(lambda c, lp: body(c, lp), x, layers)
+    return x
