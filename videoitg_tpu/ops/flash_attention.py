@@ -1,0 +1,196 @@
+"""Pallas TPU flash attention (non-causal + causal, GQA, key-validity mask).
+
+Why a custom kernel: the grounding LM attends bidirectionally over ~13k
+tokens (512 frames x 25 tokens + prompt) with no KV cache — the reference
+leans on CUDA flash-attn-2 for this (its clip_encoder.py:117 and
+train_itg_mem.py:10). Plain XLA attention would materialize [H, S, S]
+logits (~19 GB fp32 at 13k) — far beyond HBM. This kernel streams K/V
+blocks through VMEM with online softmax and fp32 accumulation.
+
+Layout: grid (B, Hq, num_q_blocks, num_k_blocks); the K dimension is the
+innermost (sequential on TPU) axis, with running max/denominator/accumulator
+carried in VMEM scratch across K steps. GQA maps query head h to KV head
+h // (Hq // Hkv) in the BlockSpec index map, so no KV replication ever
+touches HBM.
+
+Masking: `valid` marks real tokens and is applied as an additive -1e30 key
+bias (one VPU pass instead of a where-chain). Invalid KEY columns contribute
+exactly zero probability. Invalid QUERY rows are zeroed at finalize, so
+fully-masked rows output 0 (same contract as ops/attention.mha_reference).
+Matmuls keep their native dtype (bf16 on the fast MXU path) and accumulate
+in fp32 via preferred_element_type — the precision that Top-K score
+ordering hinges on (BASELINE "hard parts" #1).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Tuned on v5e at S~13k (the 512-frame scoring shape): (1024, 1024) reaches
+# ~53 TFLOP/s bf16, on par with jax's reference TPU flash kernel while
+# reading 7x less KV from HBM thanks to native GQA.
+DEFAULT_BLOCK_Q = 1024
+DEFAULT_BLOCK_K = 1024
+_NEG_BIG = -1e30
+
+
+def _flash_kernel(
+    q_ref, k_ref, v_ref, kbias_ref, qvalid_ref, o_ref, acc_ref, m_ref, l_ref,
+    *, sm_scale: float, causal: bool, block_q: int, block_k: int,
+):
+    iq = pl.program_id(2)
+    ik = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, _NEG_BIG)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    # Causal: skip K blocks strictly above this Q block's last row.
+    run = True if not causal else (ik * block_k <= iq * block_q + block_q - 1)
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0, 0]  # [BQ, D]
+        k = k_ref[0, 0]  # [BK, D]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale  # [BQ, BK] fp32
+        s = s + kbias_ref[0]  # -1e30 on invalid keys, 0 on valid
+        if causal:
+            qpos = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            kpos = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(kpos <= qpos, s, _NEG_BIG)
+
+        m_prev = m_ref[:, 0][:, None]  # [BQ, 1]
+        l_prev = l_ref[:, 0][:, None]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        # exp(-1e30 - m) underflows to exactly 0 for any live m, so masked
+        # columns vanish; when the whole row is masked m_new stays -1e30 and
+        # the row is finite garbage, zeroed at finalize by qvalid.
+        p = jnp.exp(s - m_new)  # [BQ, BK]
+        alpha = jnp.exp(m_prev - m_new)  # [BQ, 1]
+        l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+
+        v = v_ref[0, 0]  # [BK, D]
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        l = l_ref[:, 0][:, None]
+        out = acc_ref[:] / jnp.where(l == 0.0, 1.0, l)
+        out = out * qvalid_ref[0][:, None]
+        o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+def _pad_to(x: jax.Array, size: int, axis: int, value=0):
+    pad = size - x.shape[axis]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("causal", "block_q", "block_k", "interpret")
+)
+def flash_mha(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    valid: Optional[jax.Array] = None,
+    causal: bool = False,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: bool = False,
+) -> jax.Array:
+    """Streaming attention. q [B,Hq,S,D], k/v [B,Hkv,S,D], valid [B,S] bool.
+
+    Returns [B, Hq, S, D] in q.dtype. S is padded internally to the block
+    size; padding keys are masked, padding query rows return 0.
+    """
+    b, hq, s, d = q.shape
+    hkv = k.shape[1]
+    assert hq % hkv == 0, (hq, hkv)
+    group = hq // hkv
+
+    block_q = min(block_q, max(128, s))
+    block_k = min(block_k, max(128, s))
+    lcm = block_q * block_k // __import__("math").gcd(block_q, block_k)
+    s_pad = -(-s // lcm) * lcm
+
+    if valid is None:
+        valid = jnp.ones((b, s), dtype=bool)
+    qp = _pad_to(q, s_pad, axis=2)
+    kp = _pad_to(k, s_pad, axis=2)
+    vp = _pad_to(v, s_pad, axis=2)
+    validp = _pad_to(valid, s_pad, axis=1)
+    kbias = jnp.where(validp, 0.0, _NEG_BIG).astype(jnp.float32)  # [B, S]
+    qvalid = validp.astype(jnp.float32)
+
+    nq = s_pad // block_q
+    nk = s_pad // block_k
+
+    kernel = functools.partial(
+        _flash_kernel,
+        sm_scale=d ** -0.5,
+        causal=causal,
+        block_q=block_q,
+        block_k=block_k,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, hq, nq, nk),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, block_q, d), lambda b_, h, iq, ik: (b_, h, iq, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, block_k, d), lambda b_, h, iq, ik: (b_, h // group, ik, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, block_k, d), lambda b_, h, iq, ik: (b_, h // group, ik, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, block_k), lambda b_, h, iq, ik: (b_, ik),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, block_q), lambda b_, h, iq, ik: (b_, iq),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, d), lambda b_, h, iq, ik: (b_, h, iq, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hq, s_pad, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp, kbias, qvalid)
+
+    return out[:, :, :s, :]
