@@ -1,0 +1,136 @@
+"""SelectionEngine tests on the 8-device virtual CPU mesh (tiny model)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from videoitg_tpu.config import GroundingConfig
+from videoitg_tpu.engine import SelectionEngine
+from videoitg_tpu.models.grounding import init_grounding
+from videoitg_tpu.parallel.mesh import make_mesh
+
+
+class ToyTokenizer:
+    """Deterministic toy tokenizer: one id per character (mod vocab)."""
+
+    bos_token_id = None
+
+    def __call__(self, text):
+        class R:
+            pass
+
+        r = R()
+        r.input_ids = [ord(c) % 500 for c in text]
+        return r
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    cfg = GroundingConfig.tiny()
+    params = init_grounding(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    return cfg, params
+
+
+def _frames(rng, t, hw=56):
+    return rng.integers(0, 256, size=(t, hw, hw, 3), dtype=np.uint8)
+
+
+def test_engine_single_video(tiny_setup):
+    cfg, params = tiny_setup
+    eng = SelectionEngine(
+        params, cfg, ToyTokenizer(), dtype=jnp.float32, use_flash=False,
+        buckets=(4, 8), num_frames=8,
+    )
+    rng = np.random.default_rng(0)
+    frames = _frames(rng, 6)
+    sampled = [0, 10, 20, 30, 40, 50]
+    res = eng.select(frames, sampled, "what happens?", video_path="x.mp4", doc_id=3)
+
+    assert len(res.index) == 6 and len(res.logits) == 6
+    assert sorted(res.index) == sampled
+    assert res.logits == sorted(res.logits, reverse=True)
+    assert all(0.0 <= v <= 1.0 for v in res.logits)
+    assert res.num_frames == 1  # reference parity quirk
+    j = res.to_reference_json()
+    assert set(j) == {"index", "logits", "num_frames", "contexts", "video_path", "doc_id"}
+    # top-k contract: first k by score, ascending original ids
+    top3 = res.topk(3)
+    assert top3 == sorted(res.index[:3])
+
+
+def test_engine_batch_matches_single(tiny_setup):
+    cfg, params = tiny_setup
+    eng = SelectionEngine(
+        params, cfg, ToyTokenizer(), dtype=jnp.float32, use_flash=False,
+        buckets=(4,), num_frames=4,
+    )
+    rng = np.random.default_rng(1)
+    vids = [_frames(rng, 4), _frames(rng, 4)]
+    instrs = ["first question", "second question"]
+    batch_scores = eng.score_frames(vids, instrs)
+    for v, i, s in zip(vids, instrs, batch_scores):
+        single = eng.score_frames([v], [i])[0]
+        np.testing.assert_allclose(s, single, atol=1e-5, rtol=1e-5)
+
+
+def test_engine_padding_invariance(tiny_setup):
+    """A 3-frame video in a 4-bucket must score frames identically to the
+    same video in an 8-bucket (masking correctness)."""
+    cfg, params = tiny_setup
+    rng = np.random.default_rng(2)
+    frames = _frames(rng, 3)
+
+    eng4 = SelectionEngine(params, cfg, ToyTokenizer(), dtype=jnp.float32,
+                           use_flash=False, buckets=(4,))
+    eng8 = SelectionEngine(params, cfg, ToyTokenizer(), dtype=jnp.float32,
+                           use_flash=False, buckets=(8,))
+    s4 = eng4.score_frames([frames], ["q"])[0]
+    s8 = eng8.score_frames([frames], ["q"])[0]
+    assert s4.shape == (3,) and s8.shape == (3,)
+    np.testing.assert_allclose(s4, s8, atol=2e-5, rtol=1e-5)
+
+
+def test_engine_on_mesh_matches_single_device(tiny_setup):
+    cfg, params = tiny_setup
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    mesh = make_mesh(dp=2, tp=2, devices=jax.devices()[:4])
+
+    rng = np.random.default_rng(3)
+    vids = [_frames(rng, 4), _frames(rng, 4)]
+    instrs = ["q one", "q two"]
+
+    eng1 = SelectionEngine(params, cfg, ToyTokenizer(), dtype=jnp.float32,
+                           use_flash=False, buckets=(4,))
+    engm = SelectionEngine(params, cfg, ToyTokenizer(), mesh=mesh,
+                           dtype=jnp.float32, use_flash=False, buckets=(4,))
+    want = eng1.score_frames(vids, instrs)
+    got = engm.score_frames(vids, instrs)
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(g, w, atol=2e-5, rtol=1e-5)
+
+
+def test_engine_flash_interpret_matches_xla(tiny_setup):
+    """Flash path (interpret mode, via monkeypatched default) vs XLA path."""
+    cfg, params = tiny_setup
+    import videoitg_tpu.ops.flash_attention as fa
+    import functools
+
+    orig = fa.flash_mha
+    # tiny dims: force small blocks + interpret
+    patched = functools.partial(orig, block_q=128, block_k=128, interpret=True)
+    fa_flash = fa.flash_mha
+    try:
+        fa.flash_mha = patched
+        rng = np.random.default_rng(4)
+        vids = [_frames(rng, 4)]
+        eng_x = SelectionEngine(params, cfg, ToyTokenizer(), dtype=jnp.float32,
+                                use_flash=False, buckets=(4,))
+        eng_f = SelectionEngine(params, cfg, ToyTokenizer(), dtype=jnp.float32,
+                                use_flash=True, buckets=(4,))
+        want = eng_x.score_frames(vids, ["q"])[0]
+        got = eng_f.score_frames(vids, ["q"])[0]
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+    finally:
+        fa.flash_mha = fa_flash

@@ -78,3 +78,14 @@ def test_flash_bf16_rank_stability():
                   v.astype(jnp.bfloat16), block_q=128, block_k=128, interpret=True)
     ).astype(np.float32)
     assert np.abs(got - want).max() < 0.05  # bf16 input quantization only
+
+
+def test_flash_siglip_shape_odd_dims():
+    """SigLIP tower shape: head_dim=72, S=729 (neither 128-aligned)."""
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.standard_normal((2, 4, 729, 72)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((2, 4, 729, 72)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((2, 4, 729, 72)).astype(np.float32))
+    want = mha_reference(q, k, v)
+    got = flash_mha(q, k, v, block_q=256, block_k=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)

@@ -1,0 +1,242 @@
+"""SelectionEngine: videos + instruction -> ranked frame indices.
+
+This is the TPU-native replacement for the reference's inference stack
+(infer.py topk_selection + lmms_eval/models/videoitg.py generate_until):
+host decode feeds a device-side preprocess, frames are padded into static
+T-buckets, and one compiled program per (bucket, HW, batch) scores all
+frames in a single bidirectional prefill. Results reproduce the reference's
+results.jsonl contract bit-for-bit (key set, score-descending order, 2-dp
+rounding; videoitg.py:310-319).
+
+Shape discipline (SURVEY §7): static buckets for frames, fixed text pad,
+HW computed on host from the REAL frame count (mlp_proj.py:48 uses actual
+T, not the bucket). One compile per distinct (bucket, hw, B) key — the
+512-frame eval workload is a single key.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from videoitg_tpu.config import GroundingConfig
+from videoitg_tpu.data.sampling import FRAME_BUCKETS, frame_bucket
+from videoitg_tpu.data.tokenizer import grounding_text_ids
+from videoitg_tpu.models.grounding import GroundingBatch, grounding_logits
+from videoitg_tpu.models.projector import inference_hw
+from videoitg_tpu.ops.preprocess import preprocess_frames
+from videoitg_tpu.parallel import context as par_context
+from videoitg_tpu.parallel import mesh as mesh_lib
+from videoitg_tpu.parallel import sharding as sharding_lib
+
+
+@dataclasses.dataclass
+class SelectionResult:
+    """Full score-ranked frame listing for one video.
+
+    `index` holds ALL sampled original-frame ids sorted by score descending
+    and `logits` the matching sigmoid scores rounded to 2dp — exactly the
+    reference's results.jsonl row. Top-K consumption (first k, then
+    ascending sort) is the downstream contract (internvl2.py:114-123).
+    """
+
+    index: List[int]
+    logits: List[float]
+    num_frames: int
+    contexts: str
+    video_path: str
+    doc_id: Optional[object] = None
+    sampled_frames: Optional[List[int]] = None
+    raw_scores: Optional[np.ndarray] = None
+
+    def topk(self, k: int) -> List[int]:
+        picked = self.index[:k]
+        return sorted(picked)
+
+    def to_reference_json(self) -> Dict:
+        return {
+            "index": self.index,
+            "logits": self.logits,
+            "num_frames": self.num_frames,
+            "contexts": self.contexts,
+            "video_path": self.video_path,
+            "doc_id": self.doc_id,
+        }
+
+
+class SelectionEngine:
+    def __init__(
+        self,
+        params,
+        cfg: GroundingConfig,
+        tokenizer,
+        mesh: Optional[jax.sharding.Mesh] = None,
+        num_frames: int = 512,
+        target_fps: float = 1.0,
+        dtype=jnp.bfloat16,
+        use_flash: Optional[bool] = None,
+        batch_size: int = 1,
+        buckets: Sequence[int] = FRAME_BUCKETS,
+    ):
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.mesh = mesh
+        self.num_frames = num_frames
+        self.target_fps = target_fps
+        self.dtype = dtype
+        self.batch_size = batch_size
+        self.buckets = tuple(buckets)
+        if use_flash is None:
+            use_flash = jax.default_backend() not in ("cpu",)
+        self.use_flash = use_flash
+
+        if mesh is not None:
+            specs = sharding_lib.grounding_param_specs()
+            self.params = sharding_lib.shard_params(
+                jax.tree.map(lambda x: jnp.asarray(x, dtype=dtype), params), specs, mesh
+            )
+        else:
+            self.params = jax.tree.map(lambda x: jnp.asarray(x, dtype=dtype), params)
+
+        self._score_fns: Dict[Tuple[int, int, int], object] = {}
+        self._pre_fns: Dict[Tuple[int, int, int], object] = {}
+        self.timings: Dict[str, float] = {}
+
+    # ---- compiled stages ----
+
+    def _scoring_fn(self, t_bucket: int, hw: int, b: int):
+        key = (t_bucket, hw, b)
+        if key not in self._score_fns:
+            cfg, use_flash = self.cfg, self.use_flash
+
+            def fn(params, frames, frame_valid, text_ids, text_valid):
+                batch = GroundingBatch(
+                    frames=frames, frame_valid=frame_valid,
+                    text_ids=text_ids, text_valid=text_valid,
+                )
+                logits = grounding_logits(params, batch, cfg, hw=hw, use_flash=use_flash)
+                # sigmoid(-inf) = 0 for padded frames.
+                return jax.nn.sigmoid(logits.astype(jnp.float32))
+
+            self._score_fns[key] = jax.jit(fn)
+        return self._score_fns[key]
+
+    def _preprocess(self, frames_u8: np.ndarray, t_bucket: int) -> jax.Array:
+        """[T, H, W, 3] uint8 -> [t_bucket, S, S, 3] model-dtype on device."""
+        t, h, w, _ = frames_u8.shape
+        if t < t_bucket:
+            frames_u8 = np.concatenate(
+                [frames_u8, np.zeros((t_bucket - t, h, w, 3), dtype=np.uint8)], axis=0
+            )
+        key = (t_bucket, h, w)
+        if key not in self._pre_fns:
+            out_size = self.cfg.vision.image_size
+            dtype = self.dtype
+            self._pre_fns[key] = jax.jit(
+                lambda x: preprocess_frames(x, out_size=out_size, dtype=dtype)
+            )
+        return self._pre_fns[key](frames_u8)
+
+    # ---- public API ----
+
+    def score_frames(
+        self, videos: Sequence[np.ndarray], instructions: Sequence[str]
+    ) -> List[np.ndarray]:
+        """Score raw decoded frames. videos: list of [T_i, H, W, 3] uint8.
+
+        All videos in one call share a bucket/HW (callers group by length);
+        returns a list of [T_i] fp32 sigmoid scores.
+        """
+        assert len(videos) == len(instructions)
+        t_reals = [v.shape[0] for v in videos]
+        t_bucket = frame_bucket(max(t_reals), self.buckets)
+        hws = {inference_hw(self.cfg.projector, t, self.cfg.vision.num_patches_per_side)
+               for t in t_reals}
+        assert len(hws) == 1, (
+            f"videos in one batch must share HW (got {hws}); group by frame count"
+        )
+        hw = hws.pop()
+
+        b = len(videos)
+        t0 = time.perf_counter()
+        pix = jnp.stack([self._preprocess(v, t_bucket) for v in videos])
+        frame_valid = np.zeros((b, t_bucket), dtype=bool)
+        for i, t in enumerate(t_reals):
+            frame_valid[i, :t] = True
+
+        ids = np.zeros((b, self.cfg.max_text_len), dtype=np.int32)
+        text_valid = np.zeros((b, self.cfg.max_text_len), dtype=bool)
+        for i, instr in enumerate(instructions):
+            tok = grounding_text_ids(instr, self.tokenizer, self.cfg.max_text_len)
+            ids[i, : len(tok)] = tok
+            text_valid[i, : len(tok)] = True
+        self.timings["preprocess"] = time.perf_counter() - t0
+
+        fn = self._scoring_fn(t_bucket, hw, b)
+        inputs = (pix, jnp.asarray(frame_valid), jnp.asarray(ids), jnp.asarray(text_valid))
+        if self.mesh is not None:
+            bs = mesh_lib.batch_sharding(self.mesh)
+            inputs = tuple(jax.device_put(x, bs) for x in inputs)
+        args = (self.params,) + inputs
+        t0 = time.perf_counter()
+        if self.mesh is not None:
+            # shard_map takes the mesh explicitly; jit shardings propagate
+            # from the placed params/inputs — no ambient mesh needed.
+            with par_context.attention_mesh(self.mesh):
+                probs = np.asarray(fn(*args))
+        else:
+            probs = np.asarray(fn(*args))
+        self.timings["score"] = time.perf_counter() - t0
+        return [probs[i, : t_reals[i]] for i in range(b)]
+
+    def rank_frames(
+        self, scores: np.ndarray, sampled_frames: Sequence[int]
+    ) -> Tuple[List[int], List[float]]:
+        """Score-descending ranking, stable on ties (torch.sort semantics)."""
+        order = np.argsort(-scores, kind="stable")
+        index = [int(sampled_frames[i]) for i in order]
+        logits = [round(float(scores[i]), 2) for i in order]
+        return index, logits
+
+    def select(
+        self,
+        frames: np.ndarray,
+        sampled_frames: Sequence[int],
+        instruction: str,
+        video_path: str = "",
+        doc_id: Optional[object] = None,
+    ) -> SelectionResult:
+        """Score one decoded video and build the reference-contract result."""
+        scores = self.score_frames([frames], [instruction])[0]
+        index, logits = self.rank_frames(scores, sampled_frames)
+        return SelectionResult(
+            index=index,
+            logits=logits,
+            # Parity quirk: the reference stores len(videos) — the number of
+            # video tensors (always 1), not the frame count (videoitg.py:312).
+            num_frames=1,
+            contexts=instruction,
+            video_path=video_path,
+            doc_id=doc_id,
+            sampled_frames=list(sampled_frames),
+            raw_scores=scores,
+        )
+
+    def select_from_file(
+        self, video_path: str, instruction: str, doc_id: Optional[object] = None,
+        sampling: str = "eval",
+    ) -> SelectionResult:
+        """Decode + score a video file (eval-path index math by default)."""
+        from videoitg_tpu.data.video import read_video_frames
+
+        frames, sampled = read_video_frames(
+            video_path, num_frames=self.num_frames, target_fps=self.target_fps,
+            sampling=sampling,
+        )
+        return self.select(frames, sampled, instruction, video_path=video_path, doc_id=doc_id)

@@ -89,9 +89,34 @@ def mha(
     causal: bool = False,
     use_flash: bool = False,
 ) -> jax.Array:
-    """Dispatch between the Pallas flash kernel and the XLA reference."""
-    if use_flash:
-        from videoitg_tpu.ops.flash_attention import flash_mha
+    """Dispatch between the Pallas flash kernel and the XLA reference.
 
+    Under an active attention mesh (parallel/context.py) the kernel runs as
+    a shard_map island with batch over dp and heads over tp — both
+    communication-free for attention.
+    """
+    if not use_flash:
+        return mha_reference(q, k, v, valid=valid, causal=causal)
+
+    from videoitg_tpu.ops.flash_attention import flash_mha
+    from videoitg_tpu.parallel.context import current_attention_mesh
+
+    ctx = current_attention_mesh()
+    if ctx is None:
         return flash_mha(q, k, v, valid=valid, causal=causal)
-    return mha_reference(q, k, v, valid=valid, causal=causal)
+
+    import jax as _jax
+    from jax.sharding import PartitionSpec as P
+
+    mesh, dp, tp = ctx
+    if valid is None:
+        valid = jnp.ones((q.shape[0], q.shape[2]), dtype=bool)
+    spec_q = P(dp, tp, None, None)
+    f = _jax.shard_map(
+        lambda q_, k_, v_, vd: flash_mha(q_, k_, v_, valid=vd, causal=causal),
+        mesh=mesh,
+        in_specs=(spec_q, spec_q, spec_q, P(dp, None)),
+        out_specs=spec_q,
+        check_vma=False,
+    )
+    return f(q, k, v, valid)

@@ -125,21 +125,26 @@ def flash_mha(
     Returns [B, Hq, S, D] in q.dtype. S is padded internally to the block
     size; padding keys are masked, padding query rows return 0.
     """
+    import math
+
     b, hq, s, d = q.shape
     hkv = k.shape[1]
     assert hq % hkv == 0, (hq, hkv)
     group = hq // hkv
 
-    block_q = min(block_q, max(128, s))
-    block_k = min(block_k, max(128, s))
-    lcm = block_q * block_k // __import__("math").gcd(block_q, block_k)
+    # Lane-align the head dim (SigLIP uses D=72): zero-padding D is exact —
+    # padded columns add 0 to QK dots and produce zero output columns.
+    d_pad = -(-d // 128) * 128
+    block_q = min(block_q, -(-s // 128) * 128)
+    block_k = min(block_k, -(-s // 128) * 128)
+    lcm = block_q * block_k // math.gcd(block_q, block_k)
     s_pad = -(-s // lcm) * lcm
 
     if valid is None:
         valid = jnp.ones((b, s), dtype=bool)
-    qp = _pad_to(q, s_pad, axis=2)
-    kp = _pad_to(k, s_pad, axis=2)
-    vp = _pad_to(v, s_pad, axis=2)
+    qp = _pad_to(_pad_to(q, s_pad, axis=2), d_pad, axis=3)
+    kp = _pad_to(_pad_to(k, s_pad, axis=2), d_pad, axis=3)
+    vp = _pad_to(_pad_to(v, s_pad, axis=2), d_pad, axis=3)
     validp = _pad_to(valid, s_pad, axis=1)
     kbias = jnp.where(validp, 0.0, _NEG_BIG).astype(jnp.float32)  # [B, S]
     qvalid = validp.astype(jnp.float32)
@@ -149,7 +154,7 @@ def flash_mha(
 
     kernel = functools.partial(
         _flash_kernel,
-        sm_scale=d ** -0.5,
+        sm_scale=d ** -0.5,  # scale by the TRUE head dim, not the padded one
         causal=causal,
         block_q=block_q,
         block_k=block_k,
@@ -160,15 +165,15 @@ def flash_mha(
         grid=(b, hq, nq, nk),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, block_q, d), lambda b_, h, iq, ik: (b_, h, iq, 0),
+                (1, 1, block_q, d_pad), lambda b_, h, iq, ik: (b_, h, iq, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, block_k, d), lambda b_, h, iq, ik: (b_, h // group, ik, 0),
+                (1, 1, block_k, d_pad), lambda b_, h, iq, ik: (b_, h // group, ik, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, block_k, d), lambda b_, h, iq, ik: (b_, h // group, ik, 0),
+                (1, 1, block_k, d_pad), lambda b_, h, iq, ik: (b_, h // group, ik, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -181,16 +186,16 @@ def flash_mha(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, block_q, d), lambda b_, h, iq, ik: (b_, h, iq, 0),
+            (1, 1, block_q, d_pad), lambda b_, h, iq, ik: (b_, h, iq, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, hq, s_pad, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, hq, s_pad, d_pad), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, d_pad), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
         ],
         interpret=interpret,
     )(qp, kp, vp, kbias, qvalid)
 
-    return out[:, :, :s, :]
+    return out[:, :, :s, :d]

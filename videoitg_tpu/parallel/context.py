@@ -1,0 +1,35 @@
+"""Ambient mesh context for shard_map islands.
+
+GSPMD partitions every einsum in the model automatically, but a Pallas
+kernel is opaque to it — the flash-attention call must be wrapped in
+jax.shard_map with explicit per-axis specs. Threading the mesh through
+every model function would pollute the pure functional API, so the engine
+installs it here and ops/attention.mha picks it up when dispatching to the
+kernel. Attention has no cross-head communication, so head (tp) and batch
+(dp) sharding are communication-free inside the island.
+"""
+
+from __future__ import annotations
+
+import contextlib
+from typing import Optional, Tuple
+
+from jax.sharding import Mesh
+
+_ACTIVE: Optional[Tuple[Mesh, str, str]] = None
+
+
+@contextlib.contextmanager
+def attention_mesh(mesh: Mesh, dp_axis: str = "dp", tp_axis: str = "tp"):
+    """While active, flash attention runs as a shard_map island over mesh."""
+    global _ACTIVE
+    prev = _ACTIVE
+    _ACTIVE = (mesh, dp_axis, tp_axis)
+    try:
+        yield
+    finally:
+        _ACTIVE = prev
+
+
+def current_attention_mesh() -> Optional[Tuple[Mesh, str, str]]:
+    return _ACTIVE

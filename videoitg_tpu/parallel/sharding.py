@@ -1,0 +1,94 @@
+"""Parameter partition specs for the grounding model.
+
+Tensor-parallel layout (Megatron-style, expressed as GSPMD annotations —
+the TPU-native replacement for the reference's ZeRO stages and its manual
+layer->GPU device maps, internvl2.py:143-181):
+
+  * attention: q/k/v output features sharded over tp (head-aligned: 28 q and
+    4 kv heads both divide tp in {1,2,4}), o_proj input sharded -> the
+    all-reduce after o_proj is the layer's only attention collective.
+  * MLP: gate/up output sharded, down input sharded (same single all-reduce).
+  * embeddings: vocab dim sharded (gather stays local-heavy).
+  * norms / head: replicated (tiny).
+
+The same tree doubles as FSDP-style storage sharding: every large leaf lives
+split across chips, so 8B bf16 params occupy ~16GB/tp_size per chip.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from videoitg_tpu.parallel.mesh import TP_AXIS
+
+
+def qwen2_param_specs() -> dict:
+    """PartitionSpecs mirroring models/qwen2 param tree (stacked layers)."""
+    t = TP_AXIS
+    return {
+        "embed": {"w": P(t, None)},
+        "layers": {
+            "input_norm": {"scale": P(None, None)},
+            "post_attn_norm": {"scale": P(None, None)},
+            "q": {"w": P(None, None, t), "b": P(None, t)},
+            "k": {"w": P(None, None, t), "b": P(None, t)},
+            "v": {"w": P(None, None, t), "b": P(None, t)},
+            "o": {"w": P(None, t, None)},
+            "gate": {"w": P(None, None, t)},
+            "up": {"w": P(None, None, t)},
+            "down": {"w": P(None, t, None)},
+        },
+        "final_norm": {"scale": P(None)},
+    }
+
+
+def siglip_param_specs() -> dict:
+    t = TP_AXIS
+    layer = {
+        "ln1": {"scale": P(None, None), "bias": P(None, None)},
+        "ln2": {"scale": P(None, None), "bias": P(None, None)},
+        "q": {"w": P(None, None, t), "b": P(None, t)},
+        "k": {"w": P(None, None, t), "b": P(None, t)},
+        "v": {"w": P(None, None, t), "b": P(None, t)},
+        "o": {"w": P(None, t, None), "b": P(None, None)},
+        "fc1": {"w": P(None, None, t), "b": P(None, t)},
+        "fc2": {"w": P(None, t, None), "b": P(None, None)},
+    }
+    return {
+        "patch_embed": {"w": P(None, t), "b": P(t)},
+        "pos_embed": P(None, None),
+        "layers": layer,
+    }
+
+
+def grounding_param_specs(with_lm_head: bool = False) -> dict:
+    t = TP_AXIS
+    specs = {
+        "vision": siglip_param_specs(),
+        "projector": {
+            "fc1": {"w": P(None, t), "b": P(t)},
+            "fc2": {"w": P(t, None), "b": P(None)},
+        },
+        "lm": qwen2_param_specs(),
+        "out_proj": {"w": P(None, None), "b": P(None)},
+    }
+    if with_lm_head:
+        specs["lm"]["lm_head"] = {"w": P(None, t)}
+    return specs
+
+
+def named_shardings(specs: Any, mesh: Mesh) -> Any:
+    return jax.tree.map(
+        lambda s: NamedSharding(mesh, s),
+        specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def shard_params(params: Any, specs: Any, mesh: Mesh) -> Any:
+    """Place a param pytree onto the mesh according to specs."""
+    shardings = named_shardings(specs, mesh)
+    return jax.tree.map(jax.device_put, params, shardings)
