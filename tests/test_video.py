@@ -1,0 +1,84 @@
+"""Native video decoder tests using synthesized fixtures."""
+
+import numpy as np
+import pytest
+
+from videoitg_tpu.data.video import (
+    VideoReader,
+    read_video_frames,
+    expected_fixture_color,
+    write_test_video,
+)
+
+
+@pytest.fixture(scope="module")
+def fixture_mp4(tmp_path_factory):
+    p = tmp_path_factory.mktemp("vids") / "test.mp4"
+    return write_test_video(str(p), width=64, height=48, n_frames=60, fps=10, gop=12)
+
+
+@pytest.fixture(scope="module")
+def fixture_mkv(tmp_path_factory):
+    # matroska typically lacks nb_frames -> exercises packet-count path.
+    p = tmp_path_factory.mktemp("vids") / "test.mkv"
+    return write_test_video(str(p), width=64, height=48, n_frames=45, fps=10, gop=7)
+
+
+def _assert_frame_is(frame: np.ndarray, idx: int, tol: int = 24):
+    want = np.array(expected_fixture_color(idx), dtype=np.int32)
+    got = frame.reshape(-1, 3).mean(axis=0).astype(np.int32)
+    assert np.abs(got - want).max() <= tol, (idx, want.tolist(), got.tolist())
+
+
+def test_metadata(fixture_mp4):
+    with VideoReader(fixture_mp4) as vr:
+        assert len(vr) == 60
+        assert abs(vr.fps - 10.0) < 0.01
+        assert (vr.width, vr.height) == (64, 48)
+
+
+def test_sequential_batch(fixture_mp4):
+    with VideoReader(fixture_mp4) as vr:
+        frames = vr.get_batch(list(range(0, 60, 5)))
+        assert frames.shape == (12, 48, 64, 3)
+        for i, idx in enumerate(range(0, 60, 5)):
+            _assert_frame_is(frames[i], idx)
+
+
+def test_random_access_with_seeks(fixture_mp4):
+    with VideoReader(fixture_mp4) as vr:
+        order = [55, 3, 30, 3, 59, 0, 13]  # backwards jumps + duplicate
+        frames = vr.get_batch(order)
+        for i, idx in enumerate(order):
+            _assert_frame_is(frames[i], idx)
+
+
+def test_mkv_packet_count_path(fixture_mkv):
+    with VideoReader(fixture_mkv) as vr:
+        assert len(vr) == 45
+        frames = vr.get_batch([0, 21, 44])
+        for i, idx in enumerate([0, 21, 44]):
+            _assert_frame_is(frames[i], idx)
+
+
+def test_read_video_frames_eval_sampling(fixture_mp4):
+    # 60 frames @ 10fps, target 1fps -> stride 10 -> 6 strided frames < 32
+    frames, sampled = read_video_frames(fixture_mp4, num_frames=32, target_fps=1)
+    assert sampled == [0, 10, 20, 30, 40, 50]
+    assert frames.shape == (6, 48, 64, 3)
+    for i, idx in enumerate(sampled):
+        _assert_frame_is(frames[i], idx)
+
+
+def test_read_video_frames_subsampling(fixture_mp4):
+    # target 10fps -> stride 1 -> 60 frames, pick 8 by eval rounding
+    frames, sampled = read_video_frames(fixture_mp4, num_frames=8, target_fps=10)
+    assert len(sampled) == 8
+    assert sampled == [int(i * 60 / 8) for i in range(8)]
+    for i, idx in enumerate(sampled):
+        _assert_frame_is(frames[i], idx)
+
+
+def test_missing_file_raises():
+    with pytest.raises(FileNotFoundError):
+        VideoReader("/nonexistent/file.mp4")

@@ -1,0 +1,117 @@
+"""videoitg-select: single-video Top-K frame selection (infer.py parity CLI).
+
+Mirrors the reference demo (infer.py:34-101): sample 512 frames at
+target_fps=2 with the infer-path rounding, score against the prompt, print
+the Top-K original frame indices sorted ascending, optionally dump them as
+JPEGs.
+
+Examples:
+  videoitg-select --model /ckpts/VideoITG-8B --video clip.mp4 \\
+      --prompt "Which scene shows the rocket launch?" --topk 32
+  videoitg-select --preset tiny --random-init --video clip.mp4 --prompt "q"
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("videoitg-select", description=__doc__)
+    p.add_argument("--model", help="HF-format VideoITG checkpoint directory")
+    p.add_argument("--preset", default="videoitg-8b", help="model preset name")
+    p.add_argument("--random-init", action="store_true",
+                   help="random weights (smoke tests; no checkpoint needed)")
+    p.add_argument("--video", required=True)
+    p.add_argument("--prompt", required=True)
+    p.add_argument("--topk", type=int, default=32)
+    p.add_argument("--num-frames", type=int, default=512)
+    p.add_argument("--target-fps", type=float, default=2.0)
+    p.add_argument("--sampling", choices=["infer", "eval"], default="infer")
+    p.add_argument("--save-frames", metavar="DIR",
+                   help="save selected frames as JPEGs to DIR")
+    p.add_argument("--json", action="store_true",
+                   help="print the full results.jsonl-style record")
+    p.add_argument("--dtype", default=None, choices=[None, "bfloat16", "float32"])
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from videoitg_tpu.config import preset
+    from videoitg_tpu.engine import SelectionEngine
+
+    on_cpu = jax.default_backend() == "cpu"
+    dtype = {None: jnp.float32 if on_cpu else jnp.bfloat16,
+             "bfloat16": jnp.bfloat16, "float32": jnp.float32}[args.dtype]
+
+    if args.model:
+        from transformers import AutoTokenizer
+
+        from videoitg_tpu.checkpoint import load_grounding_model
+
+        params, cfg = load_grounding_model(args.model, dtype=dtype)
+        tokenizer = AutoTokenizer.from_pretrained(args.model)
+    elif args.random_init:
+        from videoitg_tpu.config import preset as get_preset
+        from videoitg_tpu.models.grounding import init_grounding
+
+        cfg = get_preset(args.preset)
+        params = init_grounding(jax.random.PRNGKey(0), cfg, dtype=dtype)
+
+        class _CharTokenizer:
+            bos_token_id = None
+
+            def __call__(self, text):
+                r = type("R", (), {})()
+                r.input_ids = [ord(c) % cfg.lm.vocab_size for c in text]
+                return r
+
+        tokenizer = _CharTokenizer()
+        print("[videoitg-select] WARNING: random weights — scores are noise",
+              file=sys.stderr)
+    else:
+        print("error: pass --model DIR or --random-init", file=sys.stderr)
+        return 2
+
+    engine = SelectionEngine(
+        params, cfg, tokenizer, dtype=dtype,
+        num_frames=args.num_frames, target_fps=args.target_fps,
+    )
+    result = engine.select_from_file(args.video, args.prompt, sampling=args.sampling)
+    selected = result.topk(args.topk)
+
+    if args.json:
+        print(json.dumps(result.to_reference_json(), ensure_ascii=False))
+    else:
+        print(selected)
+
+    if args.save_frames:
+        from PIL import Image
+
+        from videoitg_tpu.data.video import VideoReader
+
+        os.makedirs(args.save_frames, exist_ok=True)
+        with VideoReader(args.video) as vr:
+            for i, frame_idx in enumerate(selected):
+                img = Image.fromarray(vr[frame_idx])
+                img.save(os.path.join(
+                    args.save_frames, f"frame_{i:03d}_idx{frame_idx}.jpg"), "JPEG")
+        print(f"saved {len(selected)} frames to {args.save_frames}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
