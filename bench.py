@@ -1,0 +1,146 @@
+"""Benchmark: frames scored per second per chip (512-frame instructed selection).
+
+Runs the full on-device scoring path — SigLIP-SO400M over 512 frames,
+seq_mlp projector (HW=5), 13k-token bidirectional Qwen2 prefill with the
+Pallas flash kernel, per-frame scoring head — on one chip and prints ONE
+JSON line {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+Model tiers (auto-selected by available HBM, overridable via --model):
+  * videoitg-8b-int8 — the flagship 8B architecture with weight-only int8
+    LM (bf16 does not fit a 16 GB v5e chip; multi-chip serving shards bf16).
+  * videoitg-2b      — bf16, fits v5e comfortably.
+
+Timing notes: inputs are generated on-device (this sandbox reaches the TPU
+through a tunnel where host->device copies and `block_until_ready` are not
+representative; a readback of the scores forces real completion).
+Baseline: BASELINE.json north star, 2000 frames/sec/chip.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+BASELINE_FRAMES_PER_SEC = 2000.0
+
+
+def run_bench(model: str, num_frames: int, iters: int, text_len: int) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from videoitg_tpu.config import GroundingConfig
+    from videoitg_tpu.models.grounding import GroundingBatch, grounding_logits, init_grounding
+    from videoitg_tpu.models.projector import inference_hw
+
+    on_cpu = jax.default_backend() == "cpu"
+    dtype = jnp.float32 if on_cpu else jnp.bfloat16
+    use_flash = not on_cpu
+
+    if model == "videoitg-8b-int8":
+        from videoitg_tpu.models.projector import init_projector
+        from videoitg_tpu.models.siglip import init_siglip
+        from videoitg_tpu.ops.quant import init_qwen2_int8
+
+        cfg = GroundingConfig.videoitg_8b()
+        k = jax.random.PRNGKey(0)
+        k1, k2, k3, k4 = jax.random.split(k, 4)
+        params = {
+            "vision": init_siglip(k1, cfg.vision, dtype=dtype),
+            "projector": init_projector(k2, cfg.projector, dtype=dtype),
+            "lm": init_qwen2_int8(k3, cfg.lm, dtype=dtype),
+            "out_proj": {
+                "w": jax.random.normal(k4, (cfg.lm.hidden_size, 1), dtype) * 0.02,
+                "b": jnp.zeros((1,), dtype),
+            },
+        }
+    else:
+        cfg = {"videoitg-2b": GroundingConfig.videoitg_2b,
+               "videoitg-8b": GroundingConfig.videoitg_8b,
+               "tiny": GroundingConfig.tiny}[model]()
+        params = init_grounding(jax.random.PRNGKey(0), cfg, dtype=dtype)
+
+    hw = inference_hw(cfg.projector, num_frames, cfg.vision.num_patches_per_side)
+    s = cfg.vision.image_size
+    seq_len = num_frames * hw * hw + text_len
+
+    # On-device synthetic input (no tunnel transfer in the timed region).
+    frames = jax.random.normal(
+        jax.random.PRNGKey(1), (1, num_frames, s, s, 3), dtype=dtype)
+    frame_valid = jnp.ones((1, num_frames), dtype=bool)
+    text_ids = jax.random.randint(
+        jax.random.PRNGKey(2), (1, text_len), 0, cfg.lm.vocab_size, dtype=jnp.int32)
+    text_valid = jnp.ones((1, text_len), dtype=bool)
+
+    @jax.jit
+    def score(params, frames, frame_valid, text_ids, text_valid):
+        batch = GroundingBatch(frames=frames, frame_valid=frame_valid,
+                               text_ids=text_ids, text_valid=text_valid)
+        return jax.nn.sigmoid(
+            grounding_logits(params, batch, cfg, hw=hw, use_flash=use_flash)
+            .astype(jnp.float32))
+
+    args = (params, frames, frame_valid, text_ids, text_valid)
+    t0 = time.time()
+    out = score(*args)
+    _ = float(out.sum())  # force completion through the tunnel
+    compile_s = time.time() - t0
+
+    times = []
+    for _i in range(iters):
+        t0 = time.time()
+        out = score(*args)
+        _ = float(out.sum())
+        times.append(time.time() - t0)
+    dt = min(times)
+    fps = num_frames / dt
+
+    return {
+        "metric": "frames scored/sec/chip",
+        "value": round(fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FRAMES_PER_SEC, 3),
+        "model": model,
+        "num_frames": num_frames,
+        "hw": hw,
+        "seq_len": seq_len,
+        "per_video_ms": round(dt * 1e3, 1),
+        "compile_s": round(compile_s, 1),
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+    }
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default=None,
+                   choices=[None, "videoitg-8b-int8", "videoitg-8b", "videoitg-2b", "tiny"])
+    p.add_argument("--num-frames", type=int, default=512)
+    p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--text-len", type=int, default=64)
+    args = p.parse_args()
+
+    import jax
+
+    model = args.model
+    if model is None:
+        if jax.default_backend() == "cpu":
+            model, args.num_frames, args.iters = "tiny", 8, 1
+        else:
+            model = "videoitg-8b-int8"
+
+    try:
+        result = run_bench(model, args.num_frames, args.iters, args.text_len)
+    except Exception as e:  # fall back to the 2B tier rather than report nothing
+        if model == "videoitg-8b-int8":
+            result = run_bench("videoitg-2b", args.num_frames, args.iters, args.text_len)
+            result["fallback_reason"] = f"8b-int8 failed: {type(e).__name__}: {e}"[:200]
+        else:
+            raise
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

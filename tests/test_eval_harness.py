@@ -1,0 +1,161 @@
+"""Eval harness end-to-end tests: two-stage pipeline on synthetic data."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from videoitg_tpu.eval.api import get_adapter, get_task, parse_model_args, shard_items
+from videoitg_tpu.eval.harness import (
+    ResultsWriter, evaluate_task, merge_and_aggregate,
+)
+
+
+@pytest.fixture(scope="module")
+def video_dir(tmp_path_factory):
+    from videoitg_tpu.data.video import write_test_video
+
+    d = tmp_path_factory.mktemp("bench_videos")
+    for i in range(4):
+        write_test_video(str(d / f"vid{i}.mp4"), 64, 48, 40 + i * 10, 10, 8)
+    return str(d)
+
+
+def _videomme_docs(video_dir):
+    return [
+        {
+            "videoID": f"vid{i}",
+            "question_id": f"q{i}",
+            "question": f"What color is frame {i}?",
+            "options": ["A. red", "B. green", "C. blue", "D. black"],
+            "answer": "A" if i % 2 == 0 else "B",
+            "duration": ["short", "medium", "long", "short"][i],
+            "domain": "TV", "sub_category": "x", "task_type": "t",
+        }
+        for i in range(4)
+    ]
+
+
+@pytest.fixture(scope="module")
+def videomme_data(video_dir, tmp_path_factory):
+    # Video-MME layout: <root>/data/<videoID>.mp4
+    root = tmp_path_factory.mktemp("videomme_root")
+    os.makedirs(root / "data", exist_ok=True)
+    for i in range(4):
+        os.symlink(os.path.join(video_dir, f"vid{i}.mp4"),
+                   root / "data" / f"vid{i}.mp4")
+    return str(root)
+
+
+def test_parse_model_args():
+    got = parse_model_args("pretrained=/x,num_frames=512,target_fps=1.5,flag=True")
+    assert got == {"pretrained": "/x", "num_frames": 512,
+                   "target_fps": 1.5, "flag": True}
+
+
+def test_shard_items_matches_reference_islice():
+    items = list(range(10))
+    assert shard_items(items, 0, 3) == [0, 3, 6, 9]
+    assert shard_items(items, 1, 3) == [1, 4, 7]
+    assert shard_items(items, 2, 3) == [2, 5, 8]
+
+
+def test_stage_a_grounding_writes_contract_rows(videomme_data, tmp_path):
+    task = get_task("videomme")
+    docs = _videomme_docs(videomme_data)
+    adapter = get_adapter("videoitg")(
+        random_init=True, preset="tiny", num_frames=8, target_fps=1,
+        data_root=videomme_data, dtype="float32",
+    )
+    out = str(tmp_path / "stage_a")
+    report = evaluate_task(adapter, task, docs, out, limit=2)
+    assert report.num_docs == 2
+
+    writer = ResultsWriter(out, 0, 1)
+    merged = writer.merge()
+    rows = [json.loads(x) for x in open(merged)]
+    assert len(rows) == 2
+    row = rows[0]
+    assert set(row) == {"index", "logits", "num_frames", "contexts",
+                        "video_path", "doc_id"}
+    assert row["num_frames"] == 1  # reference quirk
+    assert row["logits"] == sorted(row["logits"], reverse=True)
+    assert all(isinstance(i, int) for i in row["index"])
+    # 2dp rounding
+    assert all(abs(v - round(v, 2)) < 1e-9 for v in row["logits"])
+    return merged
+
+
+def test_stage_b_consumes_selections(videomme_data, tmp_path):
+    task = get_task("videomme")
+    docs = _videomme_docs(videomme_data)
+    out_a = str(tmp_path / "a")
+    adapter_a = get_adapter("videoitg")(
+        random_init=True, preset="tiny", num_frames=8, target_fps=1,
+        data_root=videomme_data, dtype="float32",
+    )
+    evaluate_task(adapter_a, task, docs, out_a)
+    merged = ResultsWriter(out_a, 0, 1).merge()
+
+    adapter_b = get_adapter("echo-answer")(
+        frame_indices_jsonl=merged, num_frame=3, data_root=videomme_data,
+        answer_letter="A",
+    )
+    out_b = str(tmp_path / "b")
+    report = evaluate_task(adapter_b, task, docs, out_b, log_samples=True)
+    assert report.num_docs == 4
+    # echo adapter answers A for everything; docs 0,2 have answer A
+    assert report.metrics["videomme_perception_score"] == 50.0
+    # consumed frames must be ascending and drawn from the selection rows
+    sel = {json.loads(x)["doc_id"]: json.loads(x)["index"] for x in open(merged)}
+    for s in report.samples:
+        got = json.loads(s["response"].split("frames=")[1].rstrip(")"))
+        assert got == sorted(got)
+        want = sorted(sel[s["doc_id"]][:3])
+        assert got == want
+
+
+def test_multirank_sharding_and_merge(videomme_data, tmp_path):
+    task = get_task("videomme")
+    docs = _videomme_docs(videomme_data)
+    out = str(tmp_path / "sharded")
+    for rank in range(2):
+        adapter = get_adapter("videoitg")(
+            random_init=True, preset="tiny", num_frames=8, target_fps=1,
+            data_root=videomme_data, dtype="float32",
+        )
+        evaluate_task(adapter, task, docs, out, rank=rank, world_size=2)
+    merged = ResultsWriter(out, 0, 2).merge()
+    rows = [json.loads(x) for x in open(merged)]
+    assert sorted(r["doc_id"] for r in rows) == [0, 1, 2, 3]
+    report = merge_and_aggregate(task, out, world_size=2)
+    assert report.num_docs == 4
+
+
+def test_stage_a_resume_skips_done(videomme_data, tmp_path):
+    task = get_task("videomme")
+    docs = _videomme_docs(videomme_data)
+    out = str(tmp_path / "resume")
+    adapter = get_adapter("videoitg")(
+        random_init=True, preset="tiny", num_frames=8, target_fps=1,
+        data_root=videomme_data, dtype="float32",
+    )
+    evaluate_task(adapter, task, docs, out, limit=2)
+    shard = os.path.join(out, "results.rank0.jsonl")
+    n_before = len(open(shard).readlines())
+    # second run over the same docs: nothing new appended for done ids
+    evaluate_task(adapter, task, docs, out, limit=2)
+    assert len(open(shard).readlines()) == n_before
+
+
+def test_downstream_uniform_fallback(video_dir):
+    from videoitg_tpu.eval.adapters.downstream import select_frame_ids
+
+    assert select_frame_ids({}, "missing", 4, 40) == [0, 13, 26, 39]
+    m = {"d": [30, 10, 20, 5]}
+    assert select_frame_ids(m, "d", 3, 40) == [10, 20, 30]
+    # reference slices first, then validates (internvl2.py:118): the first
+    # num_frames entries are taken before any range check
+    m2 = {"d": [50, 10, 999, 5]}
+    assert select_frame_ids(m2, "d", 3, 40) == [10]

@@ -187,3 +187,22 @@ def test_pool_frame_grid_identity_when_hw_ge_ori():
     np.testing.assert_array_equal(np.asarray(out), np.asarray(feats))
     out = pool_frame_grid(feats, 7)  # clamped upstream, identity here
     np.testing.assert_array_equal(np.asarray(out), np.asarray(feats))
+
+
+def test_siglip_parity_nondivisible_image():
+    """384/14 isn't integral — valid-padding conv crops; verify vs HF at a
+    small non-divisible size (40 = 2*14 + 12 leftover)."""
+    cfg = VisionConfig(
+        hidden_size=32, intermediate_size=64, num_layers=2, num_heads=4,
+        image_size=40, patch_size=14, select_layer=-2,
+    )
+    model = _hf_siglip(cfg)
+    params = convert_siglip(model.state_dict(), cfg, prefix="vision_model.")
+    rng = np.random.default_rng(9)
+    images = rng.standard_normal((2, 40, 40, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = model(
+            torch.from_numpy(images.transpose(0, 3, 1, 2)), output_hidden_states=True
+        ).hidden_states[-2].numpy()
+    got = np.asarray(siglip_features(params, jnp.asarray(images), cfg))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)

@@ -1,0 +1,97 @@
+"""videoitg-eval: benchmark evaluation CLI (lmms-eval replacement).
+
+Two-stage usage (reference scripts/eval_lmms_eval/*.sh):
+
+  # Stage A — grounding: write per-doc frame selections
+  videoitg-eval --model videoitg \\
+      --model_args pretrained=/ckpts/VideoITG-8B,num_frames=512,target_fps=1 \\
+      --tasks videomme --data_root /data/videomme --output_path ./out
+
+  # Stage B — downstream answering on selected frames
+  videoitg-eval --model hf-video-llm \\
+      --model_args pretrained=OpenGVLab/InternVL2_5-8B,frame_indices_jsonl=./out/results.jsonl,num_frame=32 \\
+      --tasks videomme --data_root /data/videomme --output_path ./out_answers
+
+--rank/--world_size shard docs across separately-launched processes/hosts
+(same round-robin as the reference); rank 0 merges and aggregates.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("videoitg-eval", description=__doc__)
+    p.add_argument("--model", required=True, help="adapter name (videoitg, hf-video-llm, echo-answer)")
+    p.add_argument("--model_args", default="", help="comma k=v ctor args")
+    p.add_argument("--tasks", required=True, help="comma-separated task names")
+    p.add_argument("--data_root", default="", help="local benchmark data dir")
+    p.add_argument("--split", default=None)
+    p.add_argument("--docs_json", default=None,
+                   help="explicit docs file (bypasses task loader)")
+    p.add_argument("--output_path", default="./eval_out")
+    p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--rank", type=int, default=0)
+    p.add_argument("--world_size", type=int, default=1)
+    p.add_argument("--log_samples", action="store_true")
+    p.add_argument("--cpu", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from videoitg_tpu.eval.api import get_adapter, get_task, parse_model_args
+    from videoitg_tpu.eval.harness import (
+        evaluate_task, make_table, merge_and_aggregate, save_report,
+    )
+
+    model_kwargs = parse_model_args(args.model_args)
+    model_kwargs.setdefault("data_root", args.data_root)
+    adapter = get_adapter(args.model)(**model_kwargs)
+
+    reports = []
+    for task_name in args.tasks.split(","):
+        task = get_task(task_name.strip())
+        if args.docs_json:
+            with open(args.docs_json) as f:
+                docs = json.load(f)
+        else:
+            if task.load_docs is None:
+                print(f"error: task {task_name} has no loader; pass --docs_json",
+                      file=sys.stderr)
+                return 2
+            docs = (task.load_docs(args.data_root, args.split)
+                    if args.split else task.load_docs(args.data_root))
+
+        out_dir = os.path.join(args.output_path, task.name)
+        report = evaluate_task(
+            adapter, task, docs, out_dir,
+            rank=args.rank, world_size=args.world_size,
+            limit=args.limit, log_samples=args.log_samples,
+        )
+        if args.rank == 0:
+            if args.world_size > 1:
+                report = merge_and_aggregate(task, out_dir, args.world_size)
+            from videoitg_tpu.eval.harness import ResultsWriter
+
+            ResultsWriter(out_dir, args.rank, args.world_size).merge()
+            save_report(report, out_dir)
+        reports.append(report)
+
+    if args.rank == 0:
+        print(make_table(reports))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -155,6 +155,49 @@ class GroundingConfig:
         return cls()
 
     @classmethod
+    def videoitg_2b(cls) -> "GroundingConfig":
+        """Same architecture with a Qwen2-1.5B-shaped LM (+ full SigLIP).
+
+        ~2B params: fits a single v5e chip in bf16 — the single-chip entry
+        point and a practical low-latency serving tier; the 8B flagship runs
+        sharded (tp) or int8 (ops/quant.py) on one chip.
+        """
+        return cls(
+            lm=LMConfig(
+                vocab_size=151_936,
+                hidden_size=1536,
+                intermediate_size=8960,
+                num_layers=28,
+                num_heads=12,
+                num_kv_heads=2,
+                head_dim=128,
+                tie_word_embeddings=True,
+                causal=False,
+            ),
+            projector=ProjectorConfig(input_dim=1152, output_dim=1536),
+        )
+
+    @classmethod
+    def dryrun(cls) -> "GroundingConfig":
+        """Structure-preserving miniature for multi-chip dryruns: every
+        sharded axis divisible by tp=4, trivial FLOPs, full real pipeline."""
+        return cls(
+            vision=VisionConfig(
+                hidden_size=256, intermediate_size=512, num_layers=3,
+                num_heads=8, image_size=56, patch_size=14, select_layer=-2,
+            ),
+            projector=ProjectorConfig(
+                input_dim=256, output_dim=512, vision_token_num=64, vision_min_num=1
+            ),
+            lm=LMConfig(
+                vocab_size=2048, hidden_size=512, intermediate_size=1024,
+                num_layers=4, num_heads=8, num_kv_heads=4, head_dim=64,
+                causal=False,
+            ),
+            max_text_len=16,
+        )
+
+    @classmethod
     def tiny(cls, vocab_size: int = 512) -> "GroundingConfig":
         """A CPU-testable miniature with the same structure.
 
@@ -192,6 +235,8 @@ def preset(name: str) -> GroundingConfig:
     """Look up a named model preset."""
     presets = {
         "videoitg-8b": GroundingConfig.videoitg_8b,
+        "videoitg-2b": GroundingConfig.videoitg_2b,
+        "dryrun": GroundingConfig.dryrun,
         "tiny": GroundingConfig.tiny,
     }
     if name not in presets:

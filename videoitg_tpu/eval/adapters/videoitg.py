@@ -1,0 +1,121 @@
+"""Grounding-stage adapter: score frames, emit results.jsonl rows.
+
+Parity: lmms_eval/models/videoitg.py — the harness "response" for this
+stage is incidental; the useful output is the per-doc selection row
+{doc_id, video_path, contexts, index (score-desc), logits (2dp),
+num_frames} consumed by downstream wrappers. Sampling uses the eval-path
+rounding (videoitg.py:82-93), 512 frames @ target_fps=1 by default.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from typing import List, Optional
+
+from videoitg_tpu.eval.api import ModelAdapter, Task, register_adapter
+
+
+@register_adapter("videoitg")
+class VideoITGAdapter(ModelAdapter):
+    def __init__(
+        self,
+        pretrained: Optional[str] = None,
+        preset: str = "videoitg-8b",
+        random_init: bool = False,
+        num_frames: int = 512,
+        target_fps: float = 1.0,
+        multiple: int = 1,
+        data_root: str = "",
+        dtype: Optional[str] = None,
+        quantize_int8: bool = False,
+        dp: Optional[int] = None,
+        tp: Optional[int] = None,
+        **_ignored,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        from videoitg_tpu.config import preset as get_preset
+        from videoitg_tpu.engine import SelectionEngine
+
+        on_cpu = jax.default_backend() == "cpu"
+        jdtype = {None: jnp.float32 if on_cpu else jnp.bfloat16,
+                  "bfloat16": jnp.bfloat16, "float32": jnp.float32}[dtype]
+
+        if pretrained:
+            from transformers import AutoTokenizer
+
+            from videoitg_tpu.checkpoint import load_grounding_model
+
+            params, cfg = load_grounding_model(pretrained, dtype=jdtype)
+            tokenizer = AutoTokenizer.from_pretrained(pretrained)
+        elif random_init:
+            from videoitg_tpu.models.grounding import init_grounding
+
+            cfg = get_preset(preset)
+            params = init_grounding(jax.random.PRNGKey(0), cfg, dtype=jdtype)
+
+            class _CharTokenizer:
+                bos_token_id = None
+
+                def __call__(self, text):
+                    r = type("R", (), {})()
+                    r.input_ids = [ord(c) % cfg.lm.vocab_size for c in text]
+                    return r
+
+            tokenizer = _CharTokenizer()
+            print("[videoitg adapter] WARNING: random weights", file=sys.stderr)
+        else:
+            raise ValueError("pass pretrained=DIR or random_init=True")
+
+        if quantize_int8:
+            from videoitg_tpu.ops.quant import quantize_grounding_int8
+
+            params = quantize_grounding_int8(params)
+
+        mesh = None
+        if dp is not None or tp is not None:
+            from videoitg_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(dp=dp, tp=tp)
+
+        self.engine = SelectionEngine(
+            params, cfg, tokenizer, mesh=mesh, num_frames=num_frames,
+            target_fps=target_fps, dtype=jdtype,
+        )
+        self.num_frames = num_frames
+        self.target_fps = target_fps
+        self.multiple = multiple
+        self.data_root = data_root
+
+    def generate_until(self, items: List[tuple], task: Task, writer=None) -> List[str]:
+        from videoitg_tpu.data.video import read_video_frames
+
+        responses = []
+        for doc_id, doc in items:
+            if writer is not None and writer.is_done(doc_id):
+                responses.append("")  # resumed
+                continue
+            video_path = _call_with_root(task.doc_to_visual, doc, self.data_root)
+            contexts = _call_with_root(task.doc_to_text, doc, self.data_root)
+            frames, sampled = read_video_frames(
+                video_path, num_frames=self.num_frames,
+                target_fps=self.target_fps, sampling="eval",
+                multiple=self.multiple,
+            )
+            result = self.engine.select(
+                frames, sampled, contexts, video_path=video_path, doc_id=doc_id,
+            )
+            if writer is not None:
+                writer.write(result.to_reference_json())
+            responses.append(json.dumps({"index": result.index[:8]}))
+        return responses
+
+
+def _call_with_root(fn, doc, data_root):
+    """Task doc functions optionally accept data_root."""
+    try:
+        return fn(doc, data_root=data_root)
+    except TypeError:
+        return fn(doc)

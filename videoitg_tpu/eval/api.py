@@ -1,0 +1,113 @@
+"""Lean evaluation API.
+
+A deliberate reimplementation of the slice of lmms-eval that VideoITG's
+pipeline actually uses (reference lmms_eval/: 69.6k LoC; the VideoITG path
+touches task configs with doc_to_visual/doc_to_text/process_results/
+aggregation, per-rank doc sharding, and generate_until model adapters —
+see SURVEY §2.4-2.6). One registry, plain dataclasses, no YAML
+indirection: tasks are Python modules registering a Task object.
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+TASK_REGISTRY: Dict[str, "Task"] = {}
+ADAPTER_REGISTRY: Dict[str, Callable[..., "ModelAdapter"]] = {}
+
+
+@dataclass
+class Task:
+    """One benchmark task.
+
+    load_docs(data_root, split) -> list of raw doc dicts (HF datasets or a
+    local directory); doc_to_visual -> video path; doc_to_text -> question
+    prompt; process_results(doc, response) -> per-sample record;
+    aggregate(records) -> {metric_name: value}.
+    """
+
+    name: str
+    doc_to_visual: Callable[[dict], str]
+    doc_to_text: Callable[[dict], str]
+    process_results: Callable[[dict, str], dict]
+    aggregate: Callable[[List[dict]], Dict[str, float]]
+    load_docs: Optional[Callable[..., List[dict]]] = None
+    doc_id_key: Optional[str] = None  # None -> positional ids
+    generation_kwargs: Dict[str, Any] = field(default_factory=dict)
+
+    def docs_with_ids(self, docs: Sequence[dict]) -> List[tuple]:
+        return [
+            (doc[self.doc_id_key] if self.doc_id_key else i, doc)
+            for i, doc in enumerate(docs)
+        ]
+
+
+def register_task(task: Task) -> Task:
+    TASK_REGISTRY[task.name] = task
+    return task
+
+
+def get_task(name: str) -> Task:
+    import videoitg_tpu.eval.tasks  # noqa: F401  (populates the registry)
+
+    if name not in TASK_REGISTRY:
+        raise KeyError(f"unknown task {name!r}; have {sorted(TASK_REGISTRY)}")
+    return TASK_REGISTRY[name]
+
+
+def register_adapter(name: str):
+    def deco(cls):
+        ADAPTER_REGISTRY[name] = cls
+        return cls
+
+    return deco
+
+
+def get_adapter(name: str):
+    import videoitg_tpu.eval.adapters  # noqa: F401
+
+    if name not in ADAPTER_REGISTRY:
+        raise KeyError(f"unknown model adapter {name!r}; have {sorted(ADAPTER_REGISTRY)}")
+    return ADAPTER_REGISTRY[name]
+
+
+class ModelAdapter:
+    """Harness <-> model interface (reference lmms_eval/api/model.py ABC).
+
+    generate_until consumes (doc_id, doc, task) work items and returns one
+    response string per item; grounding adapters may additionally write
+    selection rows through the provided ResultsWriter.
+    """
+
+    def generate_until(self, items: List[tuple], task: Task, writer=None) -> List[str]:
+        raise NotImplementedError
+
+
+def shard_items(items: Sequence, rank: int, world_size: int) -> List:
+    """Round-robin doc sharding, identical to the reference's
+    utils.create_iterator islice semantics (api/task.py:434)."""
+    return list(itertools.islice(items, rank, None, world_size))
+
+
+def parse_model_args(s: Optional[str]) -> Dict[str, Any]:
+    """Parse 'k=v,k2=v2' --model_args strings (reference utils.py:117)."""
+    out: Dict[str, Any] = {}
+    if not s:
+        return out
+    for part in s.split(","):
+        if not part:
+            continue
+        k, _, v = part.partition("=")
+        if v.lower() in ("true", "false"):
+            out[k] = v.lower() == "true"
+        else:
+            try:
+                out[k] = int(v)
+            except ValueError:
+                try:
+                    out[k] = float(v)
+                except ValueError:
+                    out[k] = v
+    return out

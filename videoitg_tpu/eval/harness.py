@@ -1,0 +1,151 @@
+"""Evaluation runner: doc sharding, two-stage orchestration, results IO.
+
+Replaces the reference's evaluator.py/evaluator_utils.py core loop for the
+VideoITG pipeline. Differences by design:
+
+* results.jsonl writing: the reference has every rank append to one shared
+  file (videoitg.py:317-319 — a documented race, SURVEY §5.2). Here each
+  shard writes results.rank{r}.jsonl and a deterministic merge keyed by
+  doc_id produces results.jsonl.
+* doc sharding uses the same islice(rank, None, world) round-robin, so a
+  given (rank, world_size) processes exactly the reference's docs.
+* resumability: existing per-rank shard files are consulted and completed
+  doc_ids skipped (the reference reprocesses everything).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+from videoitg_tpu.eval.api import ModelAdapter, Task, shard_items
+
+
+class ResultsWriter:
+    """Per-rank selection rows + deterministic merge (grounding stage A)."""
+
+    def __init__(self, output_dir: str, rank: int = 0, world_size: int = 1):
+        self.output_dir = output_dir
+        self.rank = rank
+        self.world_size = world_size
+        os.makedirs(output_dir, exist_ok=True)
+        self.shard_path = os.path.join(output_dir, f"results.rank{rank}.jsonl")
+        self._done_ids = set()
+        if os.path.exists(self.shard_path):
+            with open(self.shard_path) as f:
+                for line in f:
+                    try:
+                        self._done_ids.add(json.loads(line)["doc_id"])
+                    except Exception:
+                        pass
+
+    def is_done(self, doc_id) -> bool:
+        return doc_id in self._done_ids
+
+    def write(self, row: dict) -> None:
+        with open(self.shard_path, "a", encoding="utf-8") as f:
+            f.write(json.dumps(row, ensure_ascii=False) + "\n")
+        self._done_ids.add(row["doc_id"])
+
+    def merge(self) -> str:
+        """Merge all rank shards into results.jsonl, ordered by doc_id."""
+        rows: Dict[object, dict] = {}
+        for r in range(self.world_size):
+            p = os.path.join(self.output_dir, f"results.rank{r}.jsonl")
+            if not os.path.exists(p):
+                continue
+            with open(p) as f:
+                for line in f:
+                    if line.strip():
+                        row = json.loads(line)
+                        rows[row["doc_id"]] = row
+        merged = os.path.join(self.output_dir, "results.jsonl")
+        with open(merged, "w", encoding="utf-8") as f:
+            for k in sorted(rows, key=lambda x: (str(type(x)), x)):
+                f.write(json.dumps(rows[k], ensure_ascii=False) + "\n")
+        return merged
+
+
+@dataclass
+class EvalReport:
+    task: str
+    metrics: Dict[str, float]
+    num_docs: int
+    samples: List[dict] = field(default_factory=list)
+
+    def to_json(self) -> dict:
+        return {"task": self.task, "metrics": self.metrics, "num_docs": self.num_docs}
+
+
+def evaluate_task(
+    adapter: ModelAdapter,
+    task: Task,
+    docs: Sequence[dict],
+    output_dir: str,
+    rank: int = 0,
+    world_size: int = 1,
+    limit: Optional[int] = None,
+    log_samples: bool = False,
+) -> EvalReport:
+    """Run one task: shard docs, generate, score, aggregate.
+
+    With world_size > 1 each process scores its shard and writes per-rank
+    artifacts; metric aggregation runs on the merged records (rank 0 merges
+    after all ranks finish — on a multihost pod call merge via
+    `merge_and_aggregate` once shards are complete).
+    """
+    items = task.docs_with_ids(docs)
+    if limit is not None:
+        items = items[:limit]
+    my_items = shard_items(items, rank, world_size)
+
+    writer = ResultsWriter(output_dir, rank, world_size)
+    responses = adapter.generate_until(my_items, task, writer=writer)
+
+    records = []
+    sample_log = []
+    for (doc_id, doc), resp in zip(my_items, responses):
+        rec = task.process_results(doc, resp)
+        records.append(rec)
+        if log_samples:
+            sample_log.append({"doc_id": doc_id, "response": resp, **rec})
+
+    # Persist per-rank records so rank-0 (or a later process) can aggregate.
+    rec_path = os.path.join(output_dir, f"records.rank{rank}.{task.name}.jsonl")
+    with open(rec_path, "w", encoding="utf-8") as f:
+        for rec in records:
+            f.write(json.dumps(rec, ensure_ascii=False) + "\n")
+
+    metrics = task.aggregate(records) if records else {}
+    return EvalReport(task=task.name, metrics=metrics, num_docs=len(records),
+                      samples=sample_log)
+
+
+def merge_and_aggregate(task: Task, output_dir: str, world_size: int) -> EvalReport:
+    """Aggregate the union of all ranks' records (rank-0 step)."""
+    records: List[dict] = []
+    for r in range(world_size):
+        p = os.path.join(output_dir, f"records.rank{r}.{task.name}.jsonl")
+        if os.path.exists(p):
+            with open(p) as f:
+                records.extend(json.loads(x) for x in f if x.strip())
+    return EvalReport(task=task.name, metrics=task.aggregate(records),
+                      num_docs=len(records))
+
+
+def save_report(report: EvalReport, output_dir: str) -> str:
+    path = os.path.join(output_dir, f"report.{report.task}.json")
+    with open(path, "w") as f:
+        json.dump(report.to_json(), f, indent=2)
+    return path
+
+
+def make_table(reports: Sequence[EvalReport]) -> str:
+    lines = [f"{'task':<24} {'metric':<32} {'value':>10}",
+             "-" * 68]
+    for rep in reports:
+        for name, value in rep.metrics.items():
+            lines.append(f"{rep.task:<24} {name:<32} {value:>10.4f}")
+    return "\n".join(lines)

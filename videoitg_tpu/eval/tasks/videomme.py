@@ -1,0 +1,87 @@
+"""Video-MME task (parity: lmms_eval/tasks/videomme/).
+
+Docs carry videoID / question / options / answer / duration / domain /
+sub_category / task_type. The headline metric is overall accuracy; the
+aggregator also reports per-duration rollups (short/medium/long), matching
+the reference's printed breakdown (utils.py:283-350).
+"""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+from typing import Dict, List
+
+from videoitg_tpu.eval.api import Task, register_task
+from videoitg_tpu.eval.extraction import extract_choice_letter
+
+VIDEO_TYPE = ["short", "medium", "long"]
+
+
+def doc_to_visual(doc, data_root: str = ""):
+    base = os.path.join(data_root, "data") if data_root else "data"
+    video_path = os.path.join(base, doc["videoID"] + ".mp4")
+    for cand in (video_path, video_path.replace("mp4", "MP4"),
+                 video_path.replace("mp4", "mkv")):
+        if os.path.exists(cand):
+            return cand
+    raise FileNotFoundError(video_path)
+
+
+def doc_to_text(doc, post_prompt: str = "Please respond with only the letter of the correct answer.") -> str:
+    option_prompt = (
+        "Select the best answer to the following multiple-choice question "
+        "based on the video and the subtitles. Respond with only the letter "
+        "(A, B, C, or D) of the correct option."
+    )
+    question = doc["question"] + "\n" + "\n".join(doc["options"])
+    return option_prompt + "\n" + question + "\n" + post_prompt
+
+
+def process_results(doc, response: str) -> dict:
+    return {
+        "question_id": doc.get("question_id"),
+        "duration": doc["duration"],
+        "category": doc.get("domain"),
+        "sub_category": doc.get("sub_category"),
+        "task_category": doc.get("task_type"),
+        "pred_answer": extract_choice_letter(response),
+        "answer": doc["answer"],
+    }
+
+
+def aggregate(records: List[dict]) -> Dict[str, float]:
+    by_duration = defaultdict(lambda: [0, 0])
+    correct = answered = 0
+    for r in records:
+        ok = int(r["pred_answer"] == r["answer"])
+        correct += ok
+        answered += 1
+        by_duration[r["duration"]][0] += ok
+        by_duration[r["duration"]][1] += 1
+    out = {
+        "videomme_perception_score": 100.0 * correct / answered if answered else 0.0
+    }
+    for d in VIDEO_TYPE:
+        c, a = by_duration.get(d, (0, 0))
+        out[f"videomme_{d}"] = 100.0 * c / a if a else 0.0
+    return out
+
+
+def load_docs(data_root: str, split: str = "test") -> List[dict]:
+    """Local-first (parquet/json under data_root), else the HF hub id."""
+    from videoitg_tpu.eval.loaders import load_benchmark_docs
+
+    return load_benchmark_docs("lmms-lab/Video-MME", data_root, split)
+
+
+register_task(Task(
+    name="videomme",
+    doc_to_visual=doc_to_visual,
+    doc_to_text=doc_to_text,
+    process_results=process_results,
+    aggregate=aggregate,
+    load_docs=load_docs,
+    doc_id_key=None,
+    generation_kwargs={"max_new_tokens": 16, "temperature": 0, "do_sample": False},
+))

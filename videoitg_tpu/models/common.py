@@ -16,6 +16,10 @@ import jax.numpy as jnp
 
 
 def linear(params, x: jax.Array) -> jax.Array:
+    if "w_q" in params:  # weight-only int8 serving path (ops/quant.py)
+        from videoitg_tpu.ops.quant import quantized_linear
+
+        return quantized_linear(params, x)
     y = x @ params["w"]
     if "b" in params:
         y = y + params["b"]

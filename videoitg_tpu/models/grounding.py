@@ -78,8 +78,14 @@ def grounding_logits(
     hw: int,
     use_flash: bool = False,
     remat: bool = False,
+    freeze_vision: bool = False,
 ) -> jax.Array:
-    """Per-frame relevance logits [B, T] (invalid frames -> -inf)."""
+    """Per-frame relevance logits [B, T] (invalid frames -> -inf).
+
+    freeze_vision stops gradients at the tower output — the reference always
+    trains with a frozen SigLIP (clip_encoder.py:119 requires_grad_(False)),
+    which also skips the tower's entire backward pass.
+    """
     b, t = batch.frame_valid.shape
     l_txt = batch.text_ids.shape[1]
     n_img = t * hw * hw
@@ -89,6 +95,8 @@ def grounding_logits(
     feats = siglip_mod.siglip_features(
         params["vision"], frames_flat, cfg.vision, use_flash=use_flash, remat=remat
     )  # [B*T, P, C]
+    if freeze_vision:
+        feats = jax.lax.stop_gradient(feats)
     img_tokens = project_frames(params["projector"], feats, hw)  # [B*T, hw^2, D]
     img_tokens = img_tokens.reshape(b, n_img, -1)
 
@@ -128,6 +136,7 @@ def grounding_loss(
     hw: int,
     use_flash: bool = False,
     remat: bool = True,
+    freeze_vision: bool = True,
 ) -> tuple[jax.Array, dict]:
     """Masked BCE-with-logits, pos_weight = min(cap, sqrt(neg/max(1,pos))).
 
@@ -136,7 +145,10 @@ def grounding_loss(
     frames. Returns (loss, metrics).
     """
     assert batch.labels is not None
-    logits = grounding_logits(params, batch, cfg, hw, use_flash=use_flash, remat=remat)
+    logits = grounding_logits(
+        params, batch, cfg, hw, use_flash=use_flash, remat=remat,
+        freeze_vision=freeze_vision,
+    )
     mask = batch.frame_valid.astype(jnp.float32)
     labels = batch.labels.astype(jnp.float32) * mask
     logits = jnp.where(batch.frame_valid, logits, 0.0).astype(jnp.float32)

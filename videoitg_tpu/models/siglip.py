@@ -61,14 +61,18 @@ def init_siglip(key, cfg: VisionConfig, dtype=jnp.float32) -> dict:
 
 
 def _patchify(images: jax.Array, patch: int) -> jax.Array:
-    """NHWC [T, H, W, C] -> [T, (H/p)*(W/p), p*p*C].
+    """NHWC [T, H, W, C] -> [T, (H//p)*(W//p), p*p*C].
 
-    Patch vector ordering is (kh, kw, c) — the weight converter reshapes the
-    torch conv kernel [O, C, kh, kw] to match (checkpoint.py).
+    A stride-p valid-padding conv (HF's patch embedding) visits only the
+    first (H//p)*p rows/cols — at 384/14 the last 6 pixels are dropped, and
+    we crop identically. Patch vector ordering is (kh, kw, c) — the weight
+    converter reshapes the torch conv kernel [O, C, kh, kw] to match
+    (checkpoint.py).
     """
     t, h, w, c = images.shape
     gh, gw = h // patch, w // patch
-    x = images.reshape(t, gh, patch, gw, patch, c)
+    x = images[:, : gh * patch, : gw * patch, :]
+    x = x.reshape(t, gh, patch, gw, patch, c)
     x = x.transpose(0, 1, 3, 2, 4, 5)  # [T, gh, gw, kh, kw, C]
     return x.reshape(t, gh * gw, patch * patch * c)
 

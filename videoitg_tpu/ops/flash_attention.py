@@ -64,7 +64,7 @@ def _flash_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * sm_scale  # [BQ, BK] fp32
-        s = s + kbias_ref[0]  # -1e30 on invalid keys, 0 on valid
+        s = s + kbias_ref[0, 0]  # -1e30 on invalid keys, 0 on valid
         if causal:
             qpos = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
             kpos = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -94,7 +94,7 @@ def _flash_kernel(
     def _finalize():
         l = l_ref[:, 0][:, None]
         out = acc_ref[:] / jnp.where(l == 0.0, 1.0, l)
-        out = out * qvalid_ref[0][:, None]
+        out = out * qvalid_ref[0, 0][:, None]
         o_ref[0, 0] = out.astype(o_ref.dtype)
 
 
@@ -146,8 +146,10 @@ def flash_mha(
     kp = _pad_to(_pad_to(k, s_pad, axis=2), d_pad, axis=3)
     vp = _pad_to(_pad_to(v, s_pad, axis=2), d_pad, axis=3)
     validp = _pad_to(valid, s_pad, axis=1)
-    kbias = jnp.where(validp, 0.0, _NEG_BIG).astype(jnp.float32)  # [B, S]
-    qvalid = validp.astype(jnp.float32)
+    # Shaped [B, 1, S] so the (1, block) VMEM blocks satisfy Mosaic's
+    # trailing-two-dims tiling rule for any B.
+    kbias = jnp.where(validp, 0.0, _NEG_BIG).astype(jnp.float32)[:, None, :]
+    qvalid = validp.astype(jnp.float32)[:, None, :]
 
     nq = s_pad // block_q
     nk = s_pad // block_k
@@ -177,11 +179,11 @@ def flash_mha(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, block_k), lambda b_, h, iq, ik: (b_, ik),
+                (1, 1, block_k), lambda b_, h, iq, ik: (b_, 0, ik),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, block_q), lambda b_, h, iq, ik: (b_, iq),
+                (1, 1, block_q), lambda b_, h, iq, ik: (b_, 0, iq),
                 memory_space=pltpu.VMEM,
             ),
         ],

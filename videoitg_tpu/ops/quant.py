@@ -1,0 +1,110 @@
+"""Weight-only int8 quantization for serving.
+
+The 8B selector in bf16 (~16.2 GB) does not fit a single v5e chip (16 GB
+HBM); per-output-channel symmetric int8 on the LM linears brings it to
+~10.5 GB with bf16 activations and fp32 accumulation. Because quantization
+is symmetric (zero-point 0), dequant commutes with the matmul:
+x @ (w_q * s) == (x @ w_q) * s — XLA keeps int8 weights in HBM, converts
+in the GEMM producer, and applies the scale to the [*, out] result.
+
+This is a serving OPTION (bench/single-chip deployments); parity-critical
+paths keep bf16. The reference's analogous knob is bitsandbytes 8/4-bit
+loading (its builder.py:48-57).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_linear_int8(lin: dict) -> dict:
+    """{'w': [in,out], 'b'?} -> {'w_q': int8, 'scale': fp32 [out], 'b'?}."""
+    w = lin["w"].astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w), axis=0)  # per output channel
+    scale = jnp.where(amax == 0, 1.0, amax / 127.0)
+    w_q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    out = {"w_q": w_q, "scale": scale.astype(jnp.float32)}
+    if "b" in lin:
+        out["b"] = lin["b"]
+    return out
+
+
+def is_quantized(lin: dict) -> bool:
+    return isinstance(lin, dict) and "w_q" in lin
+
+
+def quantized_linear(lin: dict, x: jax.Array) -> jax.Array:
+    """x @ dequant(w) with the scale applied post-GEMM."""
+    y = jnp.einsum(
+        "...i,io->...o", x, lin["w_q"].astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    y = (y * lin["scale"]).astype(x.dtype)
+    if "b" in lin:
+        y = y + lin["b"]
+    return y
+
+
+_QWEN2_LINEAR_KEYS = ("q", "k", "v", "o", "gate", "up", "down")
+
+
+def quantize_qwen2_int8(lm_params: dict) -> dict:
+    """Quantize all decoder-layer linears of a qwen2 param tree (embeddings,
+    norms, and any lm_head stay bf16 — they are small or precision-critical)."""
+    out = dict(lm_params)
+    layers = dict(lm_params["layers"])
+    for key in _QWEN2_LINEAR_KEYS:
+        layers[key] = quantize_linear_int8(layers[key])
+    out["layers"] = layers
+    return out
+
+
+def init_qwen2_int8(key, cfg, dtype=jnp.bfloat16) -> dict:
+    """Random-init a qwen2 tree directly in int8 serving form.
+
+    For benchmarking the 8B architecture on one chip without ever
+    materializing bf16 weights (which would not fit HBM alongside the int8
+    copy during quantization).
+    """
+    from videoitg_tpu.models.qwen2 import init_qwen2
+
+    def to_q(shape_like_lin, k):
+        kw, _ = jax.random.split(k)
+        w_q = jax.random.randint(kw, shape_like_lin, -127, 128, dtype=jnp.int8)
+        scale = jnp.full((shape_like_lin[-1],), 0.01, dtype=jnp.float32)
+        return {"w_q": w_q, "scale": scale}
+
+    h = cfg.hidden_size
+    shapes = {
+        "q": (h, cfg.q_dim), "k": (h, cfg.kv_dim), "v": (h, cfg.kv_dim),
+        "o": (cfg.q_dim, h), "gate": (h, cfg.intermediate_size),
+        "up": (h, cfg.intermediate_size), "down": (cfg.intermediate_size, h),
+    }
+    biased = {"q", "k", "v"}
+    keys = jax.random.split(key, len(shapes) + 2)
+    layers = {}
+    for i, (name, shape) in enumerate(shapes.items()):
+        lin = to_q((cfg.num_layers,) + shape, keys[i])
+        if name in biased:
+            lin["b"] = jnp.zeros((cfg.num_layers, shape[-1]), dtype=dtype)
+        layers[name] = lin
+    layers["input_norm"] = {"scale": jnp.ones((cfg.num_layers, h), dtype)}
+    layers["post_attn_norm"] = {"scale": jnp.ones((cfg.num_layers, h), dtype)}
+    return {
+        "embed": {"w": (jax.random.normal(keys[-2], (cfg.vocab_size, h), jnp.bfloat16)
+                        * 0.02).astype(dtype)},
+        "layers": layers,
+        "final_norm": {"scale": jnp.ones((h,), dtype)},
+    }
+
+
+def quantize_grounding_int8(params: dict) -> dict:
+    """Serving quantization for the full grounding model: LM linears int8;
+    vision tower, projector, and scoring head stay bf16 (they are ~6% of
+    bytes and the head feeds the score ordering directly)."""
+    out = dict(params)
+    out["lm"] = quantize_qwen2_int8(params["lm"])
+    return out

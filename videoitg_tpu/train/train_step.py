@@ -1,0 +1,77 @@
+"""Sharded grounding train step.
+
+The TPU-native replacement for HF Trainer + DeepSpeed ZeRO (reference
+train_itg.py:1383-1391 + scripts/zero*.json): parameters, gradients, and
+optimizer state live sharded on the mesh (GSPMD); the backward pass
+rematerializes decoder layers (jax.checkpoint, reference used
+--gradient_checkpointing); vision stays frozen so its backward never runs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from videoitg_tpu.config import GroundingConfig
+from videoitg_tpu.models.grounding import GroundingBatch, grounding_loss
+from videoitg_tpu.parallel import context as par_context
+
+
+class TrainState(NamedTuple):
+    step: jax.Array
+    params: dict
+    opt_state: optax.OptState
+
+
+def create_train_state(params, tx: optax.GradientTransformation) -> TrainState:
+    """Init optimizer state under jit so it inherits the params' shardings."""
+    opt_state = jax.jit(tx.init)(params)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=opt_state)
+
+
+def make_train_step(
+    cfg: GroundingConfig,
+    tx: optax.GradientTransformation,
+    hw: int,
+    use_flash: bool = False,
+    remat: bool = True,
+    param_dtype=jnp.float32,
+):
+    """Returns jitted (state, batch) -> (state, metrics).
+
+    One compiled program per (hw, batch-shape) — the training-time random HW
+    draw (reference mlp_proj.py:52) is a host-side choice between a handful
+    of compiled programs.
+    """
+
+    def loss_fn(params, batch):
+        loss, metrics = grounding_loss(
+            params, batch, cfg, hw=hw, use_flash=use_flash, remat=remat,
+            freeze_vision=True,
+        )
+        return loss, metrics
+
+    @jax.jit
+    def step_fn(state: TrainState, batch: GroundingBatch):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(state.step + 1, params, opt_state), metrics
+
+    return step_fn
+
+
+def run_step(step_fn, state, batch, mesh=None):
+    """Execute one step, with the flash kernel shard-mapped when on a mesh."""
+    if mesh is not None:
+        with par_context.attention_mesh(mesh):
+            return step_fn(state, batch)
+    return step_fn(state, batch)
