@@ -73,12 +73,17 @@ def run_bench(model: str, num_frames: int, iters: int, text_len: int) -> dict:
         jax.random.PRNGKey(2), (1, text_len), 0, cfg.lm.vocab_size, dtype=jnp.int32)
     text_valid = jnp.ones((1, text_len), dtype=bool)
 
+    # Chunk the vision tower so 512-frame activations fit beside the int8 8B
+    # weights on one 16 GB chip (reference chunks at 384 for its GPUs).
+    vision_chunk = 128 if num_frames > 128 else 0
+
     @jax.jit
     def score(params, frames, frame_valid, text_ids, text_valid):
         batch = GroundingBatch(frames=frames, frame_valid=frame_valid,
                                text_ids=text_ids, text_valid=text_valid)
         return jax.nn.sigmoid(
-            grounding_logits(params, batch, cfg, hw=hw, use_flash=use_flash)
+            grounding_logits(params, batch, cfg, hw=hw, use_flash=use_flash,
+                             vision_chunk=vision_chunk)
             .astype(jnp.float32))
 
     args = (params, frames, frame_valid, text_ids, text_valid)

@@ -106,7 +106,9 @@ class SelectionEngine:
 
         self._score_fns: Dict[Tuple[int, int, int], object] = {}
         self._pre_fns: Dict[Tuple[int, int, int], object] = {}
-        self.timings: Dict[str, float] = {}
+        from videoitg_tpu.utils.profiling import StageTimer
+
+        self.timer = StageTimer()
 
     # ---- compiled stages ----
 
@@ -164,19 +166,18 @@ class SelectionEngine:
         hw = hws.pop()
 
         b = len(videos)
-        t0 = time.perf_counter()
-        pix = jnp.stack([self._preprocess(v, t_bucket) for v in videos])
-        frame_valid = np.zeros((b, t_bucket), dtype=bool)
-        for i, t in enumerate(t_reals):
-            frame_valid[i, :t] = True
+        with self.timer.stage("preprocess"):
+            pix = jnp.stack([self._preprocess(v, t_bucket) for v in videos])
+            frame_valid = np.zeros((b, t_bucket), dtype=bool)
+            for i, t in enumerate(t_reals):
+                frame_valid[i, :t] = True
 
-        ids = np.zeros((b, self.cfg.max_text_len), dtype=np.int32)
-        text_valid = np.zeros((b, self.cfg.max_text_len), dtype=bool)
-        for i, instr in enumerate(instructions):
-            tok = grounding_text_ids(instr, self.tokenizer, self.cfg.max_text_len)
-            ids[i, : len(tok)] = tok
-            text_valid[i, : len(tok)] = True
-        self.timings["preprocess"] = time.perf_counter() - t0
+            ids = np.zeros((b, self.cfg.max_text_len), dtype=np.int32)
+            text_valid = np.zeros((b, self.cfg.max_text_len), dtype=bool)
+            for i, instr in enumerate(instructions):
+                tok = grounding_text_ids(instr, self.tokenizer, self.cfg.max_text_len)
+                ids[i, : len(tok)] = tok
+                text_valid[i, : len(tok)] = True
 
         fn = self._scoring_fn(t_bucket, hw, b)
         inputs = (pix, jnp.asarray(frame_valid), jnp.asarray(ids), jnp.asarray(text_valid))
@@ -184,15 +185,14 @@ class SelectionEngine:
             bs = mesh_lib.batch_sharding(self.mesh)
             inputs = tuple(jax.device_put(x, bs) for x in inputs)
         args = (self.params,) + inputs
-        t0 = time.perf_counter()
-        if self.mesh is not None:
-            # shard_map takes the mesh explicitly; jit shardings propagate
-            # from the placed params/inputs — no ambient mesh needed.
-            with par_context.attention_mesh(self.mesh):
+        with self.timer.stage("score"):
+            if self.mesh is not None:
+                # shard_map takes the mesh explicitly; jit shardings propagate
+                # from the placed params/inputs — no ambient mesh needed.
+                with par_context.attention_mesh(self.mesh):
+                    probs = np.asarray(fn(*args))
+            else:
                 probs = np.asarray(fn(*args))
-        else:
-            probs = np.asarray(fn(*args))
-        self.timings["score"] = time.perf_counter() - t0
         return [probs[i, : t_reals[i]] for i in range(b)]
 
     def rank_frames(
@@ -235,8 +235,9 @@ class SelectionEngine:
         """Decode + score a video file (eval-path index math by default)."""
         from videoitg_tpu.data.video import read_video_frames
 
-        frames, sampled = read_video_frames(
-            video_path, num_frames=self.num_frames, target_fps=self.target_fps,
-            sampling=sampling,
-        )
+        with self.timer.stage("decode"):
+            frames, sampled = read_video_frames(
+                video_path, num_frames=self.num_frames, target_fps=self.target_fps,
+                sampling=sampling,
+            )
         return self.select(frames, sampled, instruction, video_path=video_path, doc_id=doc_id)

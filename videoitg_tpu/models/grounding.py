@@ -79,12 +79,17 @@ def grounding_logits(
     use_flash: bool = False,
     remat: bool = False,
     freeze_vision: bool = False,
+    vision_chunk: int = 0,
 ) -> jax.Array:
     """Per-frame relevance logits [B, T] (invalid frames -> -inf).
 
     freeze_vision stops gradients at the tower output — the reference always
     trains with a frozen SigLIP (clip_encoder.py:119 requires_grad_(False)),
     which also skips the tower's entire backward pass.
+
+    vision_chunk > 0 runs the tower lax.map-ed over frame chunks of that
+    size, bounding tower activations (the reference chunks at 384 frames for
+    the same reason, clip_encoder.py:140-152). 0 = single batch.
     """
     b, t = batch.frame_valid.shape
     l_txt = batch.text_ids.shape[1]
@@ -92,9 +97,20 @@ def grounding_logits(
 
     # Vision tower over all frames of all videos as one batch.
     frames_flat = batch.frames.reshape((b * t,) + batch.frames.shape[2:])
-    feats = siglip_mod.siglip_features(
-        params["vision"], frames_flat, cfg.vision, use_flash=use_flash, remat=remat
-    )  # [B*T, P, C]
+    if vision_chunk and b * t > vision_chunk and (b * t) % vision_chunk == 0:
+        chunked = frames_flat.reshape((b * t // vision_chunk, vision_chunk)
+                                      + frames_flat.shape[1:])
+        feats = jax.lax.map(
+            lambda fr: siglip_mod.siglip_features(
+                params["vision"], fr, cfg.vision, use_flash=use_flash, remat=remat
+            ),
+            chunked,
+        )
+        feats = feats.reshape((b * t,) + feats.shape[2:])
+    else:
+        feats = siglip_mod.siglip_features(
+            params["vision"], frames_flat, cfg.vision, use_flash=use_flash, remat=remat
+        )  # [B*T, P, C]
     if freeze_vision:
         feats = jax.lax.stop_gradient(feats)
     img_tokens = project_frames(params["projector"], feats, hw)  # [B*T, hw^2, D]

@@ -1,0 +1,275 @@
+"""Causal VLM variant: multimodal SFT loss + KV-cache generation.
+
+Parity targets: eagle/model/language_model/eagle_qwen2.py
+(EagleQwenForCausalLM — standard LLaVA-style causal VLM whose generate()
+splices image embeddings then delegates) and train_vlm.py (next-token CE
+with IGNORE_INDEX masking over non-answer tokens).
+
+Packing: unlike the grounding model (images always first), chat templates
+put system text BEFORE the image (conv_qwen ChatML, reference
+conversation.py:321-331), so the VLM layout is
+
+    [ pre_text | image tokens | post_text | pad ]
+
+with per-segment validity. Positions are the packed arange; the causal mask
+plus key-validity handles padding.
+
+Generation is two-phase: one causal prefill over the packed prompt filling
+a KV cache, then a lax.while_loop greedy/temperature decode — the
+TPU-idiomatic replacement for HF generate.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from videoitg_tpu.config import GroundingConfig, LMConfig
+from videoitg_tpu.constants import IGNORE_INDEX
+from videoitg_tpu.models import qwen2 as qwen2_mod
+from videoitg_tpu.models import siglip as siglip_mod
+from videoitg_tpu.models.common import apply_rope, linear, rms_norm, slice_layer_params
+from videoitg_tpu.models.projector import project_frames
+from videoitg_tpu.ops.attention import mha
+
+
+class VLMBatch(NamedTuple):
+    """Packed causal-VLM batch.
+
+    frames:    [B, T, H, W, 3] preprocessed pixels.
+    frame_valid: [B, T] bool.
+    pre_ids / pre_valid:   [B, L_pre] text before the image block.
+    post_ids / post_valid: [B, L_post] text after the image block.
+    post_labels: [B, L_post] int32 CE targets aligned with post_ids
+                 (IGNORE_INDEX outside answer spans), or None at inference.
+    """
+
+    frames: jax.Array
+    frame_valid: jax.Array
+    pre_ids: jax.Array
+    pre_valid: jax.Array
+    post_ids: jax.Array
+    post_valid: jax.Array
+    post_labels: Optional[jax.Array] = None
+
+
+def _pack_embeds(params, batch: VLMBatch, cfg: GroundingConfig, hw: int,
+                 use_flash: bool, remat: bool, freeze_vision: bool):
+    b, t = batch.frame_valid.shape
+    n_img = t * hw * hw
+    frames_flat = batch.frames.reshape((b * t,) + batch.frames.shape[2:])
+    feats = siglip_mod.siglip_features(
+        params["vision"], frames_flat, cfg.vision, use_flash=use_flash, remat=remat
+    )
+    if freeze_vision:
+        feats = jax.lax.stop_gradient(feats)
+    img_tokens = project_frames(params["projector"], feats, hw)
+    img_tokens = img_tokens.reshape(b, n_img, -1)
+
+    pre = qwen2_mod.embed_tokens(params["lm"], jnp.maximum(batch.pre_ids, 0))
+    post = qwen2_mod.embed_tokens(params["lm"], jnp.maximum(batch.post_ids, 0))
+    x = jnp.concatenate(
+        [pre.astype(img_tokens.dtype), img_tokens, post.astype(img_tokens.dtype)], axis=1
+    )
+
+    img_valid = jnp.repeat(batch.frame_valid, hw * hw, axis=1)
+    valid = jnp.concatenate([batch.pre_valid, img_valid, batch.post_valid], axis=1)
+
+    # Packed positions: cumulative count of valid tokens before each slot.
+    # (pre is typically a constant template prefix; img/post are prefix-valid.)
+    positions = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
+    positions = jnp.maximum(positions, 0)
+    return x, valid, positions, n_img
+
+
+def vlm_loss(
+    params: dict,
+    batch: VLMBatch,
+    cfg: GroundingConfig,
+    hw: int,
+    use_flash: bool = False,
+    remat: bool = True,
+    freeze_vision: bool = True,
+) -> tuple[jax.Array, dict]:
+    """Next-token CE over post-text answer tokens (train_vlm.py semantics)."""
+    assert batch.post_labels is not None
+    lm_cfg = cfg.lm
+    assert lm_cfg.causal, "vlm_loss requires a causal LMConfig"
+    x, valid, positions, n_img = _pack_embeds(
+        params, batch, cfg, hw, use_flash, remat, freeze_vision
+    )
+    hidden = qwen2_mod.qwen2_hidden_states(
+        params["lm"], x, positions, valid, lm_cfg, use_flash=use_flash, remat=remat
+    )
+    logits = qwen2_mod.lm_logits(params["lm"], hidden, lm_cfg)  # [B, S, V] fp32
+
+    l_pre = batch.pre_ids.shape[1]
+    l_post = batch.post_ids.shape[1]
+    # Predict post token j from the hidden state one slot earlier.
+    post_start = l_pre + n_img
+    pred_logits = logits[:, post_start - 1 : post_start - 1 + l_post, :]
+    labels = batch.post_labels
+    mask = (labels != IGNORE_INDEX) & batch.post_valid
+
+    logp = jax.nn.log_softmax(pred_logits, axis=-1)
+    safe_labels = jnp.maximum(labels, 0)
+    token_logp = jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    denom = jnp.maximum(1.0, jnp.sum(mask))
+    loss = -jnp.sum(token_logp * mask) / denom
+    return loss, {"loss": loss, "num_label_tokens": jnp.sum(mask)}
+
+
+# ---- KV-cache generation -------------------------------------------------
+
+
+class KVCache(NamedTuple):
+    k: jax.Array  # [L, B, Hkv, S_max, D]
+    v: jax.Array
+    length: jax.Array  # [] int32 — valid prefix length (same across batch)
+
+
+def _attend_with_cache(q, k_cache, v_cache, cache_len, cfg: LMConfig):
+    """q [B, Hq, 1, D] against cache [B, Hkv, S_max, D] (masked by length)."""
+    b, hq, _, d = q.shape
+    hkv = k_cache.shape[1]
+    group = hq // hkv
+    qf = q.reshape(b, hkv, group, d)
+    logits = jnp.einsum(
+        "bhgd,bhsd->bhgs", qf, k_cache, preferred_element_type=jnp.float32
+    ) * (d ** -0.5)
+    s_max = k_cache.shape[2]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, s_max), 3)
+    logits = jnp.where(pos < cache_len, logits, -jnp.inf)
+    p = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhgs,bhsd->bhgd", p.astype(v_cache.dtype), v_cache)
+    return out.reshape(b, hq, 1, d).astype(q.dtype)
+
+
+def vlm_prefill(
+    params: dict, x: jax.Array, valid: jax.Array, positions: jax.Array,
+    cfg: LMConfig, max_len: int, use_flash: bool = False,
+) -> Tuple[jax.Array, KVCache]:
+    """Causal prefill building a KV cache padded to max_len.
+
+    Returns (last hidden state [B, H], cache). Assumes `valid` is a prefix
+    mask of equal length across the batch (callers left-pack prompts).
+    """
+    b, s, h = x.shape
+    layers = slice_layer_params(params["layers"], cfg.num_layers)
+
+    def layer_step(carry_x, layer_params):
+        y = rms_norm(layer_params["input_norm"], carry_x, cfg.rms_norm_eps)
+        q = linear(layer_params["q"], y).reshape(b, s, cfg.num_heads, cfg.head_dim)
+        k = linear(layer_params["k"], y).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        v = linear(layer_params["v"], y).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        q, k, v = (a.transpose(0, 2, 1, 3) for a in (q, k, v))
+        q = apply_rope(q, positions, cfg.rope_theta)
+        k = apply_rope(k, positions, cfg.rope_theta)
+        attn = mha(q, k, v, valid=valid, causal=True, use_flash=use_flash)
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, s, cfg.q_dim)
+        carry_x = carry_x + linear(layer_params["o"], attn)
+        y = rms_norm(layer_params["post_attn_norm"], carry_x, cfg.rms_norm_eps)
+        y = linear(layer_params["down"],
+                   jax.nn.silu(linear(layer_params["gate"], y)) * linear(layer_params["up"], y))
+        return carry_x + y, (k, v)
+
+    xs, (k_all, v_all) = jax.lax.scan(layer_step, x, layers)
+    hidden = rms_norm(params["final_norm"], xs, cfg.rms_norm_eps)
+
+    pad = max_len - s
+    # k_all/v_all: [L, B, Hkv, S, D] stacked by the scan.
+    k_all = jnp.pad(k_all, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0)))
+    v_all = jnp.pad(v_all, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0)))
+    prompt_len = jnp.sum(valid[0].astype(jnp.int32))
+    last_hidden = hidden[jnp.arange(b), prompt_len - 1]  # [B, H]
+    return last_hidden, KVCache(k=k_all, v=v_all, length=prompt_len)
+
+
+def vlm_decode_step(
+    params: dict, token: jax.Array, cache: KVCache, cfg: LMConfig,
+) -> Tuple[jax.Array, KVCache]:
+    """One greedy-decode step: token [B] -> (logits [B, V], new cache)."""
+    b = token.shape[0]
+    x = qwen2_mod.embed_tokens(params["lm"] if "lm" in params else params, token)[:, None, :]
+    lm = params["lm"] if "lm" in params else params
+    pos = jnp.broadcast_to(cache.length[None, None], (b, 1)).astype(jnp.int32)
+
+    layers = slice_layer_params(lm["layers"], cfg.num_layers)
+
+    def body(carry, inputs):
+        x_c, = carry
+        layer_params, k_cache, v_cache = inputs
+        y = rms_norm(layer_params["input_norm"], x_c, cfg.rms_norm_eps)
+        q = linear(layer_params["q"], y).reshape(b, 1, cfg.num_heads, cfg.head_dim)
+        k = linear(layer_params["k"], y).reshape(b, 1, cfg.num_kv_heads, cfg.head_dim)
+        v = linear(layer_params["v"], y).reshape(b, 1, cfg.num_kv_heads, cfg.head_dim)
+        q, k, v = (a.transpose(0, 2, 1, 3) for a in (q, k, v))
+        q = apply_rope(q, pos, cfg.rope_theta)
+        k = apply_rope(k, pos, cfg.rope_theta)
+        # Write the new kv at position cache.length.
+        k_cache = jax.lax.dynamic_update_index_in_dim(k_cache, k[:, :, 0, :],
+                                                      cache.length, axis=2)
+        v_cache = jax.lax.dynamic_update_index_in_dim(v_cache, v[:, :, 0, :],
+                                                      cache.length, axis=2)
+        attn = _attend_with_cache(q, k_cache, v_cache, cache.length + 1, cfg)
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, 1, cfg.q_dim)
+        x_c = x_c + linear(layer_params["o"], attn)
+        y = rms_norm(layer_params["post_attn_norm"], x_c, cfg.rms_norm_eps)
+        y = linear(layer_params["down"],
+                   jax.nn.silu(linear(layer_params["gate"], y)) * linear(layer_params["up"], y))
+        return (x_c + y,), (k_cache, v_cache)
+
+    (x_out,), (new_k, new_v) = jax.lax.scan(
+        body, (x,), (layers, cache.k, cache.v)
+    )
+    hidden = rms_norm(lm["final_norm"], x_out, cfg.rms_norm_eps)[:, 0, :]
+    logits = qwen2_mod.lm_logits(lm, hidden[:, None, :], cfg)[:, 0, :]
+    return logits, KVCache(k=new_k, v=new_v, length=cache.length + 1)
+
+
+def vlm_generate(
+    params: dict,
+    batch: VLMBatch,
+    cfg: GroundingConfig,
+    hw: int,
+    max_new_tokens: int = 16,
+    eos_token_id: int = -1,
+    use_flash: bool = False,
+) -> jax.Array:
+    """Greedy generation. Returns [B, max_new_tokens] token ids (eos-padded).
+
+    Mirrors EagleQwenForCausalLM.generate (eagle_qwen2.py:124-144): splice
+    image embeddings, then decode.
+    """
+    lm_cfg = cfg.lm
+    assert lm_cfg.causal
+    x, valid, positions, _ = _pack_embeds(
+        params, batch, cfg, hw, use_flash, remat=False, freeze_vision=True
+    )
+    max_len = x.shape[1] + max_new_tokens
+    last_hidden, cache = vlm_prefill(
+        params["lm"], x, valid, positions, lm_cfg, max_len, use_flash=use_flash
+    )
+    first_logits = qwen2_mod.lm_logits(params["lm"], last_hidden[:, None, :], lm_cfg)[:, 0, :]
+    b = x.shape[0]
+
+    def cond(state):
+        i, _tok, _cache, _out, done = state
+        return jnp.logical_and(i < max_new_tokens, ~jnp.all(done))
+
+    def step(state):
+        i, tok, cache, out, done = state
+        out = out.at[:, i].set(jnp.where(done, eos_token_id, tok))
+        done = jnp.logical_or(done, tok == eos_token_id)
+        logits, cache = vlm_decode_step(params, tok, cache, lm_cfg)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return i + 1, nxt, cache, out, done
+
+    tok0 = jnp.argmax(first_logits, axis=-1).astype(jnp.int32)
+    out0 = jnp.full((b, max_new_tokens), eos_token_id, dtype=jnp.int32)
+    done0 = jnp.zeros((b,), dtype=bool)
+    _, _, _, out, _ = jax.lax.while_loop(cond, step, (0, tok0, cache, out0, done0))
+    return out
