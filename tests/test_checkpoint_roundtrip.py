@@ -1,0 +1,57 @@
+"""Checkpoint export/import round-trip tests."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from videoitg_tpu.checkpoint import (
+    convert_grounding_checkpoint,
+    export_grounding_state_dict,
+    load_hf_state_dict,
+    save_hf_checkpoint,
+)
+from videoitg_tpu.config import GroundingConfig
+
+CFG = GroundingConfig.tiny()
+
+
+def test_export_import_roundtrip():
+    from videoitg_tpu.models.grounding import init_grounding
+
+    params = init_grounding(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+    sd = export_grounding_state_dict(params, CFG)
+    back = convert_grounding_checkpoint(sd, CFG, dtype=jnp.float32)
+
+    flat_a = jax.tree.leaves(params)
+    flat_b = jax.tree.leaves(back)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_save_load_hf_dir(tmp_path):
+    from videoitg_tpu.models.grounding import init_grounding
+
+    params = init_grounding(jax.random.PRNGKey(1), CFG, dtype=jnp.float32)
+    save_hf_checkpoint(params, CFG, str(tmp_path))
+    sd = load_hf_state_dict(str(tmp_path))
+    assert "model.embed_tokens.weight" in sd
+    assert "out_proj.weight" in sd
+    back = convert_grounding_checkpoint(sd, CFG, dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(back["out_proj"]["w"]), np.asarray(params["out_proj"]["w"]),
+        atol=1e-6,
+    )
+
+
+def test_projector_only_save(tmp_path):
+    from videoitg_tpu.models.grounding import init_grounding
+
+    params = init_grounding(jax.random.PRNGKey(2), CFG, dtype=jnp.float32)
+    path = save_hf_checkpoint(params, CFG, str(tmp_path), projector_only=True)
+    from safetensors.numpy import load_file
+
+    sd = load_file(path)
+    assert all(k.startswith(("model.mm_projector.", "out_proj")) for k in sd)
+    assert "model.mm_projector.out_projection.0.weight" in sd

@@ -159,3 +159,41 @@ def test_downstream_uniform_fallback(video_dir):
     # num_frames entries are taken before any range check
     m2 = {"d": [50, 10, 999, 5]}
     assert select_frame_ids(m2, "d", 3, 40) == [10]
+
+
+def test_response_cache(tmp_path):
+    from videoitg_tpu.eval.api import ModelAdapter, Task
+    from videoitg_tpu.eval.cache import CachingAdapter
+
+    calls = []
+
+    class Dummy(ModelAdapter):
+        data_root = ""
+
+        def generate_until(self, items, task, writer=None):
+            calls.extend(i for i, _ in items)
+            return [f"resp-{i}" for i, _ in items]
+
+    task = Task(
+        name="t", doc_to_visual=lambda d: "", doc_to_text=lambda d: d["q"],
+        process_results=lambda d, r: {}, aggregate=lambda rs: {},
+    )
+    docs = [(0, {"q": "a"}), (1, {"q": "b"})]
+    cached = CachingAdapter(Dummy(), str(tmp_path / "cache.sqlite"))
+    r1 = cached.generate_until(docs, task)
+    assert r1 == ["resp-0", "resp-1"] and calls == [0, 1]
+    r2 = cached.generate_until(docs, task)
+    assert r2 == r1 and calls == [0, 1]  # no new inner calls
+    # new doc triggers only that one
+    r3 = cached.generate_until(docs + [(2, {"q": "c"})], task)
+    assert r3 == ["resp-0", "resp-1", "resp-2"] and calls == [0, 1, 2]
+
+
+def test_truncate_at_stop_sequences():
+    from videoitg_tpu.models.vlm import truncate_at_stop_sequences
+
+    toks = [[5, 6, 7, 8, 9], [5, -1, 7, 8, 9]]
+    out = truncate_at_stop_sequences(toks, stop_sequences=[[7, 8]], eos_token_id=-1)
+    assert out == [[5, 6], [5]]
+    out2 = truncate_at_stop_sequences(toks, stop_sequences=None, eos_token_id=-1)
+    assert out2 == [[5, 6, 7, 8, 9], [5]]

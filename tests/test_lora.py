@@ -1,0 +1,79 @@
+"""LoRA adapter tests."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from videoitg_tpu.config import GroundingConfig
+from videoitg_tpu.models.grounding import GroundingBatch, grounding_logits, init_grounding
+from videoitg_tpu.train.lora import add_lora, make_lora_optimizer, merge_lora
+from videoitg_tpu.train.train_step import create_train_state, make_train_step
+
+CFG = GroundingConfig.tiny()
+
+
+def _batch(rng, with_labels=True):
+    t = 4
+    frames = jnp.asarray(rng.standard_normal((1, t, 56, 56, 3)), dtype=jnp.float32)
+    labels = jnp.asarray(np.array([[1, 0, 0, 1]], dtype=np.float32))
+    return GroundingBatch(
+        frames=frames,
+        frame_valid=jnp.ones((1, t), dtype=bool),
+        text_ids=jnp.asarray(rng.integers(0, 500, (1, 8)), dtype=jnp.int32),
+        text_valid=jnp.ones((1, 8), dtype=bool),
+        labels=labels if with_labels else None,
+    )
+
+
+def test_lora_init_is_identity():
+    rng = np.random.default_rng(0)
+    params = init_grounding(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+    lparams = add_lora(params, jax.random.PRNGKey(1), rank=4)
+    batch = _batch(rng, with_labels=False)
+    base = np.asarray(grounding_logits(params, batch, CFG, hw=2))
+    with_lora = np.asarray(grounding_logits(lparams, batch, CFG, hw=2))
+    np.testing.assert_allclose(with_lora, base, atol=1e-6)  # B starts at zero
+
+
+def test_lora_training_touches_only_adapters():
+    rng = np.random.default_rng(1)
+    params = init_grounding(jax.random.PRNGKey(2), CFG, dtype=jnp.float32)
+    lparams = add_lora(params, jax.random.PRNGKey(3), rank=4)
+    tx = make_lora_optimizer(lparams, learning_rate=1e-2, total_steps=10,
+                             warmup_ratio=0.0, schedule="constant")
+    state = create_train_state(lparams, tx)
+    step_fn = make_train_step(CFG, tx, hw=2, use_flash=False, remat=False)
+    batch = _batch(rng)
+    for _ in range(3):
+        state, metrics = step_fn(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+
+    # dense weights untouched
+    np.testing.assert_array_equal(
+        np.asarray(state.params["lm"]["layers"]["q"]["w"]),
+        np.asarray(lparams["lm"]["layers"]["q"]["w"]),
+    )
+    # adapters moved
+    assert not np.allclose(
+        np.asarray(state.params["lm"]["layers"]["q"]["lora_b"]), 0.0
+    )
+
+
+def test_merge_lora_matches_runtime():
+    rng = np.random.default_rng(2)
+    params = init_grounding(jax.random.PRNGKey(4), CFG, dtype=jnp.float32)
+    lparams = add_lora(params, jax.random.PRNGKey(5), rank=4)
+    # give B nonzero values so the adapter does something
+    lb = lparams["lm"]["layers"]["q"]["lora_b"]
+    lparams["lm"]["layers"]["q"]["lora_b"] = (
+        jnp.asarray(rng.standard_normal(lb.shape), dtype=lb.dtype) * 0.02
+    )
+    batch = _batch(rng, with_labels=False)
+    runtime = np.asarray(grounding_logits(lparams, batch, CFG, hw=2))
+    merged = merge_lora(lparams)
+    assert "lora_a" not in merged["lm"]["layers"]["q"]
+    folded = np.asarray(grounding_logits(merged, batch, CFG, hw=2))
+    np.testing.assert_allclose(folded, runtime, atol=2e-5, rtol=1e-5)
+    base = np.asarray(grounding_logits(params, batch, CFG, hw=2))
+    assert np.abs(folded - base).max() > 1e-5  # adapter actually changed things

@@ -185,6 +185,100 @@ def load_grounding_model(model_dir: str, cfg: GroundingConfig | None = None, dty
     return convert_grounding_checkpoint(sd, cfg, dtype=dtype), cfg
 
 
+# ---- HF-format export (interop with the torch reference stack) ----
+
+
+def export_grounding_state_dict(params: dict, cfg: GroundingConfig) -> Dict[str, np.ndarray]:
+    """Grounding params pytree -> reference-layout HF state dict (fp32/bf16
+    numpy). Inverse of convert_grounding_checkpoint; lets TPU-trained
+    checkpoints load into the torch EagleQwenG stack (its builder.py:42)."""
+
+    sd: Dict[str, np.ndarray] = {}
+
+    def put_lin(prefix: str, lin: dict):
+        if "w_q" in lin:
+            raise ValueError(f"{prefix}: export requires unquantized weights")
+        sd[prefix + ".weight"] = np.asarray(lin["w"], dtype=np.float32).T
+        if "b" in lin:
+            sd[prefix + ".bias"] = np.asarray(lin["b"], dtype=np.float32)
+
+    lm = params["lm"]
+    sd["model.embed_tokens.weight"] = np.asarray(lm["embed"]["w"], dtype=np.float32)
+    sd["model.norm.weight"] = np.asarray(lm["final_norm"]["scale"], dtype=np.float32)
+    n_layers = cfg.lm.num_layers
+    for i in range(n_layers):
+        lp = jax_tree_index(lm["layers"], i)
+        base = f"model.layers.{i}."
+        sd[base + "input_layernorm.weight"] = np.asarray(lp["input_norm"]["scale"], np.float32)
+        sd[base + "post_attention_layernorm.weight"] = np.asarray(
+            lp["post_attn_norm"]["scale"], np.float32)
+        put_lin(base + "self_attn.q_proj", lp["q"])
+        put_lin(base + "self_attn.k_proj", lp["k"])
+        put_lin(base + "self_attn.v_proj", lp["v"])
+        put_lin(base + "self_attn.o_proj", lp["o"])
+        put_lin(base + "mlp.gate_proj", lp["gate"])
+        put_lin(base + "mlp.up_proj", lp["up"])
+        put_lin(base + "mlp.down_proj", lp["down"])
+
+    vision = params["vision"]
+    vp = "model.vision_tower.vision_tower.vision_model."
+    patch_w = np.asarray(vision["patch_embed"]["w"], np.float32)  # [kh*kw*C, O]
+    p = cfg.vision.patch_size
+    o = patch_w.shape[1]
+    sd[vp + "embeddings.patch_embedding.weight"] = (
+        patch_w.reshape(p, p, 3, o).transpose(3, 2, 0, 1))
+    sd[vp + "embeddings.patch_embedding.bias"] = np.asarray(
+        vision["patch_embed"]["b"], np.float32)
+    sd[vp + "embeddings.position_embedding.weight"] = np.asarray(
+        vision["pos_embed"], np.float32)
+    for i in range(cfg.vision.num_layers):
+        lp = jax_tree_index(vision["layers"], i)
+        base = vp + f"encoder.layers.{i}."
+        for ours, theirs in [("ln1", "layer_norm1"), ("ln2", "layer_norm2")]:
+            sd[base + theirs + ".weight"] = np.asarray(lp[ours]["scale"], np.float32)
+            sd[base + theirs + ".bias"] = np.asarray(lp[ours]["bias"], np.float32)
+        put_lin(base + "self_attn.q_proj", lp["q"])
+        put_lin(base + "self_attn.k_proj", lp["k"])
+        put_lin(base + "self_attn.v_proj", lp["v"])
+        put_lin(base + "self_attn.out_proj", lp["o"])
+        put_lin(base + "mlp.fc1", lp["fc1"])
+        put_lin(base + "mlp.fc2", lp["fc2"])
+
+    put_lin("model.mm_projector.out_projection.0", params["projector"]["fc1"])
+    put_lin("model.mm_projector.out_projection.2", params["projector"]["fc2"])
+    put_lin("out_proj", params["out_proj"])
+    return sd
+
+
+def jax_tree_index(stacked: dict, i: int) -> dict:
+    import jax
+
+    return jax.tree.map(lambda x: x[i], stacked)
+
+
+def save_hf_checkpoint(params: dict, cfg: GroundingConfig, out_dir: str,
+                       projector_only: bool = False) -> str:
+    """Write reference-compatible safetensors (+config.json).
+
+    projector_only mirrors the reference's adapter-save mode
+    (train_itg.py:273-295 writes mm_projector.bin only).
+    """
+    from safetensors.numpy import save_file
+
+    os.makedirs(out_dir, exist_ok=True)
+    sd = export_grounding_state_dict(params, cfg)
+    if projector_only:
+        sd = {k: v for k, v in sd.items()
+              if k.startswith("model.mm_projector.") or k.startswith("out_proj")}
+        path = os.path.join(out_dir, "mm_projector.safetensors")
+    else:
+        path = os.path.join(out_dir, "model.safetensors")
+    save_file(sd, path)
+    with open(os.path.join(out_dir, "videoitg_tpu_config.json"), "w") as f:
+        f.write(cfg.to_json())
+    return path
+
+
 # ---- native (orbax) checkpointing for training ----
 
 

@@ -21,6 +21,9 @@ def linear(params, x: jax.Array) -> jax.Array:
 
         return quantized_linear(params, x)
     y = x @ params["w"]
+    if "lora_a" in params:  # LoRA adapter (train/lora.py)
+        delta = (x @ params["lora_a"]) @ params["lora_b"]
+        y = y + delta * params["lora_scale"].astype(y.dtype)
     if "b" in params:
         y = y + params["b"]
     return y

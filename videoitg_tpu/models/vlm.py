@@ -273,3 +273,28 @@ def vlm_generate(
     done0 = jnp.zeros((b,), dtype=bool)
     _, _, _, out, _ = jax.lax.while_loop(cond, step, (0, tok0, cache, out0, done0))
     return out
+
+
+def truncate_at_stop_sequences(
+    tokens, stop_sequences: Optional[list] = None, eos_token_id: int = -1
+) -> list:
+    """Host-side keyword stopping (reference mm_utils.py KeywordsStoppingCriteria
+    :309-341): cut each row at eos or at the first occurrence of any stop
+    token-sequence. Returns a list of python token lists."""
+    import numpy as np
+
+    rows = []
+    arr = np.asarray(tokens)
+    for row in arr:
+        toks = row.tolist()
+        if eos_token_id in toks:
+            toks = toks[: toks.index(eos_token_id)]
+        cut = len(toks)
+        for seq in stop_sequences or []:
+            n = len(seq)
+            for i in range(len(toks) - n + 1):
+                if toks[i : i + n] == list(seq):
+                    cut = min(cut, i)
+                    break
+        rows.append(toks[:cut])
+    return rows

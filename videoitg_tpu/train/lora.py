@@ -1,0 +1,103 @@
+"""LoRA adapters for the LM (reference train_itg.py:1252-1268 peft option).
+
+Functional formulation: a target linear's param dict gains lora_a [in, r],
+lora_b [r, out], lora_scale [] leaves; models/common.linear applies
+y += (x @ a) @ b * scale transparently. Training freezes everything except
+lora_* leaves (and optionally the scoring head); merge_lora folds adapters
+back into dense weights for serving/export.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+DEFAULT_TARGETS = ("q", "k", "v", "o", "gate", "up", "down")
+
+
+def add_lora(
+    params: dict,
+    key,
+    rank: int = 16,
+    alpha: float = 32.0,
+    targets: Sequence[str] = DEFAULT_TARGETS,
+) -> dict:
+    """Return params with LoRA leaves added to LM decoder-layer linears."""
+    out = dict(params)
+    lm = dict(params["lm"])
+    layers = dict(lm["layers"])
+    keys = jax.random.split(key, len(targets))
+    for k_i, name in zip(keys, targets):
+        lin = dict(layers[name])
+        w = lin["w"]  # [L, in, out] stacked
+        n_layers, d_in, d_out = w.shape
+        # Kaiming-ish init for A, zeros for B (standard LoRA).
+        lin["lora_a"] = (
+            jax.random.normal(k_i, (n_layers, d_in, rank), jnp.float32) * (d_in ** -0.5)
+        ).astype(w.dtype)
+        lin["lora_b"] = jnp.zeros((n_layers, rank, d_out), dtype=w.dtype)
+        lin["lora_scale"] = jnp.full((n_layers,), alpha / rank, dtype=jnp.float32)
+        layers[name] = lin
+    lm["layers"] = layers
+    out["lm"] = lm
+    return out
+
+
+def merge_lora(params: dict) -> dict:
+    """Fold LoRA deltas into dense weights and strip adapter leaves."""
+
+    def merge_tree(tree):
+        if isinstance(tree, dict) and "lora_a" in tree:
+            lin = dict(tree)
+            delta = jnp.einsum(
+                "lir,lro->lio", lin["lora_a"].astype(jnp.float32),
+                lin["lora_b"].astype(jnp.float32),
+            ) * lin["lora_scale"][:, None, None]
+            lin["w"] = (lin["w"].astype(jnp.float32) + delta).astype(lin["w"].dtype)
+            for k in ("lora_a", "lora_b", "lora_scale"):
+                del lin[k]
+            return lin
+        if isinstance(tree, dict):
+            return {k: merge_tree(v) for k, v in tree.items()}
+        return tree
+
+    return merge_tree(params)
+
+
+def make_lora_optimizer(
+    params: dict,
+    learning_rate: float = 2e-4,
+    out_proj_lr: float | None = None,
+    total_steps: int = 10_000,
+    warmup_ratio: float = 0.05,
+    schedule: str = "cosine",
+    weight_decay: float = 0.0,
+) -> optax.GradientTransformation:
+    """Train only lora_* leaves (+ the scoring head when out_proj_lr set)."""
+    from videoitg_tpu.train.optimizer import make_schedule
+
+    def label_leaf(path, _leaf) -> str:
+        keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        if any(str(k).startswith("lora_") for k in keys):
+            return "lora"
+        if out_proj_lr is not None and "out_proj" in [str(k) for k in keys]:
+            return "out_proj"
+        return "frozen"
+
+    labels = jax.tree_util.tree_map_with_path(label_leaf, params)
+
+    def adamw(lr):
+        return optax.adamw(make_schedule(lr, total_steps, warmup_ratio, schedule),
+                           weight_decay=weight_decay)
+
+    return optax.multi_transform(
+        {
+            "lora": adamw(learning_rate),
+            "out_proj": adamw(out_proj_lr if out_proj_lr is not None else learning_rate),
+            "frozen": optax.set_to_zero(),
+        },
+        labels,
+    )
