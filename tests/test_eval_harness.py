@@ -197,3 +197,18 @@ def test_truncate_at_stop_sequences():
     assert out == [[5, 6], [5]]
     out2 = truncate_at_stop_sequences(toks, stop_sequences=None, eos_token_id=-1)
     assert out2 == [[5, 6, 7, 8, 9], [5]]
+
+
+def test_decode_ahead_order_and_errors(video_dir):
+    from videoitg_tpu.data.prefetch import decode_ahead
+
+    items = [
+        ("a", os.path.join(video_dir, "vid0.mp4"), {"m": 0}),
+        ("bad", "/nonexistent.mp4", {"m": 1}),
+        ("c", os.path.join(video_dir, "vid1.mp4"), {"m": 2}),
+    ]
+    out = list(decode_ahead(items, num_frames=4, target_fps=1, workers=2, ahead=2))
+    assert [o.key for o in out] == ["a", "bad", "c"]  # input order preserved
+    assert out[0].error is None and out[0].frames.shape[0] >= 1
+    assert out[1].error is not None and out[1].frames is None
+    assert out[2].meta == {"m": 2}

@@ -31,6 +31,8 @@ class VideoITGAdapter(ModelAdapter):
         quantize_int8: bool = False,
         dp: Optional[int] = None,
         tp: Optional[int] = None,
+        decode_workers: int = 4,
+        decode_ahead: int = 4,
         **_ignored,
     ):
         import jax
@@ -88,29 +90,44 @@ class VideoITGAdapter(ModelAdapter):
         self.target_fps = target_fps
         self.multiple = multiple
         self.data_root = data_root
+        self.decode_workers = decode_workers
+        self.decode_ahead = decode_ahead
 
     def generate_until(self, items: List[tuple], task: Task, writer=None) -> List[str]:
-        from videoitg_tpu.data.video import read_video_frames
+        from videoitg_tpu.data.prefetch import decode_ahead
 
-        responses = []
+        responses = {}
+        work = []
         for doc_id, doc in items:
             if writer is not None and writer.is_done(doc_id):
-                responses.append("")  # resumed
+                responses[doc_id] = ""  # resumed
                 continue
             video_path = _call_with_root(task.doc_to_visual, doc, self.data_root)
             contexts = _call_with_root(task.doc_to_text, doc, self.data_root)
-            frames, sampled = read_video_frames(
-                video_path, num_frames=self.num_frames,
-                target_fps=self.target_fps, sampling="eval",
-                multiple=self.multiple,
-            )
+            work.append((doc_id, video_path,
+                         {"contexts": contexts, "video_path": video_path}))
+
+        # Host decode runs ahead of device scoring on a thread pool.
+        for dec in decode_ahead(
+            work, num_frames=self.num_frames, target_fps=self.target_fps,
+            sampling="eval", multiple=self.multiple,
+            workers=self.decode_workers, ahead=self.decode_ahead,
+        ):
+            doc_id = dec.key
+            if dec.error is not None:
+                print(f"[videoitg adapter] decode failed for doc {doc_id}: "
+                      f"{dec.error}", file=sys.stderr)
+                responses[doc_id] = "[decode-error]"
+                continue
+            # meta carries (video_path via closure order): find from work list
             result = self.engine.select(
-                frames, sampled, contexts, video_path=video_path, doc_id=doc_id,
+                dec.frames, dec.sampled, dec.meta["contexts"],
+                video_path=dec.meta["video_path"], doc_id=doc_id,
             )
             if writer is not None:
                 writer.write(result.to_reference_json())
-            responses.append(json.dumps({"index": result.index[:8]}))
-        return responses
+            responses[doc_id] = json.dumps({"index": result.index[:8]})
+        return [responses[doc_id] for doc_id, _doc in items]
 
 
 def _call_with_root(fn, doc, data_root):
