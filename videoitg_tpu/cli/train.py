@@ -46,6 +46,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-grad-norm", type=float, default=1.0)
     # infra
     p.add_argument("--output-dir", default="./checkpoints-itg")
+    p.add_argument("--report-to", default="jsonl", help="jsonl | jsonl,wandb | none")
+    p.add_argument("--run-name", default=None)
     p.add_argument("--save-steps", type=int, default=500)
     p.add_argument("--save-total-limit", type=int, default=2)
     p.add_argument("--logging-steps", type=int, default=1)
@@ -143,6 +145,10 @@ def main(argv=None) -> int:
     )
     state = create_train_state(params, tx)
 
+    from videoitg_tpu.utils.metrics_logger import MetricsLogger
+
+    mlog = MetricsLogger(args.output_dir, report_to=args.report_to,
+                         run_name=args.run_name, config=vars(args))
     ckpt = TrainCheckpointer(args.output_dir, max_to_keep=args.save_total_limit,
                              save_interval=args.save_steps)
     resume_step, restored = ckpt.restore_latest(state)
@@ -173,6 +179,7 @@ def main(argv=None) -> int:
             step = int(state.step)
             if step % args.logging_steps == 0:
                 m = {k: float(v) for k, v in metrics.items()}
+                mlog.log(step, m)
                 print(f"[train] step {step}/{total_steps} "
                       f"loss={m['loss']:.4f} pos_weight={m['pos_weight']:.2f} "
                       f"grad_norm={m['grad_norm']:.3f} "
@@ -181,6 +188,7 @@ def main(argv=None) -> int:
 
     ckpt.maybe_save(step, state, force=True)
     ckpt.close()
+    mlog.close()
     print(f"[train] done at step {step}; checkpoints in {ckpt.directory}")
     return 0
 
