@@ -35,8 +35,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="explicit docs file (bypasses task loader)")
     p.add_argument("--output_path", default="./eval_out")
     p.add_argument("--limit", type=int, default=None)
-    p.add_argument("--rank", type=int, default=0)
-    p.add_argument("--world_size", type=int, default=1)
+    p.add_argument("--rank", type=int, default=None,
+                   help="doc shard id (default: jax.process_index())")
+    p.add_argument("--world_size", type=int, default=None,
+                   help="total shards (default: jax.process_count())")
     p.add_argument("--log_samples", action="store_true")
     p.add_argument("--cpu", action="store_true")
     return p
@@ -54,6 +56,15 @@ def main(argv=None) -> int:
     from videoitg_tpu.eval.harness import (
         evaluate_task, make_table, merge_and_aggregate, save_report,
     )
+
+    # Multihost default: each JAX process evaluates its doc shard (the
+    # accelerate-DDP equivalent, SURVEY §2.7).
+    if args.rank is None or args.world_size is None:
+        import jax
+
+        args.rank = jax.process_index() if args.rank is None else args.rank
+        args.world_size = (jax.process_count() if args.world_size is None
+                           else args.world_size)
 
     model_kwargs = parse_model_args(args.model_args)
     model_kwargs.setdefault("data_root", args.data_root)
