@@ -212,3 +212,26 @@ def test_decode_ahead_order_and_errors(video_dir):
     assert out[0].error is None and out[0].frames.shape[0] >= 1
     assert out[1].error is not None and out[1].frames is None
     assert out[2].meta == {"m": 2}
+
+
+def test_native_vlm_downstream_end_to_end(videomme_data, tmp_path):
+    """TPU-native VLM answering on selected frames (random tiny weights)."""
+    task = get_task("videomme")
+    docs = _videomme_docs(videomme_data)[:2]
+    out_a = str(tmp_path / "a")
+    adapter_a = get_adapter("videoitg")(
+        random_init=True, preset="tiny", num_frames=8, target_fps=1,
+        data_root=videomme_data, dtype="float32",
+    )
+    evaluate_task(adapter_a, task, docs, out_a)
+    merged = ResultsWriter(out_a, 0, 1).merge()
+
+    adapter_b = get_adapter("videoitg-vlm")(
+        random_init=True, preset="tiny", frame_indices_jsonl=merged,
+        num_frame=2, data_root=videomme_data, dtype="float32",
+        max_new_tokens=3,
+    )
+    report = evaluate_task(adapter_b, task, docs, str(tmp_path / "b"), log_samples=True)
+    assert report.num_docs == 2
+    for s in report.samples:
+        assert isinstance(s["response"], str)

@@ -150,6 +150,19 @@ def convert_grounding_checkpoint(sd: Mapping, cfg: GroundingConfig, dtype=jnp.fl
     }
 
 
+def convert_vlm_checkpoint(sd: Mapping, cfg: GroundingConfig, dtype=jnp.float32) -> dict:
+    """Causal Eagle-style VLM checkpoint (EagleQwenForCausalLM layout) ->
+    vlm params pytree (lm_head instead of out_proj)."""
+    return {
+        "lm": convert_qwen2(sd, cfg.lm, dtype=dtype, prefix="model.",
+                            with_lm_head=True),
+        "vision": convert_siglip(
+            sd, cfg.vision, dtype=dtype, prefix="model.vision_tower.vision_tower.vision_model."
+        ),
+        "projector": convert_projector(sd, dtype=dtype, prefix="model.mm_projector."),
+    }
+
+
 def load_hf_state_dict(model_dir: str) -> Dict[str, np.ndarray]:
     """Read all *.safetensors (or pytorch_model*.bin) in an HF model dir."""
     sd: Dict[str, np.ndarray] = {}

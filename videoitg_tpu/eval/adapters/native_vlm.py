@@ -1,0 +1,139 @@
+"""TPU-native downstream answering: our own VLM stack on selected frames.
+
+The reference's downstream wrappers drive external torch checkpoints; this
+adapter instead runs an Eagle-format causal VLM (e.g. Eagle-family Qwen2
+checkpoints — the reference's eagle_qwen2.py models) through
+videoitg_tpu.models.vlm on the TPU, consuming the same frame_indices_jsonl
+contract. ChatML prompt per the reference conv_qwen template.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+from videoitg_tpu.constants import DEFAULT_IMAGE_TOKEN
+from videoitg_tpu.data.conversation import CHATML_SYSTEM
+from videoitg_tpu.data.tokenizer import tokenizer_image_token
+from videoitg_tpu.constants import IMAGE_TOKEN_INDEX
+from videoitg_tpu.eval.api import Task, register_adapter
+from videoitg_tpu.eval.adapters.downstream import FrameSelectionConsumer
+
+
+def build_chatml_generation_ids(question: str, tokenizer,
+                                system_message: str = CHATML_SYSTEM):
+    """(pre_ids, post_ids) around <image> for a generation prompt:
+    system turn + user turn (image-first content) + assistant start."""
+    im_start, im_end = tokenizer.additional_special_tokens_ids[:2]
+    nl = tokenizer("\n").input_ids
+
+    prompt_ids = [im_start] + tokenizer("system\n").input_ids \
+        + tokenizer(system_message).input_ids + [im_end] + nl \
+        + [im_start] + tokenizer("user\n").input_ids \
+        + tokenizer_image_token(DEFAULT_IMAGE_TOKEN + "\n" + question, tokenizer) \
+        + [im_end] + nl \
+        + [im_start] + tokenizer("assistant\n").input_ids
+    k = prompt_ids.index(IMAGE_TOKEN_INDEX)
+    return prompt_ids[:k], prompt_ids[k + 1:]
+
+
+@register_adapter("videoitg-vlm")
+class NativeVLMAdapter(FrameSelectionConsumer):
+    def __init__(
+        self,
+        pretrained: Optional[str] = None,
+        preset: str = "videoitg-8b",
+        random_init: bool = False,
+        max_new_tokens: int = 16,
+        dtype: Optional[str] = None,
+        hw: Optional[int] = None,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        import jax
+        import jax.numpy as jnp
+
+        from videoitg_tpu.config import GroundingConfig, LMConfig, preset as get_preset
+
+        on_cpu = jax.default_backend() == "cpu"
+        self.jdtype = {None: jnp.float32 if on_cpu else jnp.bfloat16,
+                       "bfloat16": jnp.bfloat16, "float32": jnp.float32}[dtype]
+        self.use_flash = not on_cpu
+        self.max_new_tokens = max_new_tokens
+
+        if pretrained:
+            from transformers import AutoTokenizer
+
+            from videoitg_tpu.checkpoint import convert_vlm_checkpoint, load_hf_state_dict
+
+            base = get_preset(preset)
+            cfg = GroundingConfig(
+                vision=base.vision, projector=base.projector,
+                lm=LMConfig(**{**base.lm.__dict__, "causal": True}),
+                max_text_len=base.max_text_len,
+            )
+            sd = load_hf_state_dict(pretrained)
+            self.params = convert_vlm_checkpoint(sd, cfg, dtype=self.jdtype)
+            self.tokenizer = AutoTokenizer.from_pretrained(pretrained)
+            self.eos_id = self.tokenizer.eos_token_id
+        elif random_init:
+            from videoitg_tpu.models.grounding import init_grounding
+
+            base = get_preset(preset)
+            cfg = GroundingConfig(
+                vision=base.vision, projector=base.projector,
+                lm=LMConfig(**{**base.lm.__dict__, "causal": True,
+                               "tie_word_embeddings": True}),
+                max_text_len=base.max_text_len,
+            )
+            self.params = init_grounding(jax.random.PRNGKey(0), cfg, dtype=self.jdtype)
+
+            class _CharTok:
+                bos_token_id = None
+                additional_special_tokens_ids = [400, 401]
+                eos_token_id = 0
+
+                def __call__(self, text):
+                    r = type("R", (), {})()
+                    r.input_ids = [ord(c) % cfg.lm.vocab_size for c in text]
+                    return r
+
+                def decode(self, ids, **kw):
+                    return "".join(chr(max(32, i % 127)) for i in ids)
+
+            self.tokenizer = _CharTok()
+            self.eos_id = 0
+            print("[videoitg-vlm] WARNING: random weights", file=sys.stderr)
+        else:
+            raise ValueError("pass pretrained=DIR or random_init=True")
+        self.cfg = cfg
+        self.hw = hw
+
+    def answer(self, doc_id, doc, frames, frame_ids, question, task) -> str:
+        import jax.numpy as jnp
+
+        from videoitg_tpu.models.projector import inference_hw
+        from videoitg_tpu.models.vlm import VLMBatch, vlm_generate
+        from videoitg_tpu.ops.preprocess import preprocess_frames
+
+        t = frames.shape[0]
+        hw = self.hw or inference_hw(self.cfg.projector, t,
+                                     self.cfg.vision.num_patches_per_side)
+        pix = preprocess_frames(frames, out_size=self.cfg.vision.image_size,
+                                dtype=self.jdtype)[None]
+        pre, post = build_chatml_generation_ids(question, self.tokenizer)
+        batch = VLMBatch(
+            frames=pix,
+            frame_valid=jnp.ones((1, t), dtype=bool),
+            pre_ids=jnp.asarray([pre], dtype=jnp.int32),
+            pre_valid=jnp.ones((1, len(pre)), dtype=bool),
+            post_ids=jnp.asarray([post], dtype=jnp.int32),
+            post_valid=jnp.ones((1, len(post)), dtype=bool),
+        )
+        out = vlm_generate(self.params, batch, self.cfg, hw=hw,
+                           max_new_tokens=self.max_new_tokens,
+                           eos_token_id=self.eos_id, use_flash=self.use_flash)
+        toks = [int(x) for x in np.asarray(out)[0] if int(x) != self.eos_id]
+        return self.tokenizer.decode(toks, skip_special_tokens=True)
