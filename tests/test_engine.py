@@ -115,14 +115,17 @@ def test_engine_flash_interpret_matches_xla(tiny_setup):
     """Flash path (interpret mode, via monkeypatched default) vs XLA path."""
     cfg, params = tiny_setup
     import videoitg_tpu.ops.flash_attention as fa
+    import videoitg_tpu.ops.flash_attention_short as fas
     import functools
 
     orig = fa.flash_mha
     # tiny dims: force small blocks + interpret
     patched = functools.partial(orig, block_q=128, block_k=128, interpret=True)
     fa_flash = fa.flash_mha
+    fas_short = fas.flash_mha_short
     try:
         fa.flash_mha = patched
+        fas.flash_mha_short = functools.partial(fas_short, interpret=True)
         rng = np.random.default_rng(4)
         vids = [_frames(rng, 4)]
         eng_x = SelectionEngine(params, cfg, ToyTokenizer(), dtype=jnp.float32,
@@ -134,3 +137,4 @@ def test_engine_flash_interpret_matches_xla(tiny_setup):
         np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
     finally:
         fa.flash_mha = fa_flash
+        fas.flash_mha_short = fas_short

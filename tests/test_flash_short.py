@@ -1,0 +1,31 @@
+"""Short-sequence attention kernel vs XLA reference."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from videoitg_tpu.ops.attention import mha_reference
+from videoitg_tpu.ops.flash_attention_short import flash_mha_short
+
+
+@pytest.mark.parametrize("s,d,h,group", [(729, 72, 16, 8), (128, 64, 4, 4), (300, 72, 16, 16), (256, 64, 6, 4)])
+def test_short_kernel_matches_reference(s, d, h, group):
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((2, h, s, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((2, h, s, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((2, h, s, d)).astype(np.float32))
+    want = mha_reference(q, k, v)
+    got = flash_mha_short(q, k, v, group=group, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
+
+
+def test_short_kernel_group_fallback():
+    # h=6 with group=8 -> falls back to a divisor
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((1, 6, 100, 32)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((1, 6, 100, 32)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((1, 6, 100, 32)).astype(np.float32))
+    want = mha_reference(q, k, v)
+    got = flash_mha_short(q, k, v, group=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)

@@ -89,6 +89,25 @@ def apply_rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
     return out.astype(x.dtype)
 
 
+def fused_qkv(p_q: dict, p_k: dict, p_v: dict, x: jax.Array):
+    """Apply q/k/v projections as one concatenated GEMM.
+
+    Exact: concatenating weight columns commutes with the matmul; one
+    [*, in]x[in, q+k+v] GEMM keeps the MXU busier than three narrow ones.
+    Falls back to separate linears when any projection is quantized or
+    LoRA-adapted (those paths have their own fused forms).
+    """
+    if any(("w_q" in p or "lora_a" in p) for p in (p_q, p_k, p_v)):
+        return linear(p_q, x), linear(p_k, x), linear(p_v, x)
+    dq = p_q["w"].shape[-1]
+    dk = p_k["w"].shape[-1]
+    w = jnp.concatenate([p_q["w"], p_k["w"], p_v["w"]], axis=-1)
+    y = x @ w
+    if "b" in p_q:
+        y = y + jnp.concatenate([p_q["b"], p_k["b"], p_v["b"]], axis=-1)
+    return y[..., :dq], y[..., dq : dq + dk], y[..., dq + dk :]
+
+
 def stack_layer_params(layers: list) -> dict:
     """Stack a list of identical pytrees along a new leading axis (for scan)."""
     return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *layers)

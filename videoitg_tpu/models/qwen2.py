@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from videoitg_tpu.config import LMConfig
 from videoitg_tpu.models.common import (
     apply_rope,
+    fused_qkv,
     init_linear,
     linear,
     rms_norm,
@@ -79,9 +80,10 @@ def _decoder_layer(
     residual = x
     y = rms_norm(layer_params["input_norm"], x, cfg.rms_norm_eps)
 
-    q = linear(layer_params["q"], y).reshape(b, s, cfg.num_heads, cfg.head_dim)
-    k = linear(layer_params["k"], y).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
-    v = linear(layer_params["v"], y).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    q, k, v = fused_qkv(layer_params["q"], layer_params["k"], layer_params["v"], y)
+    q = q.reshape(b, s, cfg.num_heads, cfg.head_dim)
+    k = k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    v = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
     q, k, v = (a.transpose(0, 2, 1, 3) for a in (q, k, v))
     q = apply_rope(q, positions, cfg.rope_theta)
     k = apply_rope(k, positions, cfg.rope_theta)

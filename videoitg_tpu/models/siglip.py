@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from videoitg_tpu.config import VisionConfig
 from videoitg_tpu.models.common import (
+    fused_qkv,
     gelu_tanh,
     init_linear,
     layer_norm,
@@ -81,9 +82,10 @@ def _encoder_layer(params, x: jax.Array, cfg: VisionConfig, use_flash: bool) -> 
     t, p, h = x.shape
     residual = x
     y = layer_norm(params["ln1"], x, cfg.layer_norm_eps)
-    q = linear(params["q"], y).reshape(t, p, cfg.num_heads, cfg.head_dim)
-    k = linear(params["k"], y).reshape(t, p, cfg.num_heads, cfg.head_dim)
-    v = linear(params["v"], y).reshape(t, p, cfg.num_heads, cfg.head_dim)
+    q, k, v = fused_qkv(params["q"], params["k"], params["v"], y)
+    q = q.reshape(t, p, cfg.num_heads, cfg.head_dim)
+    k = k.reshape(t, p, cfg.num_heads, cfg.head_dim)
+    v = v.reshape(t, p, cfg.num_heads, cfg.head_dim)
     q, k, v = (a.transpose(0, 2, 1, 3) for a in (q, k, v))
     attn = mha(q, k, v, valid=None, causal=False, use_flash=use_flash)
     attn = attn.transpose(0, 2, 1, 3).reshape(t, p, h)

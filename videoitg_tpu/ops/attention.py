@@ -98,12 +98,27 @@ def mha(
     if not use_flash:
         return mha_reference(q, k, v, valid=valid, causal=causal)
 
-    from videoitg_tpu.ops.flash_attention import flash_mha
     from videoitg_tpu.parallel.context import current_attention_mesh
+
+    # Short unmasked MHA (the vision tower's shape) gets the direct-softmax
+    # multi-head-per-program kernel; everything else streams.
+    use_short = (
+        valid is None and not causal and q.shape[2] <= 1024
+        and q.shape[1] == k.shape[1]
+    )
+    if use_short:
+        from videoitg_tpu.ops.flash_attention_short import flash_mha_short
+
+        kernel = lambda q_, k_, v_, vd: flash_mha_short(q_, k_, v_)  # noqa: E731
+    else:
+        from videoitg_tpu.ops.flash_attention import flash_mha
+
+        kernel = lambda q_, k_, v_, vd: flash_mha(  # noqa: E731
+            q_, k_, v_, valid=vd, causal=causal)
 
     ctx = current_attention_mesh()
     if ctx is None:
-        return flash_mha(q, k, v, valid=valid, causal=causal)
+        return kernel(q, k, v, valid)
 
     import jax as _jax
     from jax.sharding import PartitionSpec as P
@@ -113,7 +128,7 @@ def mha(
         valid = jnp.ones((q.shape[0], q.shape[2]), dtype=bool)
     spec_q = P(dp, tp, None, None)
     f = _jax.shard_map(
-        lambda q_, k_, v_, vd: flash_mha(q_, k_, v_, valid=vd, causal=causal),
+        kernel,
         mesh=mesh,
         in_specs=(spec_q, spec_q, spec_q, P(dp, None)),
         out_specs=spec_q,
