@@ -1,0 +1,98 @@
+"""Per-task prompt/extraction/aggregation unit tests."""
+
+import numpy as np
+
+from videoitg_tpu.eval.api import get_task
+from videoitg_tpu.eval.extraction import extract_choice_letter
+
+
+def test_extract_choice_letter_reference_cases():
+    assert extract_choice_letter("The best answer is B.") == "B"
+    assert extract_choice_letter("(C) something") == "C"
+    assert extract_choice_letter("D") == "D"
+    assert extract_choice_letter("") == ""
+    # >10 words without a letter -> empty
+    assert extract_choice_letter("i really do not know what to say about this one") == ""
+    assert extract_choice_letter("answer: E", letters="ABCDEFGH") == "E"
+
+
+def test_videomme_prompt_and_rollup():
+    task = get_task("videomme")
+    doc = {"question": "What?", "options": ["A. x", "B. y", "C. z", "D. w"],
+           "answer": "B", "duration": "long", "domain": "d",
+           "sub_category": "s", "task_type": "t", "question_id": "q1"}
+    text = task.doc_to_text(doc)
+    assert "Select the best answer" in text and "A. x" in text
+    assert text.endswith("Please respond with only the letter of the correct answer.")
+    rec = task.process_results(doc, "The best answer is B")
+    assert rec["pred_answer"] == "B"
+    agg = task.aggregate([rec, task.process_results(doc, "A")])
+    assert agg["videomme_perception_score"] == 50.0
+    assert agg["videomme_long"] == 50.0 and agg["videomme_short"] == 0.0
+
+
+def test_mlvu_prompt_and_m_avg():
+    task = get_task("mlvu")
+    doc = {"question": "Q (A) x (B) y", "answer": "A", "task_type": "TR",
+           "video_name": "v.mp4"}
+    text = task.doc_to_text(doc)
+    assert text.endswith("Best option: (")
+    recs = [
+        task.process_results({"answer": "A", "task_type": "TR", "question": ""}, "A"),
+        task.process_results({"answer": "B", "task_type": "AR", "question": ""}, "A"),
+    ]
+    agg = task.aggregate(recs)
+    assert agg["mlvu_TR"] == 100.0 and agg["mlvu_AR"] == 0.0
+    assert agg["mlvu_m_avg"] == 50.0
+    assert agg["mlvu_perception_score"] == 50.0
+
+
+def test_longvideobench_parse_and_agg():
+    task = get_task("longvideobench_val_v")
+    doc = {"id": "a1", "question": "Q?", "option0": "x", "option1": "y",
+           "option2": "N/A", "correct_choice": 1, "duration_group": 600,
+           "question_category": "c", "video_path": "v.mp4"}
+    text = task.doc_to_text(doc)
+    assert "A. x" in text and "B. y" in text and "N/A" not in text
+    rec = task.process_results(doc, "B is correct")
+    assert rec["parsed_pred"] == "B" and rec["answer"] == "B"
+    # unparseable -> deterministic per-doc pseudo-random fallback
+    r1 = task.process_results(doc, "no idea about this long answer truly nothing here")
+    r2 = task.process_results(doc, "no idea about this long answer truly nothing here")
+    assert r1["parsed_pred"] == r2["parsed_pred"] in ("A", "B")
+    agg = task.aggregate([rec])
+    assert agg["lvb_acc"] == 1.0
+
+
+def test_cgbench_srt_and_agg(tmp_path):
+    from videoitg_tpu.eval.tasks.cgbench import parse_srt
+
+    srt = tmp_path / "s.srt"
+    srt.write_text(
+        "1\n00:00:01,000 --> 00:00:03,500\nhello world\n\n"
+        "2\n00:00:05,000 --> 00:00:06,000\nsecond line\nmore text\n\n"
+    )
+    subs = parse_srt(str(srt))
+    assert subs[0][:2] == (1.0, 3.5) and subs[0][2] == "hello world"
+    assert subs[1][2] == "second line more text"
+
+    task = get_task("cgbench_subtitles")
+    doc = {"video_uid": "u", "question": "Q?", "choices": ["x", "y", "z"],
+           "answer": "C", "sub_category": "sc"}
+    text = task.doc_to_text(doc)  # no data_root -> no subtitles
+    assert "No subtitles available" in text and "C. z" in text
+    rec = task.process_results(doc, "C")
+    agg = task.aggregate([rec])
+    assert agg["cgbench_perception_score"] == 100.0
+
+
+def test_bootstrap_stderr():
+    from videoitg_tpu.eval.metrics import bootstrap_stderr
+
+    records = [1.0] * 50 + [0.0] * 50
+    se = bootstrap_stderr(records, lambda rs: sum(rs) / len(rs), iters=300)
+    # analytic stderr of the mean ~ 0.05
+    assert 0.03 < se < 0.07
+    assert bootstrap_stderr([1.0], lambda rs: 1.0) == 0.0
+    # deterministic
+    assert se == bootstrap_stderr(records, lambda rs: sum(rs) / len(rs), iters=300)
