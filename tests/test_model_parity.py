@@ -206,3 +206,63 @@ def test_siglip_parity_nondivisible_image():
         ).hidden_states[-2].numpy()
     got = np.asarray(siglip_features(params, jnp.asarray(images), cfg))
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_clip_tower_parity():
+    """CLIP variant: CLS token, pre-layernorm, quick_gelu, patch select."""
+    from transformers import CLIPVisionConfig, CLIPVisionModel
+
+    cfg = VisionConfig(
+        hidden_size=32, intermediate_size=64, num_layers=3, num_heads=4,
+        image_size=56, patch_size=14, layer_norm_eps=1e-5,
+        select_layer=-2, arch="clip", select_feature="patch",
+    )
+    hf_cfg = CLIPVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, image_size=56, patch_size=14,
+        layer_norm_eps=1e-5, hidden_act="quick_gelu",
+        attn_implementation="eager",
+    )
+    torch.manual_seed(11)
+    model = CLIPVisionModel(hf_cfg).eval()
+    params = convert_siglip(model.state_dict(), cfg, prefix="vision_model.")
+
+    rng = np.random.default_rng(11)
+    images = rng.standard_normal((2, 56, 56, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = model(
+            torch.from_numpy(images.transpose(0, 3, 1, 2)), output_hidden_states=True
+        ).hidden_states[-2][:, 1:].numpy()  # patch features (drop CLS)
+    got = np.asarray(siglip_features(params, jnp.asarray(images), cfg))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_llama_variant_parity():
+    """Llama-family decoder (no qkv bias) via the same config-driven stack —
+    the reference's eagle_llama.py counterpart."""
+    from transformers import LlamaConfig, LlamaModel
+
+    cfg = LMConfig(
+        vocab_size=256, hidden_size=48, intermediate_size=96, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=12, rope_theta=10000.0,
+        qkv_bias=False, causal=True,
+    )
+    hf_cfg = LlamaConfig(
+        vocab_size=256, hidden_size=48, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=12, rope_theta=10000.0, rms_norm_eps=1e-6,
+        attention_bias=False, mlp_bias=False,
+        attn_implementation="eager", use_cache=False,
+    )
+    torch.manual_seed(21)
+    model = LlamaModel(hf_cfg).eval()
+    params = convert_qwen2(model.state_dict(), cfg)
+
+    rng = np.random.default_rng(21)
+    ids = rng.integers(0, 256, size=(2, 9), dtype=np.int64)
+    with torch.no_grad():
+        want = model(torch.from_numpy(ids)).last_hidden_state.numpy()
+    embeds = embed_tokens(params, jnp.asarray(ids, dtype=jnp.int32))
+    positions = jnp.broadcast_to(jnp.arange(9, dtype=jnp.int32)[None], (2, 9))
+    got = np.asarray(qwen2_hidden_states(params, embeds, positions, None, cfg))
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)

@@ -118,16 +118,24 @@ def convert_siglip(sd: Mapping, cfg: VisionConfig, dtype=jnp.float32, prefix: st
     o, c, kh, kw = conv_w.shape
     patch_w = conv_w.transpose(2, 3, 1, 0).reshape(kh * kw * c, o)
 
-    return {
-        "patch_embed": {
-            "w": jnp.asarray(patch_w, dtype=dtype),
-            "b": jnp.asarray(_np(sd[prefix + "embeddings.patch_embedding.bias"]), dtype=dtype),
-        },
+    patch_embed = {"w": jnp.asarray(patch_w, dtype=dtype)}
+    if prefix + "embeddings.patch_embedding.bias" in sd:  # SigLIP has bias, CLIP not
+        patch_embed["b"] = jnp.asarray(
+            _np(sd[prefix + "embeddings.patch_embedding.bias"]), dtype=dtype)
+
+    params = {
+        "patch_embed": patch_embed,
         "pos_embed": jnp.asarray(
             _np(sd[prefix + "embeddings.position_embedding.weight"]), dtype=dtype
         ),
         "layers": stack_layer_params([layer(i) for i in range(cfg.num_layers)]),
     }
+    if cfg.arch == "clip":
+        params["cls_embed"] = jnp.asarray(
+            _np(sd[prefix + "embeddings.class_embedding"]), dtype=dtype)
+        # HF CLIP spells it "pre_layrnorm" (sic).
+        params["pre_ln"] = ln(prefix + "pre_layrnorm")
+    return params
 
 
 def convert_projector(sd: Mapping, dtype=jnp.float32, prefix: str = "") -> dict:

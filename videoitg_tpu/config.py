@@ -37,6 +37,13 @@ class VisionConfig:
     # num_layers-1 transformer layers are evaluated and the final
     # post-layernorm is skipped.
     select_layer: int = -2
+    # "siglip" (no CLS, gelu_tanh, conv bias) or "clip" (CLS token,
+    # quick_gelu, pre-layernorm, biasless conv) — the two towers the
+    # reference's clip_encoder.py supports.
+    arch: str = "siglip"
+    # CLIP-only: "patch" drops the CLS position from the output (reference
+    # clip_encoder.py:41-44); "cls_patch" keeps it.
+    select_feature: str = "patch"
 
     @property
     def num_patches_per_side(self) -> int:
@@ -76,6 +83,9 @@ class LMConfig:
     rms_norm_eps: float = 1e-6
     rope_theta: float = 1_000_000.0
     tie_word_embeddings: bool = False
+    # Qwen2 uses q/k/v biases; Llama-family decoders do not (the reference's
+    # eagle_llama.py variant). Everything else is shared.
+    qkv_bias: bool = True
     # Bidirectional (non-causal) attention is the defining trait of the
     # grounding LM (reference grounding_qwen2.py:45-48 sets is_causal=False
     # in every layer). The causal VLM variant flips this on.

@@ -42,9 +42,9 @@ def init_qwen2(key, cfg: LMConfig, dtype=jnp.float32, with_lm_head: bool = False
         return {
             "input_norm": {"scale": jnp.ones((h,), dtype)},
             "post_attn_norm": {"scale": jnp.ones((h,), dtype)},
-            "q": init_linear(ks[0], h, cfg.q_dim, bias=True, dtype=dtype),
-            "k": init_linear(ks[1], h, cfg.kv_dim, bias=True, dtype=dtype),
-            "v": init_linear(ks[2], h, cfg.kv_dim, bias=True, dtype=dtype),
+            "q": init_linear(ks[0], h, cfg.q_dim, bias=cfg.qkv_bias, dtype=dtype),
+            "k": init_linear(ks[1], h, cfg.kv_dim, bias=cfg.qkv_bias, dtype=dtype),
+            "v": init_linear(ks[2], h, cfg.kv_dim, bias=cfg.qkv_bias, dtype=dtype),
             "o": init_linear(ks[3], cfg.q_dim, h, bias=False, dtype=dtype),
             "gate": init_linear(ks[4], h, cfg.intermediate_size, bias=False, dtype=dtype),
             "up": init_linear(ks[5], h, cfg.intermediate_size, bias=False, dtype=dtype),

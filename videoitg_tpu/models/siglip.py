@@ -78,6 +78,13 @@ def _patchify(images: jax.Array, patch: int) -> jax.Array:
     return x.reshape(t, gh * gw, patch * patch * c)
 
 
+def _activation(cfg: VisionConfig):
+    if cfg.arch == "clip":
+        # quick_gelu: x * sigmoid(1.702 x) — HF CLIP's activation.
+        return lambda x: x * jax.nn.sigmoid(1.702 * x)
+    return gelu_tanh
+
+
 def _encoder_layer(params, x: jax.Array, cfg: VisionConfig, use_flash: bool) -> jax.Array:
     t, p, h = x.shape
     residual = x
@@ -93,7 +100,7 @@ def _encoder_layer(params, x: jax.Array, cfg: VisionConfig, use_flash: bool) -> 
 
     residual = x
     y = layer_norm(params["ln2"], x, cfg.layer_norm_eps)
-    y = linear(params["fc2"], gelu_tanh(linear(params["fc1"], y)))
+    y = linear(params["fc2"], _activation(cfg)(linear(params["fc1"], y)))
     return residual + y
 
 
@@ -104,15 +111,26 @@ def siglip_features(
     use_flash: bool = False,
     remat: bool = False,
 ) -> jax.Array:
-    """[T, H, W, 3] preprocessed frames -> [T, num_patches, hidden] features.
+    """[T, H, W, 3] preprocessed frames -> [T, tokens, hidden] features.
 
     Runs cfg.num_effective_layers encoder layers (26 of 27 for select_layer
     -2) and returns the raw hidden state — no post-layernorm, matching the
-    reference's hidden_states[-2] selection.
+    reference's hidden_states[-2] selection. For arch="clip" a CLS token is
+    prepended (and dropped again when select_feature="patch", reference
+    clip_encoder.py:41-44) and the embeddings pass through pre_layernorm.
     """
     x = _patchify(images, cfg.patch_size)
     x = linear(params["patch_embed"], x)
+    if cfg.arch == "clip":
+        t = x.shape[0]
+        cls = jnp.broadcast_to(
+            params["cls_embed"].astype(x.dtype)[None, None, :],
+            (t, 1, cfg.hidden_size),
+        )
+        x = jnp.concatenate([cls, x], axis=1)
     x = x + params["pos_embed"].astype(x.dtype)[None]
+    if cfg.arch == "clip":
+        x = layer_norm(params["pre_ln"], x, cfg.layer_norm_eps)
 
     n_eff = cfg.num_effective_layers
     layers = slice_layer_params(params["layers"], n_eff)
@@ -125,4 +143,6 @@ def siglip_features(
 
     # scan wants body(carry, xs); reorder args.
     x, _ = jax.lax.scan(lambda c, lp: body(c, lp), x, layers)
+    if cfg.arch == "clip" and cfg.select_feature == "patch":
+        x = x[:, 1:]
     return x
