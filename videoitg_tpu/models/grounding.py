@@ -161,6 +161,10 @@ def grounding_loss(
     frames. Returns (loss, metrics).
     """
     assert batch.labels is not None
+    # Training must differentiate through attention: route flash requests to
+    # the vjp-capable kernel (ops/attention.mha_trainable).
+    if use_flash is True:
+        use_flash = "train"
     logits = grounding_logits(
         params, batch, cfg, hw, use_flash=use_flash, remat=remat,
         freeze_vision=freeze_vision,

@@ -98,6 +98,8 @@ def vlm_loss(
     assert batch.post_labels is not None
     lm_cfg = cfg.lm
     assert lm_cfg.causal, "vlm_loss requires a causal LMConfig"
+    if use_flash is True:  # training needs the vjp-capable kernel
+        use_flash = "train"
     x, valid, positions, n_img = _pack_embeds(
         params, batch, cfg, hw, use_flash, remat, freeze_vision
     )

@@ -81,20 +81,94 @@ def mha_reference(
     return out.reshape(b, hq, s, d).astype(q.dtype)
 
 
+def mha_trainable(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    valid: Optional[jax.Array] = None,
+    causal: bool = False,
+) -> jax.Array:
+    """Differentiable flash attention for training.
+
+    The inference kernels (flash_attention*.py) have no backward pass; the
+    O(S^2) XLA fallback cannot fit training shapes (1024 frames -> ~16k
+    tokens). This path runs jax's TPU flash kernel, which ships forward AND
+    backward Pallas kernels (custom VJP). GQA is expressed by tiling KV
+    heads (gradients sum back through the tile); masking via segment ids
+    (invalid positions get segment 0, valid segment 1).
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes, SegmentIds, flash_attention as jax_flash,
+    )
+
+    b, hq, s, d = q.shape
+    hkv = k.shape[1]
+    if hkv != hq:
+        group = hq // hkv
+        k = jnp.repeat(k, group, axis=1)
+        v = jnp.repeat(v, group, axis=1)
+
+    block = 512
+    s_pad = -(-s // block) * block
+    pad = [(0, 0), (0, 0), (0, s_pad - s), (0, 0)]
+    qp, kp, vp = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    if valid is None:
+        seg = jnp.ones((b, s), dtype=jnp.int32)
+    else:
+        seg = valid.astype(jnp.int32)
+    seg = jnp.pad(seg, [(0, 0), (0, s_pad - s)])  # padding -> segment 0
+
+    bs = min(block, s_pad)
+    sizes = BlockSizes(
+        block_q=bs, block_k_major=bs, block_k=bs, block_b=1,
+        block_q_major_dkv=bs, block_k_major_dkv=bs, block_k_dkv=bs,
+        block_q_dkv=bs, block_k_major_dq=bs, block_k_dq=bs, block_q_dq=bs,
+    )
+    out = jax_flash(
+        qp, kp, vp, causal=causal, sm_scale=d ** -0.5,
+        segment_ids=SegmentIds(q=seg, kv=seg), block_sizes=sizes,
+    )
+    return out[:, :, :s, :]
+
+
 def mha(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
     valid: Optional[jax.Array] = None,
     causal: bool = False,
-    use_flash: bool = False,
+    use_flash=False,
 ) -> jax.Array:
-    """Dispatch between the Pallas flash kernel and the XLA reference.
+    """Dispatch between attention implementations.
 
-    Under an active attention mesh (parallel/context.py) the kernel runs as
-    a shard_map island with batch over dp and heads over tp — both
+    use_flash: False -> XLA reference (CPU tests, tiny shapes);
+               True  -> in-tree Pallas inference kernels (no backward);
+               "train" -> differentiable flash (mha_trainable).
+    Under an active attention mesh (parallel/context.py) kernels run as a
+    shard_map island with batch over dp and heads over tp — both
     communication-free for attention.
     """
+    if use_flash == "train":
+        from videoitg_tpu.parallel.context import current_attention_mesh
+
+        ctx = current_attention_mesh()
+        if ctx is None:
+            return mha_trainable(q, k, v, valid=valid, causal=causal)
+        import jax as _jax
+        from jax.sharding import PartitionSpec as P
+
+        mesh, dp, tp = ctx
+        if valid is None:
+            valid = jnp.ones((q.shape[0], q.shape[2]), dtype=bool)
+        spec_q = P(dp, tp, None, None)
+        f = _jax.shard_map(
+            lambda q_, k_, v_, vd: mha_trainable(q_, k_, v_, valid=vd, causal=causal),
+            mesh=mesh,
+            in_specs=(spec_q, spec_q, spec_q, P(dp, None)),
+            out_specs=spec_q,
+            check_vma=False,
+        )
+        return f(q, k, v, valid)
     if not use_flash:
         return mha_reference(q, k, v, valid=valid, causal=causal)
 

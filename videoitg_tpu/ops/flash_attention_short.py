@@ -66,7 +66,14 @@ def flash_mha_short(
     assert k.shape[1] == h, "short kernel expects MHA (no GQA)"
     d_pad = -(-d // 128) * 128
     s_pad = -(-s // 128) * 128
-    while h % group != 0:
+    # Fit the per-program working set in VMEM: q/k/v/o blocks (bf16-ish) plus
+    # the fp32 score/prob buffers, against a conservative ~12MB budget.
+    bytes_per = q.dtype.itemsize
+    while group > 1 and (
+        h % group != 0
+        or 4 * group * s_pad * d_pad * bytes_per + 2 * s_pad * s_pad * 4
+        > 12 * 1024 * 1024
+    ):
         group //= 2
 
     def pad(x):
