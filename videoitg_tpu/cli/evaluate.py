@@ -101,6 +101,10 @@ def main(argv=None) -> int:
 
     if args.rank == 0:
         print(make_table(reports))
+        engine = getattr(adapter, "engine", None)
+        if engine is not None and engine.timer.totals:
+            print("\nstage timings:")
+            print(engine.timer.report())
     return 0
 
 

@@ -117,6 +117,13 @@ def evaluate_task(
     with open(rec_path, "w", encoding="utf-8") as f:
         for rec in records:
             f.write(json.dumps(rec, ensure_ascii=False) + "\n")
+    if log_samples:
+        # Per-sample response log (the reference EvaluationTracker's
+        # save_results_samples counterpart).
+        sample_path = os.path.join(output_dir, f"samples.rank{rank}.{task.name}.jsonl")
+        with open(sample_path, "w", encoding="utf-8") as f:
+            for s in sample_log:
+                f.write(json.dumps(s, ensure_ascii=False, default=str) + "\n")
 
     metrics = task.aggregate(records) if records else {}
     return EvalReport(task=task.name, metrics=metrics, num_docs=len(records),
