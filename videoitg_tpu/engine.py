@@ -83,6 +83,7 @@ class SelectionEngine:
         use_flash: Optional[bool] = None,
         batch_size: int = 1,
         buckets: Sequence[int] = FRAME_BUCKETS,
+        vision_chunk: Optional[int] = None,
     ):
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -95,6 +96,9 @@ class SelectionEngine:
         if use_flash is None:
             use_flash = jax.default_backend() not in ("cpu",)
         self.use_flash = use_flash
+        # Bound vision-tower activations at long buckets (reference chunks at
+        # 384 frames for its GPUs; 128 keeps the 8B-int8 pipeline on one v5e).
+        self.vision_chunk = 128 if vision_chunk is None else vision_chunk
 
         if mesh is not None:
             specs = sharding_lib.grounding_param_specs()
@@ -116,13 +120,15 @@ class SelectionEngine:
         key = (t_bucket, hw, b)
         if key not in self._score_fns:
             cfg, use_flash = self.cfg, self.use_flash
+            chunk = self.vision_chunk if b * t_bucket > self.vision_chunk else 0
 
             def fn(params, frames, frame_valid, text_ids, text_valid):
                 batch = GroundingBatch(
                     frames=frames, frame_valid=frame_valid,
                     text_ids=text_ids, text_valid=text_valid,
                 )
-                logits = grounding_logits(params, batch, cfg, hw=hw, use_flash=use_flash)
+                logits = grounding_logits(params, batch, cfg, hw=hw,
+                                          use_flash=use_flash, vision_chunk=chunk)
                 # sigmoid(-inf) = 0 for padded frames.
                 return jax.nn.sigmoid(logits.astype(jnp.float32))
 

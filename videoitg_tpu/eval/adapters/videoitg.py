@@ -53,10 +53,29 @@ class VideoITGAdapter(ModelAdapter):
             params, cfg = load_grounding_model(pretrained, dtype=jdtype)
             tokenizer = AutoTokenizer.from_pretrained(pretrained)
         elif random_init:
-            from videoitg_tpu.models.grounding import init_grounding
-
             cfg = get_preset(preset)
-            params = init_grounding(jax.random.PRNGKey(0), cfg, dtype=jdtype)
+            if quantize_int8:
+                # Init directly in int8 serving form — materializing 8B bf16
+                # first would not fit a single chip.
+                from videoitg_tpu.models.projector import init_projector
+                from videoitg_tpu.models.siglip import init_siglip
+                from videoitg_tpu.ops.quant import init_qwen2_int8
+
+                k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(0), 4)
+                params = {
+                    "vision": init_siglip(k1, cfg.vision, dtype=jdtype),
+                    "projector": init_projector(k2, cfg.projector, dtype=jdtype),
+                    "lm": init_qwen2_int8(k3, cfg.lm, dtype=jdtype),
+                    "out_proj": {
+                        "w": jax.random.normal(k4, (cfg.lm.hidden_size, 1), jdtype) * 0.02,
+                        "b": jnp.zeros((1,), jdtype),
+                    },
+                }
+                quantize_int8 = False  # already quantized
+            else:
+                from videoitg_tpu.models.grounding import init_grounding
+
+                params = init_grounding(jax.random.PRNGKey(0), cfg, dtype=jdtype)
 
             class _CharTokenizer:
                 bos_token_id = None
