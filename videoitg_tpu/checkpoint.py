@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import os
 import re
-from typing import Callable, Dict, Mapping
+from typing import Dict, Mapping
 
 import jax.numpy as jnp
 import numpy as np

@@ -50,7 +50,6 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
-    from videoitg_tpu.config import preset
     from videoitg_tpu.engine import SelectionEngine
 
     on_cpu = jax.default_backend() == "cpu"

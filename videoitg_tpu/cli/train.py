@@ -13,7 +13,6 @@ Smoke run (no checkpoint, synthetic-capable):
 from __future__ import annotations
 
 import argparse
-import json
 import os
 import sys
 import time

@@ -13,7 +13,7 @@ block, which is what the static packed layout consumes.
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import List
 
 from videoitg_tpu.constants import DEFAULT_IMAGE_TOKEN, IMAGE_TOKEN_INDEX
 

@@ -17,8 +17,6 @@ T, not the bucket). One compile per distinct (bucket, hw, B) key — the
 from __future__ import annotations
 
 import dataclasses
-import time
-from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -100,13 +98,17 @@ class SelectionEngine:
         # 384 frames for its GPUs; 128 keeps the 8B-int8 pipeline on one v5e).
         self.vision_chunk = 128 if vision_chunk is None else vision_chunk
 
+        from videoitg_tpu.ops.quant import cast_params
+
         if mesh is not None:
+            # Mesh serving is the bf16 tier; quantized trees have different
+            # leaf names than the partition specs.
             specs = sharding_lib.grounding_param_specs()
             self.params = sharding_lib.shard_params(
-                jax.tree.map(lambda x: jnp.asarray(x, dtype=dtype), params), specs, mesh
+                cast_params(params, dtype), specs, mesh
             )
         else:
-            self.params = jax.tree.map(lambda x: jnp.asarray(x, dtype=dtype), params)
+            self.params = cast_params(params, dtype)
 
         self._score_fns: Dict[Tuple[int, int, int], object] = {}
         self._pre_fns: Dict[Tuple[int, int, int], object] = {}

@@ -16,7 +16,6 @@ plug in an answer function:
 from __future__ import annotations
 
 import json
-import os
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np

@@ -7,8 +7,6 @@ tile per frame), normalized with ImageNet statistics.
 
 from __future__ import annotations
 
-from typing import List, Tuple
-
 import numpy as np
 
 IMAGENET_MEAN = (0.485, 0.456, 0.406)

@@ -10,7 +10,7 @@ contract. ChatML prompt per the reference conv_qwen template.
 from __future__ import annotations
 
 import sys
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 
@@ -18,7 +18,7 @@ from videoitg_tpu.constants import DEFAULT_IMAGE_TOKEN
 from videoitg_tpu.data.conversation import CHATML_SYSTEM
 from videoitg_tpu.data.tokenizer import tokenizer_image_token
 from videoitg_tpu.constants import IMAGE_TOKEN_INDEX
-from videoitg_tpu.eval.api import Task, register_adapter
+from videoitg_tpu.eval.api import register_adapter
 from videoitg_tpu.eval.adapters.downstream import FrameSelectionConsumer
 
 

@@ -9,8 +9,6 @@ jax.checkpoint can rematerialize per scan step. Linear weights are stored
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from videoitg_tpu.config import GroundingConfig
 from videoitg_tpu.models import qwen2 as qwen2_mod
 from videoitg_tpu.models import siglip as siglip_mod
-from videoitg_tpu.models.common import init_linear, linear
+from videoitg_tpu.models.common import init_linear
 from videoitg_tpu.models.projector import init_projector, project_frames
 
 

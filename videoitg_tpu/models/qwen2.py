@@ -14,7 +14,6 @@ static layouts keep reference-identical RoPE phases.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

@@ -21,7 +21,6 @@ TPU-idiomatic replacement for HF generate.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
 import jax

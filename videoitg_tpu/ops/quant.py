@@ -14,8 +14,6 @@ loading (its builder.py:48-57).
 
 from __future__ import annotations
 
-from typing import Any, Sequence
-
 import jax
 import jax.numpy as jnp
 
@@ -69,8 +67,6 @@ def init_qwen2_int8(key, cfg, dtype=jnp.bfloat16) -> dict:
     materializing bf16 weights (which would not fit HBM alongside the int8
     copy during quantization).
     """
-    from videoitg_tpu.models.qwen2 import init_qwen2
-
     def to_q(shape_like_lin, k):
         kw, _ = jax.random.split(k)
         w_q = jax.random.randint(kw, shape_like_lin, -127, 128, dtype=jnp.int8)
@@ -99,6 +95,24 @@ def init_qwen2_int8(key, cfg, dtype=jnp.bfloat16) -> dict:
         "layers": layers,
         "final_norm": {"scale": jnp.ones((h,), dtype)},
     }
+
+
+def cast_params(params: Any, dtype) -> Any:
+    """Cast float leaves to `dtype`, preserving quantized linears exactly
+    (int8 weights stay int8, their fp32 scales stay fp32 — blind tree-wide
+    casting would dequantize 8B weights into HBM)."""
+
+    def rec(tree):
+        if isinstance(tree, dict):
+            if "w_q" in tree:
+                out = dict(tree)
+                if "b" in tree:
+                    out["b"] = jnp.asarray(tree["b"], dtype=dtype)
+                return out
+            return {k: rec(v) for k, v in tree.items()}
+        return jnp.asarray(tree, dtype=dtype)
+
+    return rec(params)
 
 
 def quantize_grounding_int8(params: dict) -> dict:

@@ -2,9 +2,8 @@
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

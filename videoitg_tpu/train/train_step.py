@@ -9,8 +9,7 @@ rematerializes decoder layers (jax.checkpoint, reference used
 
 from __future__ import annotations
 
-from functools import partial
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
