@@ -235,3 +235,22 @@ def test_native_vlm_downstream_end_to_end(videomme_data, tmp_path):
     assert report.num_docs == 2
     for s in report.samples:
         assert isinstance(s["response"], str)
+
+
+def test_adapter_batching_matches_single(videomme_data, tmp_path):
+    task = get_task("videomme")
+    docs = _videomme_docs(videomme_data)
+    rows = {}
+    for bs in (1, 2):
+        adapter = get_adapter("videoitg")(
+            random_init=True, preset="tiny", num_frames=8, target_fps=1,
+            data_root=videomme_data, dtype="float32", batch_size=bs,
+        )
+        out = str(tmp_path / f"bs{bs}")
+        evaluate_task(adapter, task, docs, out)
+        merged = ResultsWriter(out, 0, 1).merge()
+        rows[bs] = {json.loads(x)["doc_id"]: json.loads(x) for x in open(merged)}
+    assert rows[1].keys() == rows[2].keys()
+    for k in rows[1]:
+        assert rows[1][k]["index"] == rows[2][k]["index"], k
+        assert rows[1][k]["logits"] == rows[2][k]["logits"], k

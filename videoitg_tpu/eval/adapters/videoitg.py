@@ -33,6 +33,7 @@ class VideoITGAdapter(ModelAdapter):
         tp: Optional[int] = None,
         decode_workers: int = 4,
         decode_ahead: int = 4,
+        batch_size: int = 1,
         **_ignored,
     ):
         import jax
@@ -111,9 +112,12 @@ class VideoITGAdapter(ModelAdapter):
         self.data_root = data_root
         self.decode_workers = decode_workers
         self.decode_ahead = decode_ahead
+        self.batch_size = batch_size
 
     def generate_until(self, items: List[tuple], task: Task, writer=None) -> List[str]:
         from videoitg_tpu.data.prefetch import decode_ahead
+        from videoitg_tpu.data.sampling import frame_bucket
+        from videoitg_tpu.models.projector import inference_hw
 
         responses = {}
         work = []
@@ -126,26 +130,48 @@ class VideoITGAdapter(ModelAdapter):
             work.append((doc_id, video_path,
                          {"contexts": contexts, "video_path": video_path}))
 
+        # Same-shape videos are scored together: grouped by (bucket, HW) so
+        # one compiled program serves the whole group (512-frame workloads
+        # collapse to a single group).
+        pending: dict = {}
+
+        def flush(group):
+            decs = pending.pop(group, [])
+            if not decs:
+                return
+            scores = self.engine.score_frames(
+                [d.frames for d in decs], [d.meta["contexts"] for d in decs])
+            for d, sc in zip(decs, scores):
+                index, logits = self.engine.rank_frames(sc, d.sampled)
+                row = {
+                    "index": index, "logits": logits, "num_frames": 1,
+                    "contexts": d.meta["contexts"],
+                    "video_path": d.meta["video_path"], "doc_id": d.key,
+                }
+                if writer is not None:
+                    writer.write(row)
+                responses[d.key] = json.dumps({"index": index[:8]})
+
         # Host decode runs ahead of device scoring on a thread pool.
         for dec in decode_ahead(
             work, num_frames=self.num_frames, target_fps=self.target_fps,
             sampling="eval", multiple=self.multiple,
-            workers=self.decode_workers, ahead=self.decode_ahead,
+            workers=self.decode_workers, ahead=max(self.decode_ahead, self.batch_size),
         ):
-            doc_id = dec.key
             if dec.error is not None:
-                print(f"[videoitg adapter] decode failed for doc {doc_id}: "
+                print(f"[videoitg adapter] decode failed for doc {dec.key}: "
                       f"{dec.error}", file=sys.stderr)
-                responses[doc_id] = "[decode-error]"
+                responses[dec.key] = "[decode-error]"
                 continue
-            # meta carries (video_path via closure order): find from work list
-            result = self.engine.select(
-                dec.frames, dec.sampled, dec.meta["contexts"],
-                video_path=dec.meta["video_path"], doc_id=doc_id,
-            )
-            if writer is not None:
-                writer.write(result.to_reference_json())
-            responses[doc_id] = json.dumps({"index": result.index[:8]})
+            t = dec.frames.shape[0]
+            group = (frame_bucket(t, self.engine.buckets),
+                     inference_hw(self.engine.cfg.projector, t,
+                                  self.engine.cfg.vision.num_patches_per_side))
+            pending.setdefault(group, []).append(dec)
+            if len(pending[group]) >= self.batch_size:
+                flush(group)
+        for group in list(pending):
+            flush(group)
         return [responses[doc_id] for doc_id, _doc in items]
 
 
