@@ -100,6 +100,15 @@ class SelectionEngine:
 
         from videoitg_tpu.ops.quant import cast_params
 
+        if mesh is not None and "tp" in mesh.shape:
+            tp = mesh.shape["tp"]
+            for what, n in (("LM q", cfg.lm.num_heads), ("LM kv", cfg.lm.num_kv_heads),
+                            ("vision", cfg.vision.num_heads)):
+                if n % tp != 0:
+                    raise ValueError(
+                        f"tp={tp} does not divide {what} head count {n}; "
+                        f"pick tp from divisors (e.g. tp<=({cfg.lm.num_kv_heads}))"
+                    )
         if mesh is not None:
             # Mesh serving is the bf16 tier; quantized trees have different
             # leaf names than the partition specs.
