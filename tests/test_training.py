@@ -131,5 +131,15 @@ def test_dataset_and_batching(tmp_path):
 
     batches = list(make_batches(ds, batch_size=2, cfg=CFG, epochs=1, seed=0))
     assert len(batches) >= 1
-    for hw, samples in batches:
+    for t_bucket, hw, samples in batches:
         assert 1 <= hw <= CFG.vision.num_patches_per_side
+        assert all(s.frames.shape[0] <= t_bucket for s in samples)
+
+
+def test_make_batches_preserves_1024_bucket(tmp_path):
+    """Regression: the train loop must NOT re-bucket long videos down to 512
+    (labels beyond frame 512 would be silently dropped)."""
+    from videoitg_tpu.data.sampling import TRAIN_FRAME_BUCKETS, frame_bucket
+
+    assert frame_bucket(1024, TRAIN_FRAME_BUCKETS) == 1024
+    assert frame_bucket(600, TRAIN_FRAME_BUCKETS) == 1024

@@ -169,3 +169,66 @@ def test_vlm_sft_loss_decreases(vlm_setup):
         losses.append(float(metrics["loss"]))
     assert losses[-1] < losses[0] * 0.8, losses
     assert int(metrics["num_label_tokens"]) == 4  # 2 supervised tokens x 2
+
+
+def test_generate_with_padded_frames_matches_compact(vlm_setup):
+    """A video padded into a larger frame bucket must generate the same
+    tokens as the compact (unpadded) batch — the KV cache must mask pad
+    holes mid-sequence, not assume a valid prefix."""
+    cfg, params = vlm_setup
+    rng = np.random.default_rng(9)
+    t_real = 2
+    s = cfg.vision.image_size
+    frames = rng.standard_normal((1, t_real, s, s, 3)).astype(np.float32)
+    pre = rng.integers(1, cfg.lm.vocab_size, (1, 3))
+    post = rng.integers(1, cfg.lm.vocab_size, (1, 5))
+
+    def build(t_bucket):
+        fr = np.zeros((1, t_bucket, s, s, 3), dtype=np.float32)
+        fr[:, :t_real] = frames
+        fv = np.zeros((1, t_bucket), dtype=bool)
+        fv[:, :t_real] = True
+        return VLMBatch(
+            frames=jnp.asarray(fr), frame_valid=jnp.asarray(fv),
+            pre_ids=jnp.asarray(pre, dtype=jnp.int32),
+            pre_valid=jnp.ones((1, 3), dtype=bool),
+            post_ids=jnp.asarray(post, dtype=jnp.int32),
+            post_valid=jnp.ones((1, 5), dtype=bool),
+        )
+
+    compact = np.asarray(vlm_generate(params, build(t_real), cfg, hw=2, max_new_tokens=4))
+    padded = np.asarray(vlm_generate(params, build(4), cfg, hw=2, max_new_tokens=4))
+    np.testing.assert_array_equal(padded, compact)
+
+
+def test_vlm_loss_padded_frames_matches_compact(vlm_setup):
+    """The CE boundary (first post token's predictor) must be the last VALID
+    image slot, so bucket padding cannot change the loss."""
+    from videoitg_tpu.models.vlm import vlm_loss as _loss
+
+    cfg, params = vlm_setup
+    rng = np.random.default_rng(10)
+    t_real = 2
+    s = cfg.vision.image_size
+    frames = rng.standard_normal((1, t_real, s, s, 3)).astype(np.float32)
+    pre = rng.integers(1, cfg.lm.vocab_size, (1, 3))
+    post = rng.integers(1, cfg.lm.vocab_size, (1, 5))
+    labels = np.asarray(post).copy()
+
+    def build(t_bucket):
+        fr = np.zeros((1, t_bucket, s, s, 3), dtype=np.float32)
+        fr[:, :t_real] = frames
+        fv = np.zeros((1, t_bucket), dtype=bool)
+        fv[:, :t_real] = True
+        return VLMBatch(
+            frames=jnp.asarray(fr), frame_valid=jnp.asarray(fv),
+            pre_ids=jnp.asarray(pre, dtype=jnp.int32),
+            pre_valid=jnp.ones((1, 3), dtype=bool),
+            post_ids=jnp.asarray(post, dtype=jnp.int32),
+            post_valid=jnp.ones((1, 5), dtype=bool),
+            post_labels=jnp.asarray(labels),
+        )
+
+    l_compact, _ = _loss(params, build(t_real), cfg, hw=2, remat=False)
+    l_padded, _ = _loss(params, build(4), cfg, hw=2, remat=False)
+    np.testing.assert_allclose(float(l_padded), float(l_compact), atol=1e-5, rtol=1e-5)

@@ -248,10 +248,18 @@ def export_grounding_state_dict(params: dict, cfg: GroundingConfig) -> Dict[str,
     o = patch_w.shape[1]
     sd[vp + "embeddings.patch_embedding.weight"] = (
         patch_w.reshape(p, p, 3, o).transpose(3, 2, 0, 1))
-    sd[vp + "embeddings.patch_embedding.bias"] = np.asarray(
-        vision["patch_embed"]["b"], np.float32)
+    if "b" in vision["patch_embed"]:  # SigLIP; CLIP's conv is biasless
+        sd[vp + "embeddings.patch_embedding.bias"] = np.asarray(
+            vision["patch_embed"]["b"], np.float32)
     sd[vp + "embeddings.position_embedding.weight"] = np.asarray(
         vision["pos_embed"], np.float32)
+    if cfg.vision.arch == "clip":
+        sd[vp + "embeddings.class_embedding"] = np.asarray(
+            vision["cls_embed"], np.float32)
+        sd[vp + "pre_layrnorm.weight"] = np.asarray(
+            vision["pre_ln"]["scale"], np.float32)
+        sd[vp + "pre_layrnorm.bias"] = np.asarray(
+            vision["pre_ln"]["bias"], np.float32)
     for i in range(cfg.vision.num_layers):
         lp = jax_tree_index(vision["layers"], i)
         base = vp + f"encoder.layers.{i}."

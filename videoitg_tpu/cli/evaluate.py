@@ -91,10 +91,11 @@ def main(argv=None) -> int:
             limit=args.limit, log_samples=args.log_samples,
         )
         if args.rank == 0:
-            if args.world_size > 1:
-                report = merge_and_aggregate(task, out_dir, args.world_size)
-            from videoitg_tpu.eval.harness import ResultsWriter
+            from videoitg_tpu.eval.harness import ResultsWriter, wait_for_ranks
 
+            if args.world_size > 1:
+                wait_for_ranks(task, out_dir, args.world_size)
+                report = merge_and_aggregate(task, out_dir, args.world_size)
             ResultsWriter(out_dir, args.rank, args.world_size).merge()
             save_report(report, out_dir)
         reports.append(report)

@@ -52,9 +52,9 @@ def main(argv=None) -> int:
 
     from videoitg_tpu.engine import SelectionEngine
 
-    on_cpu = jax.default_backend() == "cpu"
-    dtype = {None: jnp.float32 if on_cpu else jnp.bfloat16,
-             "bfloat16": jnp.bfloat16, "float32": jnp.float32}[args.dtype]
+    from videoitg_tpu.utils.common import CharTokenizer, resolve_dtype
+
+    dtype = resolve_dtype(args.dtype)
 
     if args.model:
         from transformers import AutoTokenizer
@@ -70,15 +70,7 @@ def main(argv=None) -> int:
         cfg = get_preset(args.preset)
         params = init_grounding(jax.random.PRNGKey(0), cfg, dtype=dtype)
 
-        class _CharTokenizer:
-            bos_token_id = None
-
-            def __call__(self, text):
-                r = type("R", (), {})()
-                r.input_ids = [ord(c) % cfg.lm.vocab_size for c in text]
-                return r
-
-        tokenizer = _CharTokenizer()
+        tokenizer = CharTokenizer(cfg.lm.vocab_size)
         print("[videoitg-select] WARNING: random weights — scores are noise",
               file=sys.stderr)
     else:

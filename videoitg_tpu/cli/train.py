@@ -70,7 +70,6 @@ def main(argv=None) -> int:
     import numpy as np
 
     from videoitg_tpu.config import preset
-    from videoitg_tpu.data.sampling import frame_bucket
     from videoitg_tpu.models.grounding import init_grounding
     from videoitg_tpu.parallel.mesh import batch_sharding, make_mesh
     from videoitg_tpu.parallel.sharding import grounding_param_specs, shard_params
@@ -82,9 +81,10 @@ def main(argv=None) -> int:
         TrainState, create_train_state, make_train_step, run_step,
     )
 
+    from videoitg_tpu.utils.common import CharTokenizer, resolve_dtype
+
     on_cpu = jax.default_backend() == "cpu"
-    dtype = {None: jnp.float32 if on_cpu else jnp.bfloat16,
-             "bfloat16": jnp.bfloat16, "float32": jnp.float32}[args.dtype]
+    dtype = resolve_dtype(args.dtype)
 
     # ---- model + tokenizer ----
     if args.model:
@@ -98,15 +98,7 @@ def main(argv=None) -> int:
         cfg = preset(args.preset)
         params = init_grounding(jax.random.PRNGKey(args.seed), cfg, dtype=dtype)
 
-        class _CharTokenizer:
-            bos_token_id = None
-
-            def __call__(self, text):
-                r = type("R", (), {})()
-                r.input_ids = [ord(c) % cfg.lm.vocab_size for c in text]
-                return r
-
-        tokenizer = _CharTokenizer()
+        tokenizer = CharTokenizer(cfg.lm.vocab_size)
     else:
         print("error: pass --model or --random-init", file=sys.stderr)
         return 2
@@ -162,10 +154,9 @@ def main(argv=None) -> int:
     for epoch_batches in [make_batches(dataset, batch_size, cfg,
                                        epochs=args.num_train_epochs,
                                        seed=args.seed)]:
-        for hw, samples in epoch_batches:
+        for t_bucket, hw, samples in epoch_batches:
             if step >= total_steps:
                 break
-            t_bucket = frame_bucket(max(s.frames.shape[0] for s in samples))
             batch = collate_grounding(samples, t_bucket, cfg, dtype=dtype)
             if mesh is not None:
                 bs = batch_sharding(mesh)

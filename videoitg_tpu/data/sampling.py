@@ -92,8 +92,10 @@ def select_topk(
 
 # Static frame-count buckets for TPU compilation. A video with T sampled
 # frames is padded up to the smallest bucket >= T; padding frames are masked
-# out of attention and scoring. 512 is the reference eval setting.
+# out of attention and scoring. 512 is the reference eval setting; training
+# decodes up to 1024 frames (reference finetune recipe).
 FRAME_BUCKETS = (32, 64, 128, 256, 512)
+TRAIN_FRAME_BUCKETS = (32, 64, 128, 256, 512, 1024)
 
 
 def frame_bucket(num_frames: int, buckets: Sequence[int] = FRAME_BUCKETS) -> int:

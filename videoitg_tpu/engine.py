@@ -98,8 +98,14 @@ class SelectionEngine:
         # 384 frames for its GPUs; 128 keeps the 8B-int8 pipeline on one v5e).
         self.vision_chunk = 128 if vision_chunk is None else vision_chunk
 
-        from videoitg_tpu.ops.quant import cast_params
+        from videoitg_tpu.ops.quant import cast_params, is_quantized_tree
 
+        if mesh is not None and is_quantized_tree(params):
+            raise ValueError(
+                "mesh serving is the bf16 tier — int8-quantized params have a "
+                "different tree structure than the partition specs; use "
+                "quantize_int8 only single-chip, or shard bf16 params"
+            )
         if mesh is not None and "tp" in mesh.shape:
             tp = mesh.shape["tp"]
             for what, n in (("LM q", cfg.lm.num_heads), ("LM kv", cfg.lm.num_kv_heads),
@@ -183,6 +189,17 @@ class SelectionEngine:
         hw = hws.pop()
 
         b = len(videos)
+        # A dp mesh shards the batch axis: pad partial batches by repeating
+        # the last video (extra scores are discarded below).
+        b_real = b
+        if self.mesh is not None and "dp" in self.mesh.shape:
+            dp = self.mesh.shape["dp"]
+            if b % dp != 0:
+                pad_n = dp - b % dp
+                videos = list(videos) + [videos[-1]] * pad_n
+                instructions = list(instructions) + [instructions[-1]] * pad_n
+                t_reals = t_reals + [t_reals[-1]] * pad_n
+                b = len(videos)
         with self.timer.stage("preprocess"):
             pix = jnp.stack([self._preprocess(v, t_bucket) for v in videos])
             frame_valid = np.zeros((b, t_bucket), dtype=bool)
@@ -210,7 +227,7 @@ class SelectionEngine:
                     probs = np.asarray(fn(*args))
             else:
                 probs = np.asarray(fn(*args))
-        return [probs[i, : t_reals[i]] for i in range(b)]
+        return [probs[i, : t_reals[i]] for i in range(b_real)]
 
     def rank_frames(
         self, scores: np.ndarray, sampled_frames: Sequence[int]

@@ -174,8 +174,4 @@ class HFVideoLLMAdapter(FrameSelectionConsumer):
         return text
 
 
-def _call_with_root(fn, doc, data_root):
-    try:
-        return fn(doc, data_root=data_root)
-    except TypeError:
-        return fn(doc)
+from videoitg_tpu.utils.common import call_with_data_root as _call_with_root  # noqa: E402

@@ -53,14 +53,13 @@ class NativeVLMAdapter(FrameSelectionConsumer):
     ):
         super().__init__(**kwargs)
         import jax
-        import jax.numpy as jnp
 
         from videoitg_tpu.config import GroundingConfig, LMConfig, preset as get_preset
+        from videoitg_tpu.utils.common import CharTokenizer, resolve_dtype
 
-        on_cpu = jax.default_backend() == "cpu"
-        self.jdtype = {None: jnp.float32 if on_cpu else jnp.bfloat16,
-                       "bfloat16": jnp.bfloat16, "float32": jnp.float32}[dtype]
-        self.use_flash = not on_cpu
+        self.jdtype = resolve_dtype(dtype)
+        self.use_flash = jax.default_backend() != "cpu"
+
         self.max_new_tokens = max_new_tokens
 
         if pretrained:
@@ -90,20 +89,7 @@ class NativeVLMAdapter(FrameSelectionConsumer):
             )
             self.params = init_grounding(jax.random.PRNGKey(0), cfg, dtype=self.jdtype)
 
-            class _CharTok:
-                bos_token_id = None
-                additional_special_tokens_ids = [400, 401]
-                eos_token_id = 0
-
-                def __call__(self, text):
-                    r = type("R", (), {})()
-                    r.input_ids = [ord(c) % cfg.lm.vocab_size for c in text]
-                    return r
-
-                def decode(self, ids, **kw):
-                    return "".join(chr(max(32, i % 127)) for i in ids)
-
-            self.tokenizer = _CharTok()
+            self.tokenizer = CharTokenizer(cfg.lm.vocab_size)
             self.eos_id = 0
             print("[videoitg-vlm] WARNING: random weights", file=sys.stderr)
         else:

@@ -41,10 +41,9 @@ class VideoITGAdapter(ModelAdapter):
 
         from videoitg_tpu.config import preset as get_preset
         from videoitg_tpu.engine import SelectionEngine
+        from videoitg_tpu.utils.common import CharTokenizer, resolve_dtype
 
-        on_cpu = jax.default_backend() == "cpu"
-        jdtype = {None: jnp.float32 if on_cpu else jnp.bfloat16,
-                  "bfloat16": jnp.bfloat16, "float32": jnp.float32}[dtype]
+        jdtype = resolve_dtype(dtype)
 
         if pretrained:
             from transformers import AutoTokenizer
@@ -78,15 +77,7 @@ class VideoITGAdapter(ModelAdapter):
 
                 params = init_grounding(jax.random.PRNGKey(0), cfg, dtype=jdtype)
 
-            class _CharTokenizer:
-                bos_token_id = None
-
-                def __call__(self, text):
-                    r = type("R", (), {})()
-                    r.input_ids = [ord(c) % cfg.lm.vocab_size for c in text]
-                    return r
-
-            tokenizer = _CharTokenizer()
+            tokenizer = CharTokenizer(cfg.lm.vocab_size)
             print("[videoitg adapter] WARNING: random weights", file=sys.stderr)
         else:
             raise ValueError("pass pretrained=DIR or random_init=True")
@@ -123,7 +114,10 @@ class VideoITGAdapter(ModelAdapter):
         work = []
         for doc_id, doc in items:
             if writer is not None and writer.is_done(doc_id):
-                responses[doc_id] = ""  # resumed
+                # Resume: reconstruct the response from the stored selection
+                # row so per-doc records stay correct across restarts.
+                row = writer.get_row(doc_id)
+                responses[doc_id] = json.dumps({"index": row["index"][:8]})
                 continue
             video_path = _call_with_root(task.doc_to_visual, doc, self.data_root)
             contexts = _call_with_root(task.doc_to_text, doc, self.data_root)
@@ -175,9 +169,4 @@ class VideoITGAdapter(ModelAdapter):
         return [responses[doc_id] for doc_id, _doc in items]
 
 
-def _call_with_root(fn, doc, data_root):
-    """Task doc functions optionally accept data_root."""
-    try:
-        return fn(doc, data_root=data_root)
-    except TypeError:
-        return fn(doc)
+from videoitg_tpu.utils.common import call_with_data_root as _call_with_root  # noqa: E402

@@ -32,22 +32,27 @@ class ResultsWriter:
         self.world_size = world_size
         os.makedirs(output_dir, exist_ok=True)
         self.shard_path = os.path.join(output_dir, f"results.rank{rank}.jsonl")
-        self._done_ids = set()
+        self._rows: Dict[object, dict] = {}
         if os.path.exists(self.shard_path):
             with open(self.shard_path) as f:
                 for line in f:
                     try:
-                        self._done_ids.add(json.loads(line)["doc_id"])
+                        row = json.loads(line)
+                        self._rows[row["doc_id"]] = row
                     except Exception:
                         pass
 
     def is_done(self, doc_id) -> bool:
-        return doc_id in self._done_ids
+        return doc_id in self._rows
+
+    def get_row(self, doc_id) -> Optional[dict]:
+        """Stored selection row for a completed doc (resume path)."""
+        return self._rows.get(doc_id)
 
     def write(self, row: dict) -> None:
         with open(self.shard_path, "a", encoding="utf-8") as f:
             f.write(json.dumps(row, ensure_ascii=False) + "\n")
-        self._done_ids.add(row["doc_id"])
+        self._rows[row["doc_id"]] = row
 
     def merge(self) -> str:
         """Merge all rank shards into results.jsonl, ordered by doc_id."""
@@ -125,9 +130,34 @@ def evaluate_task(
             for s in sample_log:
                 f.write(json.dumps(s, ensure_ascii=False, default=str) + "\n")
 
+    # Completion sentinel: rank 0 waits on these before merging (the
+    # reference synchronizes with dist.barrier before rank-0 aggregation,
+    # evaluator.py:573; on TPU pods the shared filesystem is the channel).
+    with open(os.path.join(output_dir, f"done.rank{rank}.{task.name}"), "w") as f:
+        f.write(str(len(records)))
+
     metrics = task.aggregate(records) if records else {}
     return EvalReport(task=task.name, metrics=metrics, num_docs=len(records),
                       samples=sample_log)
+
+
+def wait_for_ranks(task: Task, output_dir: str, world_size: int,
+                   timeout_s: float = 86400.0, poll_s: float = 10.0) -> bool:
+    """Block until every rank's completion sentinel exists (shared FS)."""
+    import time as _time
+
+    deadline = _time.time() + timeout_s
+    while True:
+        missing = [r for r in range(world_size)
+                   if not os.path.exists(
+                       os.path.join(output_dir, f"done.rank{r}.{task.name}"))]
+        if not missing:
+            return True
+        if _time.time() > deadline:
+            print(f"[harness] WARNING: timed out waiting for ranks {missing}; "
+                  f"merging partial results")
+            return False
+        _time.sleep(poll_s)
 
 
 def merge_and_aggregate(task: Task, output_dir: str, world_size: int) -> EvalReport:

@@ -109,9 +109,20 @@ def vlm_loss(
 
     l_pre = batch.pre_ids.shape[1]
     l_post = batch.post_ids.shape[1]
-    # Predict post token j from the hidden state one slot earlier.
+    # Predict post token j from the hidden state of the previous REAL token.
+    # For j >= 1 that is post token j-1 (post is a contiguous valid prefix);
+    # for j == 0 it is the last VALID image slot — padded pre/image slots sit
+    # between the segments, so post_start-1 may be a pad slot.
     post_start = l_pre + n_img
     pred_logits = logits[:, post_start - 1 : post_start - 1 + l_post, :]
+    n_valid_img = jnp.sum(
+        jnp.repeat(batch.frame_valid, hw * hw, axis=1).astype(jnp.int32), axis=1
+    )
+    boundary_idx = l_pre + n_valid_img - 1  # last valid image slot per sample
+    boundary_logits = jnp.take_along_axis(
+        logits, boundary_idx[:, None, None], axis=1
+    )  # [B, 1, V]
+    pred_logits = jnp.concatenate([boundary_logits, pred_logits[:, 1:, :]], axis=1)
     labels = batch.post_labels
     mask = (labels != IGNORE_INDEX) & batch.post_valid
 
@@ -127,13 +138,16 @@ def vlm_loss(
 
 
 class KVCache(NamedTuple):
-    k: jax.Array  # [L, B, Hkv, S_max, D]
+    k: jax.Array          # [L, B, Hkv, S_max, D]
     v: jax.Array
-    length: jax.Array  # [] int32 — valid prefix length (same across batch)
+    mask: jax.Array       # [B, S_max] bool — which cache slots hold real keys
+    write_idx: jax.Array  # [] int32 — next slot to write (shared, slot-space)
+    next_pos: jax.Array   # [B] int32 — next RoPE position per sample
 
 
-def _attend_with_cache(q, k_cache, v_cache, cache_len, cfg: LMConfig):
-    """q [B, Hq, 1, D] against cache [B, Hkv, S_max, D] (masked by length)."""
+def _attend_with_cache(q, k_cache, v_cache, mask, cfg: LMConfig):
+    """q [B, Hq, 1, D] against cache [B, Hkv, S_max, D]; `mask` [B, S_max]
+    marks real keys (packed prompts may have pad holes mid-sequence)."""
     b, hq, _, d = q.shape
     hkv = k_cache.shape[1]
     group = hq // hkv
@@ -141,9 +155,7 @@ def _attend_with_cache(q, k_cache, v_cache, cache_len, cfg: LMConfig):
     logits = jnp.einsum(
         "bhgd,bhsd->bhgs", qf, k_cache, preferred_element_type=jnp.float32
     ) * (d ** -0.5)
-    s_max = k_cache.shape[2]
-    pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, s_max), 3)
-    logits = jnp.where(pos < cache_len, logits, -jnp.inf)
+    logits = jnp.where(mask[:, None, None, :], logits, -jnp.inf)
     p = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bhgs,bhsd->bhgd", p.astype(v_cache.dtype), v_cache)
     return out.reshape(b, hq, 1, d).astype(q.dtype)
@@ -155,8 +167,9 @@ def vlm_prefill(
 ) -> Tuple[jax.Array, KVCache]:
     """Causal prefill building a KV cache padded to max_len.
 
-    Returns (last hidden state [B, H], cache). Assumes `valid` is a prefix
-    mask of equal length across the batch (callers left-pack prompts).
+    `valid` may contain pad holes mid-sequence (the packed [pre|img|post]
+    layout pads each segment); the cache records them in its mask and the
+    returned hidden state is taken at each sample's LAST VALID slot.
     """
     b, s, h = x.shape
     layers = slice_layer_params(params["layers"], cfg.num_layers)
@@ -184,9 +197,16 @@ def vlm_prefill(
     # k_all/v_all: [L, B, Hkv, S, D] stacked by the scan.
     k_all = jnp.pad(k_all, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0)))
     v_all = jnp.pad(v_all, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0)))
-    prompt_len = jnp.sum(valid[0].astype(jnp.int32))
-    last_hidden = hidden[jnp.arange(b), prompt_len - 1]  # [B, H]
-    return last_hidden, KVCache(k=k_all, v=v_all, length=prompt_len)
+    mask = jnp.pad(valid, ((0, 0), (0, pad)))
+    # positions = cumsum(valid)-1 is monotone: its max sits at the last
+    # valid slot of each sample.
+    last_valid_idx = jnp.argmax(positions, axis=1)  # [B]
+    last_hidden = hidden[jnp.arange(b), last_valid_idx]  # [B, H]
+    next_pos = jnp.sum(valid.astype(jnp.int32), axis=1)  # [B]
+    return last_hidden, KVCache(
+        k=k_all, v=v_all, mask=mask,
+        write_idx=jnp.asarray(s, dtype=jnp.int32), next_pos=next_pos,
+    )
 
 
 def vlm_decode_step(
@@ -196,8 +216,9 @@ def vlm_decode_step(
     b = token.shape[0]
     x = qwen2_mod.embed_tokens(params["lm"] if "lm" in params else params, token)[:, None, :]
     lm = params["lm"] if "lm" in params else params
-    pos = jnp.broadcast_to(cache.length[None, None], (b, 1)).astype(jnp.int32)
+    pos = cache.next_pos[:, None]  # [B, 1] per-sample RoPE position
 
+    new_mask = cache.mask.at[:, cache.write_idx].set(True)
     layers = slice_layer_params(lm["layers"], cfg.num_layers)
 
     def body(carry, inputs):
@@ -210,12 +231,12 @@ def vlm_decode_step(
         q, k, v = (a.transpose(0, 2, 1, 3) for a in (q, k, v))
         q = apply_rope(q, pos, cfg.rope_theta)
         k = apply_rope(k, pos, cfg.rope_theta)
-        # Write the new kv at position cache.length.
+        # Write the new kv at the shared slot cursor.
         k_cache = jax.lax.dynamic_update_index_in_dim(k_cache, k[:, :, 0, :],
-                                                      cache.length, axis=2)
+                                                      cache.write_idx, axis=2)
         v_cache = jax.lax.dynamic_update_index_in_dim(v_cache, v[:, :, 0, :],
-                                                      cache.length, axis=2)
-        attn = _attend_with_cache(q, k_cache, v_cache, cache.length + 1, cfg)
+                                                      cache.write_idx, axis=2)
+        attn = _attend_with_cache(q, k_cache, v_cache, new_mask, cfg)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, 1, cfg.q_dim)
         x_c = x_c + linear(layer_params["o"], attn)
         y = rms_norm(layer_params["post_attn_norm"], x_c, cfg.rms_norm_eps)
@@ -228,7 +249,9 @@ def vlm_decode_step(
     )
     hidden = rms_norm(lm["final_norm"], x_out, cfg.rms_norm_eps)[:, 0, :]
     logits = qwen2_mod.lm_logits(lm, hidden[:, None, :], cfg)[:, 0, :]
-    return logits, KVCache(k=new_k, v=new_v, length=cache.length + 1)
+    return logits, KVCache(k=new_k, v=new_v, mask=new_mask,
+                           write_idx=cache.write_idx + 1,
+                           next_pos=cache.next_pos + 1)
 
 
 def vlm_generate(

@@ -34,6 +34,17 @@ def is_quantized(lin: dict) -> bool:
     return isinstance(lin, dict) and "w_q" in lin
 
 
+def is_quantized_tree(params) -> bool:
+    """True if any linear in the tree is int8-quantized."""
+
+    def rec(t):
+        if isinstance(t, dict):
+            return "w_q" in t or any(rec(v) for v in t.values())
+        return False
+
+    return rec(params)
+
+
 def quantized_linear(lin: dict, x: jax.Array) -> jax.Array:
     """x @ dequant(w) with the scale applied post-GEMM."""
     y = jnp.einsum(

@@ -27,7 +27,7 @@ from typing import Iterator, List, Sequence
 import numpy as np
 
 from videoitg_tpu.config import GroundingConfig
-from videoitg_tpu.data.sampling import frame_bucket
+from videoitg_tpu.data.sampling import TRAIN_FRAME_BUCKETS, frame_bucket
 from videoitg_tpu.data.tokenizer import grounding_text_ids
 from videoitg_tpu.models.projector import training_hw
 
@@ -112,9 +112,9 @@ def make_batches(
     cfg: GroundingConfig,
     epochs: int = 1,
     seed: int = 0,
-    buckets: Sequence[int] = (32, 64, 128, 256, 512, 1024),
+    buckets: Sequence[int] = TRAIN_FRAME_BUCKETS,
 ) -> Iterator[tuple]:
-    """Yield (hw, list[GroundingSample]) batches, length-grouped.
+    """Yield (t_bucket, hw, list[GroundingSample]) batches, length-grouped.
 
     Like the reference's LengthGroupedSampler (eagle_trainer.py:62-132):
     shuffle, then sort within megabatches by length so co-batched samples
@@ -136,11 +136,11 @@ def make_batches(
                     cfg.projector, max(s.frames.shape[0] for s in batch),
                     cfg.vision.num_patches_per_side, rng,
                 )
-                yield hw, batch
+                yield b, hw, batch
         for b, batch in pending.items():  # flush leftovers
             if batch:
                 hw = training_hw(
                     cfg.projector, max(s.frames.shape[0] for s in batch),
                     cfg.vision.num_patches_per_side, rng,
                 )
-                yield hw, batch
+                yield b, hw, batch

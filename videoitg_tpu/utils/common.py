@@ -1,0 +1,44 @@
+"""Small shared helpers used across CLIs and adapters."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+
+def resolve_dtype(name: Optional[str]):
+    """None -> fp32 on CPU / bf16 on accelerators; else the named dtype."""
+    import jax
+    import jax.numpy as jnp
+
+    if name is None:
+        return jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+            "float16": jnp.float16}[name]
+
+
+def call_with_data_root(fn, doc, data_root: str):
+    """Task doc functions optionally accept data_root."""
+    try:
+        return fn(doc, data_root=data_root)
+    except TypeError:
+        return fn(doc)
+
+
+class CharTokenizer:
+    """Deterministic char-level tokenizer for smoke tests / random-init runs
+    (one id per character, modulo the vocab)."""
+
+    bos_token_id = None
+    eos_token_id = 0
+    additional_special_tokens_ids = [400, 401]  # fake im_start/im_end
+
+    def __init__(self, vocab_size: int = 512):
+        self.vocab_size = vocab_size
+
+    def __call__(self, text):
+        r = type("R", (), {})()
+        r.input_ids = [ord(c) % self.vocab_size for c in text]
+        return r
+
+    def decode(self, ids, **_kw):
+        return "".join(chr(max(32, int(i) % 127)) for i in ids)
