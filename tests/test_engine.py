@@ -138,3 +138,22 @@ def test_engine_flash_interpret_matches_xla(tiny_setup):
     finally:
         fa.flash_mha = fa_flash
         fas.flash_mha_short = fas_short
+
+
+def test_engine_mesh_pads_partial_batches(tiny_setup):
+    """dp=2 with odd batch sizes must pad internally, not crash device_put."""
+    cfg, params = tiny_setup
+    mesh = make_mesh(dp=2, tp=2, devices=jax.devices()[:4])
+    eng1 = SelectionEngine(params, cfg, ToyTokenizer(), dtype=jnp.float32,
+                           use_flash=False, buckets=(4,))
+    engm = SelectionEngine(params, cfg, ToyTokenizer(), mesh=mesh,
+                           dtype=jnp.float32, use_flash=False, buckets=(4,))
+    rng = np.random.default_rng(7)
+    for b in (1, 3):
+        vids = [_frames(rng, 4) for _ in range(b)]
+        instrs = [f"q{i}" for i in range(b)]
+        want = eng1.score_frames(vids, instrs)
+        got = engm.score_frames(vids, instrs)
+        assert len(got) == b
+        for w, g in zip(want, got):
+            np.testing.assert_allclose(g, w, atol=2e-5, rtol=1e-5)
