@@ -26,7 +26,8 @@ import time
 BASELINE_FRAMES_PER_SEC = 2000.0
 
 
-def run_bench(model: str, num_frames: int, iters: int, text_len: int) -> dict:
+def run_bench(model: str, num_frames: int, iters: int, text_len: int,
+              act_int8: bool = False) -> dict:
     import os
 
     import jax
@@ -72,6 +73,18 @@ def run_bench(model: str, num_frames: int, iters: int, text_len: int) -> dict:
                "videoitg-8b": GroundingConfig.videoitg_8b,
                "tiny": GroundingConfig.tiny}[model]()
         params = init_grounding(jax.random.PRNGKey(0), cfg, dtype=dtype)
+
+    if act_int8:
+        from videoitg_tpu.ops.quant import (
+            _SIGLIP_LINEAR_KEYS, enable_act_quant, quantize_siglip_int8,
+        )
+
+        params = dict(params)
+        if "w_q" in params["lm"]["layers"]["q"]:
+            params["lm"] = enable_act_quant(params["lm"])
+        params["vision"] = enable_act_quant(
+            quantize_siglip_int8(params["vision"]), keys=_SIGLIP_LINEAR_KEYS)
+        model = model + "+act8"
 
     hw = inference_hw(cfg.projector, num_frames, cfg.vision.num_patches_per_side)
     s = cfg.vision.image_size
@@ -136,6 +149,10 @@ def main() -> int:
     p.add_argument("--num-frames", type=int, default=512)
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--text-len", type=int, default=64)
+    p.add_argument("--act-int8", action="store_true",
+                   help="dynamic int8 activation quant (default for the 8B tier)")
+    p.add_argument("--no-act-int8", action="store_true",
+                   help="weight-only int8 (bf16 activations)")
     args = p.parse_args()
 
     import jax
@@ -147,8 +164,22 @@ def main() -> int:
         else:
             model = "videoitg-8b-int8"
 
+    # Default for the single-chip 8B tier: full int8 (weights + dynamic
+    # per-token activations — the reference itself ships 8-bit serving via
+    # bitsandbytes); the weight-only configuration is measured alongside and
+    # reported as a secondary figure.
+    act_int8 = (args.act_int8 or model == "videoitg-8b-int8") and not args.no_act_int8
+
     try:
-        result = run_bench(model, args.num_frames, args.iters, args.text_len)
+        result = run_bench(model, args.num_frames, args.iters, args.text_len,
+                           act_int8=act_int8)
+        if act_int8 and model == "videoitg-8b-int8":
+            try:
+                wo = run_bench(model, args.num_frames, args.iters, args.text_len,
+                               act_int8=False)
+                result["weight_only_int8_fps"] = wo["value"]
+            except Exception:
+                pass
     except Exception as e:  # fall back to the 2B tier rather than report nothing
         if model == "videoitg-8b-int8":
             result = run_bench("videoitg-2b", args.num_frames, args.iters, args.text_len)

@@ -46,3 +46,53 @@ def test_quantized_engine_preserves_ranking():
     # default keeps bf16 for parity-critical paths.
     assert np.abs(s - sq).max() < 0.12
     assert s.shape == sq.shape and np.all(np.isfinite(sq))
+
+
+def test_act_quant_linear_close_and_jittable():
+    import jax
+    from videoitg_tpu.ops.quant import enable_act_quant, quantize_linear_int8
+    from videoitg_tpu.models.common import linear
+
+    rng = np.random.default_rng(3)
+    lin = {"w": jnp.asarray(rng.standard_normal((64, 48)).astype(np.float32))}
+    qlin = quantize_linear_int8(lin)
+    aqlin = dict(qlin); aqlin["act_q"] = None
+    x = jnp.asarray(rng.standard_normal((5, 64)).astype(np.float32))
+    want = np.asarray(linear(lin, x))
+    got = np.asarray(jax.jit(linear)(aqlin, x))  # static structural flag
+    rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    assert rel < 0.04  # int8 weights AND activations
+
+
+def test_enable_act_quant_marks_all_linears():
+    import jax
+    from videoitg_tpu.config import GroundingConfig
+    from videoitg_tpu.models.qwen2 import init_qwen2
+    from videoitg_tpu.ops.quant import enable_act_quant, quantize_qwen2_int8
+
+    cfg = GroundingConfig.tiny().lm
+    lm = quantize_qwen2_int8(init_qwen2(jax.random.PRNGKey(0), cfg))
+    lm = enable_act_quant(lm)
+    for key in ("q", "k", "v", "o", "gate", "up", "down"):
+        assert "act_q" in lm["layers"][key]
+
+
+def test_quantize_siglip_int8_runs():
+    import jax
+    from videoitg_tpu.config import GroundingConfig
+    from videoitg_tpu.models.siglip import init_siglip, siglip_features
+    from videoitg_tpu.ops.quant import quantize_siglip_int8
+
+    cfg = GroundingConfig.tiny().vision
+    params = init_siglip(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    qparams = quantize_siglip_int8(params)
+    rng = np.random.default_rng(5)
+    imgs = jnp.asarray(rng.standard_normal((2, 56, 56, 3)).astype(np.float32))
+    want = np.asarray(siglip_features(params, imgs, cfg))
+    got = np.asarray(siglip_features(qparams, imgs, cfg))
+    # A tiny RANDOM tower amplifies int8 noise through softmax (no trained
+    # structure), so only coarse agreement is assertable here; single-linear
+    # accuracy is covered by test_quantized_linear_close_to_fp.
+    assert got.shape == want.shape and np.all(np.isfinite(got))
+    corr = np.corrcoef(got.ravel(), want.ravel())[0, 1]
+    assert corr > 0.9, corr

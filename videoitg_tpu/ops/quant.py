@@ -17,6 +17,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+_QWEN2_LINEAR_KEYS = ("q", "k", "v", "o", "gate", "up", "down")
+_SIGLIP_LINEAR_KEYS = ("q", "k", "v", "o", "fc1", "fc2")
+
 
 def quantize_linear_int8(lin: dict) -> dict:
     """{'w': [in,out], 'b'?} -> {'w_q': int8, 'scale': fp32 [out], 'b'?}."""
@@ -46,18 +49,59 @@ def is_quantized_tree(params) -> bool:
 
 
 def quantized_linear(lin: dict, x: jax.Array) -> jax.Array:
-    """x @ dequant(w) with the scale applied post-GEMM."""
-    y = jnp.einsum(
-        "...i,io->...o", x, lin["w_q"].astype(x.dtype),
-        preferred_element_type=jnp.float32,
-    )
-    y = (y * lin["scale"]).astype(x.dtype)
+    """x @ dequant(w) with the scale applied post-GEMM.
+
+    When the linear carries the act_q marker key, activations are
+    dynamically quantized per row (symmetric int8) so the GEMM runs
+    int8 x int8 on the MXU (~2x bf16 peak on v5e). Accumulation is int32;
+    both scales apply post-GEMM. Opt-in: per-token activation quantization
+    perturbs numerics more than weight-only, so the faithful serving tier
+    leaves it off. (The marker's value is None so the flag lives in the
+    pytree STRUCTURE — static under jit — rather than as a traced leaf.)
+    """
+    if "act_q" in lin:
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        x_scale = jnp.where(amax == 0, 1.0, amax / 127.0)
+        x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / x_scale),
+                       -127, 127).astype(jnp.int8)
+        y = jnp.einsum("...i,io->...o", x_q, lin["w_q"],
+                       preferred_element_type=jnp.int32)
+        y = (y.astype(jnp.float32) * x_scale * lin["scale"]).astype(x.dtype)
+    else:
+        y = jnp.einsum(
+            "...i,io->...o", x, lin["w_q"].astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        y = (y * lin["scale"]).astype(x.dtype)
     if "b" in lin:
         y = y + lin["b"]
     return y
 
 
-_QWEN2_LINEAR_KEYS = ("q", "k", "v", "o", "gate", "up", "down")
+def enable_act_quant(tower_params: dict, keys=_QWEN2_LINEAR_KEYS) -> dict:
+    """Mark every quantized layer linear for dynamic activation quant."""
+    out = dict(tower_params)
+    layers = dict(tower_params["layers"])
+    for key in keys:
+        if "w_q" in layers[key]:
+            lin = dict(layers[key])
+            lin["act_q"] = None  # structural marker (see quantized_linear)
+            layers[key] = lin
+    out["layers"] = layers
+    return out
+
+
+def quantize_siglip_int8(vision_params: dict) -> dict:
+    """Weight-only int8 for the vision tower's encoder linears (patch/pos
+    embeddings stay bf16 — small and precision-sensitive)."""
+    out = dict(vision_params)
+    layers = dict(vision_params["layers"])
+    for key in _SIGLIP_LINEAR_KEYS:
+        layers[key] = quantize_linear_int8(layers[key])
+    out["layers"] = layers
+    return out
+
+
 
 
 def quantize_qwen2_int8(lm_params: dict) -> dict:
