@@ -254,3 +254,18 @@ def test_adapter_batching_matches_single(videomme_data, tmp_path):
     for k in rows[1]:
         assert rows[1][k]["index"] == rows[2][k]["index"], k
         assert rows[1][k]["logits"] == rows[2][k]["logits"], k
+
+
+def test_adapter_act_int8_path(videomme_data, tmp_path):
+    task = get_task("videomme")
+    docs = _videomme_docs(videomme_data)[:1]
+    adapter = get_adapter("videoitg")(
+        random_init=True, preset="tiny", num_frames=8, target_fps=1,
+        data_root=videomme_data, dtype="float32", act_int8=True,
+    )
+    out = str(tmp_path / "act8")
+    report = evaluate_task(adapter, task, docs, out)
+    assert report.num_docs == 1
+    merged = ResultsWriter(out, 0, 1).merge()
+    row = json.loads(open(merged).read().strip())
+    assert len(row["index"]) >= 1 and all(0 <= v <= 1 for v in row["logits"])
