@@ -52,6 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--logging-steps", type=int, default=1)
     p.add_argument("--dp", type=int, default=None)
     p.add_argument("--tp", type=int, default=None)
+    p.add_argument("--offload-optimizer", action="store_true",
+                   help="park optimizer state in pinned host memory between "
+                        "steps (ZeRO-3-offload equivalent; TPU only)")
     p.add_argument("--dtype", default=None, choices=[None, "bfloat16", "float32"])
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--seed", type=int, default=42)
@@ -163,8 +166,8 @@ def main(argv=None) -> int:
                 batch = jax.tree.map(lambda x: jax.device_put(x, bs), batch)
             key = (hw, t_bucket, len(samples))
             if key not in step_fns:
-                step_fns[key] = make_train_step(
-                    cfg, tx, hw=hw, use_flash=not on_cpu, remat=True)
+                fn = make_train_step(cfg, tx, hw=hw, use_flash=not on_cpu, remat=True)
+                step_fns[key] = offload_wrap(fn) if offload_wrap else fn
             state, metrics = run_step(step_fns[key], state, batch, mesh=mesh)
             step = int(state.step)
             if step % args.logging_steps == 0:
