@@ -143,3 +143,36 @@ def test_make_batches_preserves_1024_bucket(tmp_path):
 
     assert frame_bucket(1024, TRAIN_FRAME_BUCKETS) == 1024
     assert frame_bucket(600, TRAIN_FRAME_BUCKETS) == 1024
+
+
+def test_sharded_checkpoint_roundtrip(tmp_path):
+    """Orbax save/restore of a GSPMD-sharded train state (dp2 x tp4 mesh)."""
+    from videoitg_tpu.config import GroundingConfig
+    from videoitg_tpu.parallel.mesh import make_mesh
+    from videoitg_tpu.parallel.sharding import grounding_param_specs, shard_params
+    from videoitg_tpu.train.checkpointing import TrainCheckpointer
+
+    cfg = GroundingConfig.dryrun()
+    mesh = make_mesh(dp=2, tp=4)
+    params = init_grounding(jax.random.PRNGKey(5), cfg, dtype=jnp.float32)
+    params = shard_params(params, grounding_param_specs(), mesh)
+    tx = make_grounding_optimizer(params, total_steps=4, schedule="constant",
+                                  warmup_ratio=0.0)
+    state = create_train_state(params, tx)
+
+    ckpt = TrainCheckpointer(str(tmp_path), save_interval=1)
+    assert ckpt.maybe_save(1, state._replace(step=jnp.ones((), jnp.int32)))
+    ckpt.close()
+
+    template = create_train_state(params, tx)
+    ckpt2 = TrainCheckpointer(str(tmp_path))
+    step, restored = ckpt2.restore_latest(template)
+    ckpt2.close()
+    assert step == 1
+    # shardings preserved
+    qw = restored.params["lm"]["layers"]["q"]["w"]
+    assert len(qw.sharding.device_set) == 8
+    np.testing.assert_allclose(
+        np.asarray(restored.params["lm"]["layers"]["q"]["w"]),
+        np.asarray(state.params["lm"]["layers"]["q"]["w"]),
+    )
