@@ -96,3 +96,27 @@ def test_bootstrap_stderr():
     assert bootstrap_stderr([1.0], lambda rs: 1.0) == 0.0
     # deterministic
     assert se == bootstrap_stderr(records, lambda rs: sum(rs) / len(rs), iters=300)
+
+
+def test_videomme_subtitle_variant(tmp_path):
+    import os
+
+    from videoitg_tpu.data.video import write_test_video
+
+    task = get_task("videomme_w_subtitle")
+    doc = {"videoID": "v", "question": "Q?", "options": ["A. x", "B. y"],
+           "answer": "A", "duration": "short", "domain": "d",
+           "sub_category": "s", "task_type": "t", "question_id": "q"}
+    # no data_root -> no subtitles
+    text = task.doc_to_text(doc)
+    assert "No subtitles available" in text
+    assert text.endswith("The best answer is:")
+
+    # with an SRT (Video-MME font markup) + video
+    os.makedirs(tmp_path / "data"); os.makedirs(tmp_path / "subtitle")
+    write_test_video(str(tmp_path / "data" / "v.mp4"), 64, 48, 30, 10, 8)
+    (tmp_path / "subtitle" / "v.srt").write_text(
+        '1\n00:00:00,000 --> 00:00:02,000\n'
+        '<font color="white" size=".72c">hello subs</font>\n\n')
+    text = task.doc_to_text(doc, data_root=str(tmp_path))
+    assert "hello subs" in text and "font" not in text

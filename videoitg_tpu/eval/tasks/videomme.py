@@ -75,10 +75,60 @@ def load_docs(data_root: str, split: str = "test") -> List[dict]:
     return load_benchmark_docs("lmms-lab/Video-MME", data_root, split)
 
 
+def doc_to_text_subtitle(doc, data_root: str = "", frame_num: int = 32,
+                         **_) -> str:
+    """Prompt variant with frame-aligned subtitle lines (parity:
+    videomme/utils.py:174-229 — Video-MME SRTs wrap text in a
+    <font color="white" size=".72c"> tag, extracted per overlapping line)."""
+    import re
+
+    subtitle = "No subtitles available"
+    if data_root:
+        sub_path = os.path.join(data_root, "subtitle", doc["videoID"] + ".srt")
+        try:
+            video_path = doc_to_visual(doc, data_root=data_root)
+        except FileNotFoundError:
+            video_path = None
+        if video_path and os.path.exists(sub_path):
+            try:
+                from videoitg_tpu.eval.tasks.cgbench import (
+                    subtitles_for_sampled_frames,
+                )
+
+                text = subtitles_for_sampled_frames(video_path, sub_path, frame_num)
+                # Strip the Video-MME font markup when present.
+                lines = []
+                for ln in text.splitlines():
+                    m = re.findall(r'<font color="white" size=".72c">(.*?)</font>', ln)
+                    lines.append(m[0] if m else ln)
+                subtitle = "\n".join(lines) or "No subtitles available"
+            except Exception:
+                subtitle = "No subtitles available"
+    option_prompt = (
+        "Select the best answer to the following multiple-choice question "
+        "based on the video and the subtitles. Respond with only the letter "
+        "(A, B, C, or D) of the correct option."
+    )
+    question = doc["question"] + "\n" + "\n".join(doc["options"])
+    return ("This video's subtitles are listed below: \n" + subtitle + "\n"
+            + option_prompt + "\n" + question + "\n" + "The best answer is:")
+
+
 register_task(Task(
     name="videomme",
     doc_to_visual=doc_to_visual,
     doc_to_text=doc_to_text,
+    process_results=process_results,
+    aggregate=aggregate,
+    load_docs=load_docs,
+    doc_id_key=None,
+    generation_kwargs={"max_new_tokens": 16, "temperature": 0, "do_sample": False},
+))
+
+register_task(Task(
+    name="videomme_w_subtitle",
+    doc_to_visual=doc_to_visual,
+    doc_to_text=doc_to_text_subtitle,
     process_results=process_results,
     aggregate=aggregate,
     load_docs=load_docs,
