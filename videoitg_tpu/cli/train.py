@@ -160,6 +160,12 @@ def main(argv=None) -> int:
         for t_bucket, hw, samples in epoch_batches:
             if step >= total_steps:
                 break
+            if mesh is not None and len(samples) % mesh.shape["dp"] != 0:
+                # leftover group smaller than the dp axis: drop (the
+                # reference's DataLoader drop_last equivalent)
+                print(f"[train] dropping leftover batch of {len(samples)} "
+                      f"(not divisible by dp={mesh.shape['dp']})")
+                continue
             batch = collate_grounding(samples, t_bucket, cfg, dtype=dtype)
             if mesh is not None:
                 bs = batch_sharding(mesh)
