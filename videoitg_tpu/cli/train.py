@@ -1,9 +1,15 @@
-"""videoitg-train: grounding finetune on VideoITG-40K-format data.
+"""videoitg-train: grounding finetune / VLM SFT on VideoITG-format data.
 
-TPU-native counterpart of the reference's train_itg.py + DeepSpeed launch
-(scripts/videoitg/finetune-qwen2-7b-grounding.sh): GSPMD mesh instead of
-ZeRO, optax multi-LR groups (out_proj 10x), cosine + warmup, frozen vision
-tower, gradient rematerialization, orbax checkpoints with auto-resume.
+TPU-native counterpart of the reference's train_itg.py AND train_vlm.py +
+DeepSpeed launch (scripts/videoitg/*.sh): GSPMD mesh instead of ZeRO, optax
+multi-LR groups (out_proj 10x), cosine + warmup, frozen vision tower,
+gradient rematerialization, orbax checkpoints with auto-resume.
+
+--objective grounding (default): BCE frame-relevance loss on
+  {"video","question","clip_num"} records (train_itg.py).
+--objective vlm: next-token CE over assistant spans on
+  {"video"|"image","conversations"} records, plain or ChatML template
+  (train_vlm.py; --fps -1 enables the random-fps augmentation).
 
 Smoke run (no checkpoint, synthetic-capable):
   videoitg-train --preset tiny --random-init --data-path data.json \\
@@ -25,6 +31,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--preset", default="videoitg-8b")
     p.add_argument("--random-init", action="store_true")
     p.add_argument("--tokenizer", help="tokenizer path (defaults to --model)")
+    p.add_argument("--objective", default="grounding", choices=["grounding", "vlm"])
+    p.add_argument("--conv-template", default="plain", choices=["plain", "chatml"],
+                   help="vlm objective: conversation template (reference --version)")
     # data (reference flag names)
     p.add_argument("--data-path", required=True)
     p.add_argument("--image-folder", required=True)
@@ -90,15 +99,34 @@ def main(argv=None) -> int:
     dtype = resolve_dtype(args.dtype)
 
     # ---- model + tokenizer ----
+    def causal_variant(c):
+        from videoitg_tpu.config import GroundingConfig, LMConfig
+
+        return GroundingConfig(
+            vision=c.vision, projector=c.projector,
+            lm=LMConfig(**{**c.lm.__dict__, "causal": True,
+                           "tie_word_embeddings": True}),
+            max_text_len=c.max_text_len,
+        )
+
     if args.model:
         from transformers import AutoTokenizer
 
-        from videoitg_tpu.checkpoint import load_grounding_model
+        if args.objective == "vlm":
+            from videoitg_tpu.checkpoint import convert_vlm_checkpoint, load_hf_state_dict
 
-        params, cfg = load_grounding_model(args.model, dtype=dtype)
+            cfg = causal_variant(preset(args.preset))
+            params = convert_vlm_checkpoint(load_hf_state_dict(args.model), cfg,
+                                            dtype=dtype)
+        else:
+            from videoitg_tpu.checkpoint import load_grounding_model
+
+            params, cfg = load_grounding_model(args.model, dtype=dtype)
         tokenizer = AutoTokenizer.from_pretrained(args.tokenizer or args.model)
     elif args.random_init:
         cfg = preset(args.preset)
+        if args.objective == "vlm":
+            cfg = causal_variant(cfg)
         params = init_grounding(jax.random.PRNGKey(args.seed), cfg, dtype=dtype)
 
         tokenizer = CharTokenizer(cfg.lm.vocab_size)
@@ -107,10 +135,19 @@ def main(argv=None) -> int:
         return 2
 
     # ---- data ----
-    dataset = GroundingDataset(
-        args.data_path, args.image_folder, tokenizer, cfg,
-        video_frames=args.video_frames, fps=args.fps, seed=args.seed,
-    )
+    if args.objective == "vlm":
+        from videoitg_tpu.train.vlm_sft import VLMDataset
+
+        dataset = VLMDataset(
+            args.data_path, args.image_folder, tokenizer, cfg,
+            template=args.conv_template, video_frames=args.video_frames,
+            fps=args.fps, seed=args.seed,
+        )
+    else:
+        dataset = GroundingDataset(
+            args.data_path, args.image_folder, tokenizer, cfg,
+            video_frames=args.video_frames, fps=args.fps, seed=args.seed,
+        )
     batch_size = args.per_device_train_batch_size
     n_devices = len(jax.devices())
     mesh = None
@@ -139,6 +176,19 @@ def main(argv=None) -> int:
     )
     state = create_train_state(params, tx)
 
+    offload_wrap = None
+    if args.offload_optimizer:
+        from videoitg_tpu.train.offload import (
+            make_offloaded_train_step, offload_opt_state, supports_host_offload,
+        )
+
+        if supports_host_offload():
+            dev_shardings = jax.tree.map(lambda x: x.sharding, state.opt_state)
+            state = state._replace(opt_state=offload_opt_state(state.opt_state, mesh))
+            offload_wrap = lambda fn: make_offloaded_train_step(fn, dev_shardings, mesh)  # noqa: E731
+        else:
+            print("[train] host offload unsupported on this backend; ignoring")
+
     from videoitg_tpu.utils.metrics_logger import MetricsLogger
 
     mlog = MetricsLogger(args.output_dir, report_to=args.report_to,
@@ -166,22 +216,36 @@ def main(argv=None) -> int:
                 print(f"[train] dropping leftover batch of {len(samples)} "
                       f"(not divisible by dp={mesh.shape['dp']})")
                 continue
-            batch = collate_grounding(samples, t_bucket, cfg, dtype=dtype)
+            if args.objective == "vlm":
+                from videoitg_tpu.train.vlm_sft import collate_vlm
+
+                batch = collate_vlm(samples, t_bucket, cfg, dtype=dtype)
+            else:
+                batch = collate_grounding(samples, t_bucket, cfg, dtype=dtype)
             if mesh is not None:
                 bs = batch_sharding(mesh)
                 batch = jax.tree.map(lambda x: jax.device_put(x, bs), batch)
             key = (hw, t_bucket, len(samples))
             if key not in step_fns:
-                fn = make_train_step(cfg, tx, hw=hw, use_flash=not on_cpu, remat=True)
+                if args.objective == "vlm":
+                    from videoitg_tpu.train.vlm_sft import make_vlm_train_step
+
+                    fn = make_vlm_train_step(cfg, tx, hw=hw,
+                                             use_flash=not on_cpu, remat=True)
+                else:
+                    fn = make_train_step(cfg, tx, hw=hw, use_flash=not on_cpu,
+                                         remat=True)
                 step_fns[key] = offload_wrap(fn) if offload_wrap else fn
             state, metrics = run_step(step_fns[key], state, batch, mesh=mesh)
             step = int(state.step)
             if step % args.logging_steps == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 mlog.log(step, m)
+                extras = " ".join(f"{k}={v:.3f}" for k, v in m.items()
+                                  if k not in ("loss", "grad_norm"))
                 print(f"[train] step {step}/{total_steps} "
-                      f"loss={m['loss']:.4f} pos_weight={m['pos_weight']:.2f} "
-                      f"grad_norm={m['grad_norm']:.3f} "
+                      f"loss={m['loss']:.4f} grad_norm={m['grad_norm']:.3f} "
+                      f"{extras} "
                       f"({(time.time() - t_start) / max(1, step - start):.1f}s/step)")
             ckpt.maybe_save(step, state)
 
