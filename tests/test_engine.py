@@ -157,3 +157,14 @@ def test_engine_mesh_pads_partial_batches(tiny_setup):
         assert len(got) == b
         for w, g in zip(want, got):
             np.testing.assert_allclose(g, w, atol=2e-5, rtol=1e-5)
+
+
+def test_rank_frames_stable_ties(tiny_setup):
+    """torch.sort(descending=True) is stable; rank_frames must match."""
+    cfg, params = tiny_setup
+    eng = SelectionEngine(params, cfg, ToyTokenizer(), dtype=jnp.float32,
+                          use_flash=False, buckets=(4,))
+    scores = np.array([0.5, 0.9, 0.9, 0.1], dtype=np.float32)
+    index, logits = eng.rank_frames(scores, [10, 20, 30, 40])
+    assert index == [20, 30, 10, 40]  # tie 0.9 keeps original order
+    assert logits == [0.9, 0.9, 0.5, 0.1]
