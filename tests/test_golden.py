@@ -62,3 +62,40 @@ def test_golden_scores():
     for g, w in zip(got, want):
         assert g["t_real"] == w["t_real"] and g["hw"] == w["hw"]
         np.testing.assert_allclose(g["logits"], w["logits"], atol=1e-4, rtol=1e-4)
+
+
+GOLDEN_VLM_PATH = os.path.join(os.path.dirname(__file__), "golden", "tiny_vlm_tokens.json")
+
+
+def test_golden_vlm_generation():
+    """Locks the causal path end to end: packing, prefill, KV cache, argmax."""
+    from videoitg_tpu.config import LMConfig
+    from videoitg_tpu.models.vlm import VLMBatch, vlm_generate
+
+    base = GroundingConfig.tiny()
+    cfg = GroundingConfig(
+        vision=base.vision, projector=base.projector,
+        lm=LMConfig(**{**base.lm.__dict__, "causal": True,
+                       "tie_word_embeddings": True}),
+        max_text_len=base.max_text_len,
+    )
+    params = init_grounding(jax.random.PRNGKey(77), cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(77)
+    batch = VLMBatch(
+        frames=jnp.asarray(rng.standard_normal((1, 2, 56, 56, 3)), dtype=jnp.float32),
+        frame_valid=jnp.ones((1, 2), dtype=bool),
+        pre_ids=jnp.asarray(rng.integers(1, 500, (1, 3)), dtype=jnp.int32),
+        pre_valid=jnp.ones((1, 3), dtype=bool),
+        post_ids=jnp.asarray(rng.integers(1, 500, (1, 4)), dtype=jnp.int32),
+        post_valid=jnp.ones((1, 4), dtype=bool),
+    )
+    toks = np.asarray(vlm_generate(params, batch, cfg, hw=2, max_new_tokens=6)).tolist()
+
+    if os.environ.get("GOLDEN_REGEN") == "1" or not os.path.exists(GOLDEN_VLM_PATH):
+        os.makedirs(os.path.dirname(GOLDEN_VLM_PATH), exist_ok=True)
+        with open(GOLDEN_VLM_PATH, "w") as f:
+            json.dump(toks, f)
+        pytest.skip("golden fixture (re)generated")
+    with open(GOLDEN_VLM_PATH) as f:
+        want = json.load(f)
+    assert toks == want
