@@ -1,0 +1,93 @@
+"""Subprocess smoke tests for the three CLIs.
+
+Unit tests cover the libraries; these catch wiring regressions in the
+entry points themselves (argument plumbing, import-time errors, objective
+branches) that in-process tests miss.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+
+def _run(args, cwd):
+    env = dict(os.environ)
+    r = subprocess.run(args, cwd=cwd, env=env, capture_output=True, text=True,
+                       timeout=600)
+    assert r.returncode == 0, f"{args}\nSTDOUT:{r.stdout[-2000:]}\nSTDERR:{r.stderr[-2000:]}"
+    return r
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    from videoitg_tpu.data.video import write_test_video
+
+    d = tmp_path_factory.mktemp("cli")
+    os.makedirs(d / "root" / "data")
+    os.makedirs(d / "vids")
+    for i in range(2):
+        write_test_video(str(d / "root" / "data" / f"vid{i}.mp4"), 64, 48, 30, 10, 8)
+        write_test_video(str(d / "vids" / f"v{i}.mp4"), 64, 48, 20, 10, 8)
+    docs = [{"videoID": f"vid{i}", "question_id": f"q{i}", "question": "Q?",
+             "options": ["A. x", "B. y", "C. z", "D. w"], "answer": "A",
+             "duration": "short", "domain": "d", "sub_category": "s",
+             "task_type": "t"} for i in range(2)]
+    (d / "docs.json").write_text(json.dumps(docs))
+    ground = [{"video": f"vids/v{i}.mp4", "question": "when?", "clip_num": [0]}
+              for i in range(2)]
+    (d / "ground.json").write_text(json.dumps(ground))
+    convs = [{"video": f"vids/v{i}.mp4", "conversations": [
+        {"from": "human", "value": "<image>\nwhat?"},
+        {"from": "gpt", "value": "red"}]} for i in range(2)]
+    (d / "convs.json").write_text(json.dumps(convs))
+    return d
+
+
+def test_cli_select(workdir):
+    r = _run([sys.executable, "-m", "videoitg_tpu.cli.select", "--cpu",
+              "--preset", "tiny", "--random-init",
+              "--video", "root/data/vid0.mp4", "--prompt", "q",
+              "--topk", "2", "--num-frames", "4", "--json"], cwd=workdir)
+    row = json.loads(r.stdout.strip().splitlines()[-1])
+    assert set(row) >= {"index", "logits", "num_frames"}
+
+
+def test_cli_evaluate_two_stage(workdir):
+    _run([sys.executable, "-m", "videoitg_tpu.cli.evaluate", "--cpu",
+          "--model", "videoitg",
+          "--model_args", "random_init=True,preset=tiny,num_frames=4,target_fps=1,dtype=float32",
+          "--tasks", "videomme", "--data_root", "root",
+          "--docs_json", "docs.json", "--output_path", "outA"], cwd=workdir)
+    assert (workdir / "outA" / "videomme" / "results.jsonl").exists()
+    _run([sys.executable, "-m", "videoitg_tpu.cli.evaluate", "--cpu",
+          "--model", "echo-answer",
+          "--model_args", "frame_indices_jsonl=outA/videomme/results.jsonl,num_frame=2",
+          "--tasks", "videomme", "--data_root", "root",
+          "--docs_json", "docs.json", "--output_path", "outB"], cwd=workdir)
+    report = json.loads((workdir / "outB" / "videomme" / "report.videomme.json").read_text())
+    assert report["metrics"]["videomme_perception_score"] == 100.0
+
+
+def test_cli_train_grounding(workdir):
+    _run([sys.executable, "-m", "videoitg_tpu.cli.train", "--cpu",
+          "--preset", "tiny", "--random-init",
+          "--data-path", "ground.json", "--image-folder", ".",
+          "--video-frames", "4", "--fps", "1", "--total-steps", "1",
+          "--per-device-train-batch-size", "2",
+          "--output-dir", "trainA"], cwd=workdir)
+    assert (workdir / "trainA" / "metrics.jsonl").exists()
+
+
+def test_cli_train_vlm(workdir):
+    _run([sys.executable, "-m", "videoitg_tpu.cli.train", "--cpu",
+          "--preset", "tiny", "--random-init", "--objective", "vlm",
+          "--conv-template", "chatml",
+          "--data-path", "convs.json", "--image-folder", ".",
+          "--video-frames", "4", "--fps", "1", "--total-steps", "1",
+          "--per-device-train-batch-size", "2",
+          "--output-dir", "trainB"], cwd=workdir)
+    rows = [json.loads(x) for x in open(workdir / "trainB" / "metrics.jsonl")]
+    assert rows and "num_label_tokens" in rows[0]
