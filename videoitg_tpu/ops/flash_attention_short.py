@@ -28,51 +28,56 @@ _NEG_BIG = -1e30
 
 
 def _short_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale: float, s_real: int,
-                  group: int):
+                  group: int, batch_block: int):
     s_pad = q_ref.shape[2]
     kmask = jax.lax.broadcasted_iota(jnp.int32, (1, s_pad), 1) < s_real  # [1, S]
-    for g in range(group):  # static unroll over co-resident heads
-        q = q_ref[0, g]  # [S, D]
-        k = k_ref[0, g]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * sm_scale  # [S, S] fp32
-        s = jnp.where(kmask, s, _NEG_BIG)
-        m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m)
-        denom = jnp.sum(p, axis=1, keepdims=True)
-        p = p / denom
-        v = v_ref[0, g]
-        o_ref[0, g] = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(o_ref.dtype)
+    for bb in range(batch_block):  # static unroll over co-resident frames
+        for g in range(group):  # ... and heads
+            q = q_ref[bb, g]  # [S, D]
+            k = k_ref[bb, g]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * sm_scale  # [S, S] fp32
+            s = jnp.where(kmask, s, _NEG_BIG)
+            m = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp(s - m)
+            denom = jnp.sum(p, axis=1, keepdims=True)
+            p = p / denom
+            v = v_ref[bb, g]
+            o_ref[bb, g] = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("group", "interpret"))
+@functools.partial(jax.jit, static_argnames=("group", "batch_block", "interpret"))
 def flash_mha_short(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
     group: int = 8,
+    batch_block: int = 1,
     interpret: bool = False,
 ) -> jax.Array:
     """Non-causal MHA for S <= ~1024, no key mask beyond padding.
 
     q/k/v: [B, H, S, D] (equal head counts — the vision tower is plain MHA).
-    Returns [B, H, S, D] in q.dtype.
+    Returns [B, H, S, D] in q.dtype. batch_block co-residents multiple batch
+    rows per program (fewer, larger grid steps).
     """
     b, h, s, d = q.shape
     assert k.shape[1] == h, "short kernel expects MHA (no GQA)"
     d_pad = -(-d // 128) * 128
     s_pad = -(-s // 128) * 128
+    while batch_block > 1 and b % batch_block != 0:
+        batch_block //= 2
     # Fit the per-program working set in VMEM: q/k/v/o blocks (bf16-ish) plus
     # the fp32 score/prob buffers, against a conservative ~12MB budget.
     bytes_per = q.dtype.itemsize
     while group > 1 and (
         h % group != 0
-        or 4 * group * s_pad * d_pad * bytes_per + 2 * s_pad * s_pad * 4
-        > 12 * 1024 * 1024
+        or 4 * batch_block * group * s_pad * d_pad * bytes_per
+        + 2 * s_pad * s_pad * 4 > 12 * 1024 * 1024
     ):
         group //= 2
 
@@ -81,21 +86,16 @@ def flash_mha_short(
 
     qp, kp, vp = pad(q), pad(k), pad(v)
     kernel = functools.partial(
-        _short_kernel, sm_scale=d ** -0.5, s_real=s, group=group
+        _short_kernel, sm_scale=d ** -0.5, s_real=s, group=group,
+        batch_block=batch_block,
     )
+    spec = pl.BlockSpec((batch_block, group, s_pad, d_pad),
+                        lambda b_, hg: (b_, hg, 0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
-        grid=(b, h // group),
-        in_specs=[
-            pl.BlockSpec((1, group, s_pad, d_pad), lambda b_, hg: (b_, hg, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, group, s_pad, d_pad), lambda b_, hg: (b_, hg, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, group, s_pad, d_pad), lambda b_, hg: (b_, hg, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, group, s_pad, d_pad), lambda b_, hg: (b_, hg, 0, 0),
-                               memory_space=pltpu.VMEM),
+        grid=(b // batch_block, h // group),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((b, h, s_pad, d_pad), q.dtype),
         interpret=interpret,
     )(qp, kp, vp)
