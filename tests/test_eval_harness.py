@@ -269,3 +269,13 @@ def test_adapter_act_int8_path(videomme_data, tmp_path):
     merged = ResultsWriter(out, 0, 1).merge()
     row = json.loads(open(merged).read().strip())
     assert len(row["index"]) >= 1 and all(0 <= v <= 1 for v in row["logits"])
+
+
+def test_task_groups_expand():
+    from videoitg_tpu.eval.api import expand_task_names
+
+    got = expand_task_names(["videoitg_bench"])
+    assert got == ["longvideobench_val_v", "mlvu", "videomme", "cgbench_subtitles"]
+    # non-group names pass through; dedup preserves order
+    assert expand_task_names(["videomme", "videoitg_bench"])[0] == "videomme"
+    assert len(expand_task_names(["videomme", "videoitg_bench"])) == 4

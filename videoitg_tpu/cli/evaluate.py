@@ -52,7 +52,9 @@ def main(argv=None) -> int:
 
         jax.config.update("jax_platforms", "cpu")
 
-    from videoitg_tpu.eval.api import get_adapter, get_task, parse_model_args
+    from videoitg_tpu.eval.api import (
+        expand_task_names, get_adapter, get_task, parse_model_args,
+    )
     from videoitg_tpu.eval.harness import (
         evaluate_task, make_table, merge_and_aggregate, save_report,
     )
@@ -71,8 +73,9 @@ def main(argv=None) -> int:
     adapter = get_adapter(args.model)(**model_kwargs)
 
     reports = []
-    for task_name in args.tasks.split(","):
-        task = get_task(task_name.strip())
+    task_names = expand_task_names([t.strip() for t in args.tasks.split(",")])
+    for task_name in task_names:
+        task = get_task(task_name)
         if args.docs_json:
             with open(args.docs_json) as f:
                 docs = json.load(f)

@@ -16,6 +16,10 @@ from typing import Any, Callable, Dict, List, Optional, Sequence
 
 TASK_REGISTRY: Dict[str, "Task"] = {}
 ADAPTER_REGISTRY: Dict[str, Callable[..., "ModelAdapter"]] = {}
+# name -> (member task names, primary metric of each member). A group
+# evaluates every member and reports the mean of the primary metrics
+# (reference lmms_eval/api/group.py ConfigurableGroup).
+GROUP_REGISTRY: Dict[str, List[str]] = {}
 
 
 @dataclass
@@ -55,6 +59,22 @@ def get_task(name: str) -> Task:
     if name not in TASK_REGISTRY:
         raise KeyError(f"unknown task {name!r}; have {sorted(TASK_REGISTRY)}")
     return TASK_REGISTRY[name]
+
+
+def register_group(name: str, members: List[str]) -> None:
+    GROUP_REGISTRY[name] = list(members)
+
+
+def expand_task_names(names: List[str]) -> List[str]:
+    """Expand group names into member tasks, preserving order, deduped."""
+    import videoitg_tpu.eval.tasks  # noqa: F401
+
+    out: List[str] = []
+    for n in names:
+        for t in GROUP_REGISTRY.get(n, [n]):
+            if t not in out:
+                out.append(t)
+    return out
 
 
 def register_adapter(name: str):

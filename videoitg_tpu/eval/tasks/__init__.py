@@ -1,3 +1,9 @@
 """Benchmark task registry — importing this package registers all tasks."""
 
+from videoitg_tpu.eval.api import register_group
 from videoitg_tpu.eval.tasks import cgbench, longvideobench, mlvu, videomme  # noqa: F401
+
+# The reference paper's headline benchmark family (README.md:61-74).
+register_group("videoitg_bench", [
+    "longvideobench_val_v", "mlvu", "videomme", "cgbench_subtitles",
+])
