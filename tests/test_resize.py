@@ -70,3 +70,23 @@ def test_preprocess_frames_matches_reference_pipeline():
     # Normalized units: 1 gray level = 2/255 ~= 0.0078.
     assert np.abs(got - want).max() < 0.02
     assert np.abs(got - want).mean() < 0.004
+
+
+@pytest.mark.parametrize("in_hw", [(37, 53), (384, 512), (1080, 1920), (64, 64)])
+def test_pil_bicubic_more_sizes(in_hw):
+    """Broader size sweep incl. odd dims, HD, and identity-ish cases."""
+    from PIL import Image
+
+    from videoitg_tpu.ops.resize import pil_resize_uint8
+
+    rng = np.random.default_rng(in_hw[0])
+    h, w = in_hw
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    want = np.asarray(
+        Image.fromarray(img).resize((384, 384), Image.BICUBIC), dtype=np.float32
+    )
+    x = img.astype(np.float32).transpose(2, 0, 1)
+    got = np.asarray(pil_resize_uint8(x, 384, 384, filter="bicubic")).transpose(1, 2, 0)
+    diff = np.abs(got - want)
+    assert diff.max() <= 1.0
+    assert (diff > 0).mean() < 2e-3

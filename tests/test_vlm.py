@@ -232,3 +232,21 @@ def test_vlm_loss_padded_frames_matches_compact(vlm_setup):
     l_compact, _ = _loss(params, build(t_real), cfg, hw=2, remat=False)
     l_padded, _ = _loss(params, build(4), cfg, hw=2, remat=False)
     np.testing.assert_allclose(float(l_padded), float(l_compact), atol=1e-5, rtol=1e-5)
+
+
+def test_build_chatml_generation_ids():
+    from videoitg_tpu.eval.adapters.native_vlm import build_chatml_generation_ids
+    from videoitg_tpu.utils.common import CharTokenizer
+
+    tok = CharTokenizer(512)
+    pre, post = build_chatml_generation_ids("what?", tok)
+    # pre ends right before <image>: ...<|im_start|>user\n
+    assert pre[0] == 400  # im_start of the system turn
+    assert 401 in pre     # im_end of the system turn
+    # post carries the question and the assistant generation prompt
+    q_ids = [ord(c) % 512 for c in "what?"]
+    assert any(post[i:i + len(q_ids)] == q_ids for i in range(len(post)))
+    a_ids = [ord(c) % 512 for c in "assistant\n"]
+    assert post[-len(a_ids):] == a_ids
+    from videoitg_tpu.constants import IMAGE_TOKEN_INDEX
+    assert IMAGE_TOKEN_INDEX not in pre and IMAGE_TOKEN_INDEX not in post
