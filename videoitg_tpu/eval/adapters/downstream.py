@@ -21,6 +21,7 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 from videoitg_tpu.eval.api import ModelAdapter, Task, register_adapter
+from videoitg_tpu.utils.common import call_with_data_root as _call_with_root
 
 
 def load_frame_indices(jsonl_path: str) -> Dict[object, List[int]]:
@@ -173,5 +174,3 @@ class HFVideoLLMAdapter(FrameSelectionConsumer):
             out[:, inputs["input_ids"].shape[1]:], skip_special_tokens=True)[0]
         return text
 
-
-from videoitg_tpu.utils.common import call_with_data_root as _call_with_root  # noqa: E402

@@ -14,10 +14,9 @@ from typing import Optional
 
 import numpy as np
 
-from videoitg_tpu.constants import DEFAULT_IMAGE_TOKEN
+from videoitg_tpu.constants import DEFAULT_IMAGE_TOKEN, IMAGE_TOKEN_INDEX
 from videoitg_tpu.data.conversation import CHATML_SYSTEM
 from videoitg_tpu.data.tokenizer import tokenizer_image_token
-from videoitg_tpu.constants import IMAGE_TOKEN_INDEX
 from videoitg_tpu.eval.api import register_adapter
 from videoitg_tpu.eval.adapters.downstream import FrameSelectionConsumer
 

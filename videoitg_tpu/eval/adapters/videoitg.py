@@ -14,6 +14,7 @@ import sys
 from typing import List, Optional
 
 from videoitg_tpu.eval.api import ModelAdapter, Task, register_adapter
+from videoitg_tpu.utils.common import call_with_data_root as _call_with_root
 
 
 @register_adapter("videoitg")
@@ -182,5 +183,3 @@ class VideoITGAdapter(ModelAdapter):
             flush(group)
         return [responses[doc_id] for doc_id, _doc in items]
 
-
-from videoitg_tpu.utils.common import call_with_data_root as _call_with_root  # noqa: E402
