@@ -75,15 +75,9 @@ def run_bench(model: str, num_frames: int, iters: int, text_len: int,
         params = init_grounding(jax.random.PRNGKey(0), cfg, dtype=dtype)
 
     if act_int8:
-        from videoitg_tpu.ops.quant import (
-            _SIGLIP_LINEAR_KEYS, enable_act_quant, quantize_siglip_int8,
-        )
+        from videoitg_tpu.ops.quant import apply_full_int8
 
-        params = dict(params)
-        if "w_q" in params["lm"]["layers"]["q"]:
-            params["lm"] = enable_act_quant(params["lm"])
-        params["vision"] = enable_act_quant(
-            quantize_siglip_int8(params["vision"]), keys=_SIGLIP_LINEAR_KEYS)
+        params = apply_full_int8(params)
         model = model + "+act8"
 
     hw = inference_hw(cfg.projector, num_frames, cfg.vision.num_patches_per_side)

@@ -104,6 +104,16 @@ def main(argv=None) -> int:
         reports.append(report)
 
     if args.rank == 0:
+        from videoitg_tpu.eval.api import GROUP_REGISTRY, group_rollup
+        from videoitg_tpu.eval.harness import EvalReport
+
+        requested = [t.strip() for t in args.tasks.split(",")]
+        for gname in requested:
+            if gname in GROUP_REGISTRY:
+                rollup = group_rollup(gname, reports)
+                if rollup:
+                    reports.append(EvalReport(task=gname, metrics=rollup,
+                                              num_docs=sum(r.num_docs for r in reports)))
         print(make_table(reports))
         engine = getattr(adapter, "engine", None)
         if engine is not None and engine.timer.totals:

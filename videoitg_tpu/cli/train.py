@@ -99,13 +99,17 @@ def main(argv=None) -> int:
     dtype = resolve_dtype(args.dtype)
 
     # ---- model + tokenizer ----
-    def causal_variant(c):
+    def causal_variant(c, tie=None):
         from videoitg_tpu.config import GroundingConfig, LMConfig
 
+        # tie=True only for random init (no lm_head to load); pretrained
+        # checkpoints keep the preset's setting (Qwen2-7B is untied — forcing
+        # tie would silently drop the checkpoint's lm_head).
+        lm_kw = {**c.lm.__dict__, "causal": True}
+        if tie is not None:
+            lm_kw["tie_word_embeddings"] = tie
         return GroundingConfig(
-            vision=c.vision, projector=c.projector,
-            lm=LMConfig(**{**c.lm.__dict__, "causal": True,
-                           "tie_word_embeddings": True}),
+            vision=c.vision, projector=c.projector, lm=LMConfig(**lm_kw),
             max_text_len=c.max_text_len,
         )
 
@@ -126,7 +130,7 @@ def main(argv=None) -> int:
     elif args.random_init:
         cfg = preset(args.preset)
         if args.objective == "vlm":
-            cfg = causal_variant(cfg)
+            cfg = causal_variant(cfg, tie=True)
         params = init_grounding(jax.random.PRNGKey(args.seed), cfg, dtype=dtype)
 
         tokenizer = CharTokenizer(cfg.lm.vocab_size)

@@ -89,18 +89,9 @@ class VideoITGAdapter(ModelAdapter):
 
             params = quantize_grounding_int8(params)
         if act_int8:
-            from videoitg_tpu.ops.quant import (
-                _SIGLIP_LINEAR_KEYS, enable_act_quant, quantize_siglip_int8,
-            )
+            from videoitg_tpu.ops.quant import apply_full_int8
 
-            params = dict(params)
-            if "w_q" not in params["lm"]["layers"]["q"]:
-                from videoitg_tpu.ops.quant import quantize_qwen2_int8
-
-                params["lm"] = quantize_qwen2_int8(params["lm"])
-            params["lm"] = enable_act_quant(params["lm"])
-            params["vision"] = enable_act_quant(
-                quantize_siglip_int8(params["vision"]), keys=_SIGLIP_LINEAR_KEYS)
+            params = apply_full_int8(params)
 
         mesh = None
         if dp is not None or tp is not None:

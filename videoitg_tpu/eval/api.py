@@ -16,8 +16,8 @@ from typing import Any, Callable, Dict, List, Optional, Sequence
 
 TASK_REGISTRY: Dict[str, "Task"] = {}
 ADAPTER_REGISTRY: Dict[str, Callable[..., "ModelAdapter"]] = {}
-# name -> (member task names, primary metric of each member). A group
-# evaluates every member and reports the mean of the primary metrics
+# group name -> member task names. A group expands to its members and, when
+# every member ran, reports the mean of their primary metrics
 # (reference lmms_eval/api/group.py ConfigurableGroup).
 GROUP_REGISTRY: Dict[str, List[str]] = {}
 
@@ -40,6 +40,9 @@ class Task:
     load_docs: Optional[Callable[..., List[dict]]] = None
     doc_id_key: Optional[str] = None  # None -> positional ids
     generation_kwargs: Dict[str, Any] = field(default_factory=dict)
+    # Metric used for group rollups; defaults to the first key the
+    # aggregator returns.
+    primary_metric: Optional[str] = None
 
     def docs_with_ids(self, docs: Sequence[dict]) -> List[tuple]:
         return [
@@ -131,3 +134,25 @@ def parse_model_args(s: Optional[str]) -> Dict[str, Any]:
                 except ValueError:
                     out[k] = v
     return out
+
+
+def group_rollup(group_name: str, reports) -> Optional[Dict[str, float]]:
+    """Mean of member tasks' primary metrics, or None if any member missing.
+
+    `reports` is a list of objects with .task and .metrics (EvalReport)."""
+    members = GROUP_REGISTRY.get(group_name)
+    if not members:
+        return None
+    by_task = {r.task: r.metrics for r in reports}
+    values = []
+    for name in members:
+        metrics = by_task.get(name)
+        if not metrics:
+            return None
+        task = TASK_REGISTRY.get(name)
+        key = (task.primary_metric if task and task.primary_metric
+               else next(iter(metrics)))
+        if key not in metrics:
+            return None
+        values.append(metrics[key])
+    return {f"{group_name}_mean": sum(values) / len(values)}

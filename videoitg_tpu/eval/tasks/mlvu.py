@@ -73,5 +73,6 @@ for name, split in [("mlvu", "test"), ("mlvu_dev", "dev")]:
         process_results=process_results,
         aggregate=aggregate,
         load_docs=_load(split),
+        primary_metric="mlvu_perception_score",
         generation_kwargs={"max_new_tokens": 16, "temperature": 0, "do_sample": False},
     ))

@@ -96,11 +96,13 @@ def doc_to_text_subtitle(doc, data_root: str = "", frame_num: int = 32,
                 )
 
                 text = subtitles_for_sampled_frames(video_path, sub_path, frame_num)
-                # Strip the Video-MME font markup when present.
+                # Video-MME SRT lines carry a font tag; lines without it are
+                # DROPPED, exactly like the reference (utils.py:214-220).
                 lines = []
                 for ln in text.splitlines():
                     m = re.findall(r'<font color="white" size=".72c">(.*?)</font>', ln)
-                    lines.append(m[0] if m else ln)
+                    if m:
+                        lines.append(m[0])
                 subtitle = "\n".join(lines) or "No subtitles available"
             except Exception:
                 subtitle = "No subtitles available"

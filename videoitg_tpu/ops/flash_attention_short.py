@@ -74,12 +74,15 @@ def flash_mha_short(
     # Fit the per-program working set in VMEM: q/k/v/o blocks (bf16-ish) plus
     # the fp32 score/prob buffers, against a conservative ~12MB budget.
     bytes_per = q.dtype.itemsize
-    while group > 1 and (
-        h % group != 0
-        or 4 * batch_block * group * s_pad * d_pad * bytes_per
-        + 2 * s_pad * s_pad * 4 > 12 * 1024 * 1024
-    ):
+
+    def over_budget():
+        return (4 * batch_block * group * s_pad * d_pad * bytes_per
+                + 2 * s_pad * s_pad * 4 > 12 * 1024 * 1024)
+
+    while group > 1 and (h % group != 0 or over_budget()):
         group //= 2
+    while batch_block > 1 and over_budget():
+        batch_block //= 2
 
     def pad(x):
         return jnp.pad(x, ((0, 0), (0, 0), (0, s_pad - s), (0, d_pad - d)))

@@ -170,6 +170,19 @@ def cast_params(params: Any, dtype) -> Any:
     return rec(params)
 
 
+def apply_full_int8(params: dict) -> dict:
+    """Full int8 serving: quantize LM weights if still dense, then enable
+    dynamic activation quant on LM + vision encoder linears. Used by bench
+    and the videoitg adapter so 'act8' always means the same configuration."""
+    params = dict(params)
+    if "w_q" not in params["lm"]["layers"]["q"]:
+        params["lm"] = quantize_qwen2_int8(params["lm"])
+    params["lm"] = enable_act_quant(params["lm"])
+    params["vision"] = enable_act_quant(
+        quantize_siglip_int8(params["vision"]), keys=_SIGLIP_LINEAR_KEYS)
+    return params
+
+
 def quantize_grounding_int8(params: dict) -> dict:
     """Serving quantization for the full grounding model: LM linears int8;
     vision tower, projector, and scoring head stay bf16 (they are ~6% of

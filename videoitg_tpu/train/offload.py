@@ -34,9 +34,18 @@ def supports_host_offload() -> bool:
 
 
 def offload_opt_state(opt_state, mesh=None):
-    """Move every optimizer-state array to pinned host memory."""
-    sh = host_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), opt_state)
+    """Move every optimizer-state array to pinned host memory, preserving
+    each leaf's partitioning (replicating sharded ZeRO-style state would
+    materialize a full copy per device and defeat the offload)."""
+
+    def park(x):
+        try:
+            sh = x.sharding.with_memory_kind("pinned_host")
+        except Exception:
+            sh = host_sharding(mesh)
+        return jax.device_put(x, sh)
+
+    return jax.tree.map(park, opt_state)
 
 
 def make_offloaded_train_step(step_fn, device_opt_shardings, mesh=None):
