@@ -71,6 +71,34 @@ def test_cli_evaluate_two_stage(workdir):
     assert report["metrics"]["videomme_perception_score"] == 100.0
 
 
+def test_cli_evaluate_use_cache_and_metadata(workdir):
+    """--use_cache populates the sqlite cache and reruns hit it; report.json
+    carries reproducibility metadata (reference evaluator.py:268-292)."""
+    import sqlite3
+
+    (workdir / "sel_empty.jsonl").write_text("")  # uniform fallback for all docs
+    cmd = [sys.executable, "-m", "videoitg_tpu.cli.evaluate", "--cpu",
+           "--model", "echo-answer",
+           "--model_args", "frame_indices_jsonl=sel_empty.jsonl,num_frame=2",
+           "--tasks", "videomme", "--data_root", "root",
+           "--docs_json", "docs.json", "--output_path", "outC",
+           "--use_cache", "cache.sqlite", "--seed", "99"]
+    _run(cmd, cwd=workdir)
+    report = json.loads((workdir / "outC" / "videomme" / "report.videomme.json").read_text())
+    meta = report["metadata"]
+    assert meta["model"] == "echo-answer" and meta["seed"] == 99
+    assert "git_hash" in meta and "date" in meta and "jax_version" in meta
+    n = sqlite3.connect(workdir / "cache.sqlite").execute(
+        "SELECT COUNT(*) FROM responses").fetchone()[0]
+    assert n == 2
+    # rerun with a poisoned adapter path would fail on a miss; cache must
+    # serve every response (same args -> same keys)
+    _run(cmd, cwd=workdir)
+    n2 = sqlite3.connect(workdir / "cache.sqlite").execute(
+        "SELECT COUNT(*) FROM responses").fetchone()[0]
+    assert n2 == n
+
+
 def test_cli_train_grounding(workdir):
     _run([sys.executable, "-m", "videoitg_tpu.cli.train", "--cpu",
           "--preset", "tiny", "--random-init",

@@ -111,6 +111,32 @@ def test_engine_on_mesh_matches_single_device(tiny_setup):
         np.testing.assert_allclose(g, w, atol=2e-5, rtol=1e-5)
 
 
+def test_engine_int8_on_mesh_matches_single_device(tiny_setup):
+    """int8 + tp/dp compose: quantized params shard via adapted specs and
+    score identically to the single-device quantized engine (VERDICT item 3:
+    the fast tier must scale out)."""
+    from videoitg_tpu.ops.quant import quantize_grounding_int8
+
+    cfg, params = tiny_setup
+    qparams = quantize_grounding_int8(params)
+    mesh = make_mesh(dp=2, tp=2, devices=jax.devices()[:4])
+
+    rng = np.random.default_rng(11)
+    vids = [_frames(rng, 4), _frames(rng, 4)]
+    instrs = ["q one", "q two"]
+
+    eng1 = SelectionEngine(qparams, cfg, ToyTokenizer(), dtype=jnp.float32,
+                           use_flash=False, buckets=(4,))
+    engm = SelectionEngine(qparams, cfg, ToyTokenizer(), mesh=mesh,
+                           dtype=jnp.float32, use_flash=False, buckets=(4,))
+    qw = engm.params["lm"]["layers"]["q"]["w_q"]
+    assert qw.dtype == jnp.int8 and len(qw.sharding.device_set) == 4
+    want = eng1.score_frames(vids, instrs)
+    got = engm.score_frames(vids, instrs)
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(g, w, atol=2e-5, rtol=1e-5)
+
+
 def test_engine_flash_interpret_matches_xla(tiny_setup):
     """Flash path (interpret mode, via monkeypatched default) vs XLA path."""
     cfg, params = tiny_setup

@@ -84,7 +84,6 @@ def test_stage_a_grounding_writes_contract_rows(videomme_data, tmp_path):
     assert all(isinstance(i, int) for i in row["index"])
     # 2dp rounding
     assert all(abs(v - round(v, 2)) < 1e-9 for v in row["logits"])
-    return merged
 
 
 def test_stage_b_consumes_selections(videomme_data, tmp_path):
@@ -187,6 +186,31 @@ def test_response_cache(tmp_path):
     # new doc triggers only that one
     r3 = cached.generate_until(docs + [(2, {"q": "c"})], task)
     assert r3 == ["resp-0", "resp-1", "resp-2"] and calls == [0, 1, 2]
+
+
+def test_wait_for_ranks_timeout_raises(tmp_path):
+    """Partial results must crash, not silently merge (VERDICT weak item)."""
+    from videoitg_tpu.eval.api import Task
+    from videoitg_tpu.eval.harness import RankTimeoutError, wait_for_ranks
+
+    task = Task(name="t", doc_to_visual=lambda d: "", doc_to_text=lambda d: "",
+                process_results=lambda d, r: {}, aggregate=lambda rs: {})
+    out = str(tmp_path)
+    open(os.path.join(out, "done.rank0.t"), "w").close()  # rank 1 missing
+    with pytest.raises(RankTimeoutError, match=r"ranks \[1\]"):
+        wait_for_ranks(task, out, world_size=2, timeout_s=0.1, poll_s=0.05)
+    assert wait_for_ranks(task, out, world_size=1, timeout_s=0.1, poll_s=0.05)
+
+
+def test_run_metadata_keys():
+    from videoitg_tpu.eval.harness import run_metadata
+
+    meta = run_metadata(model="videoitg", model_args="a=1", world_size=2,
+                        limit=5, seed=7)
+    assert meta["model"] == "videoitg" and meta["seed"] == 7
+    for key in ("model_args", "world_size", "limit", "git_hash", "date",
+                "jax_version", "backend"):
+        assert key in meta, key
 
 
 def test_truncate_at_stop_sequences():

@@ -25,6 +25,39 @@ def test_quantized_linear_close_to_fp():
     assert np.abs(got - want).max() / (np.abs(want).max() + 1e-6) < 0.02
 
 
+def test_quantized_linear_stacked_matches_per_layer():
+    """Stacked [L, in, out] quantization must equal quantizing each layer
+    separately — regression for a silent bug where amax reduced over the
+    LAYER axis, yielding an [in, out] scale that lax.scan then mis-sliced."""
+    rng = np.random.default_rng(7)
+    stacked = jnp.asarray(rng.standard_normal((3, 16, 24)).astype(np.float32))
+    q_stacked = quantize_linear_int8({"w": stacked})
+    assert q_stacked["scale"].shape == (3, 24), q_stacked["scale"].shape
+    for i in range(3):
+        q_i = quantize_linear_int8({"w": stacked[i]})
+        np.testing.assert_array_equal(q_stacked["w_q"][i], q_i["w_q"])
+        np.testing.assert_allclose(q_stacked["scale"][i], q_i["scale"])
+
+
+def test_quantized_stacked_lm_forward_close_to_dense():
+    """End-to-end through the scanned decoder stack: int8 hidden states must
+    track the dense model (the scan slices per-layer scales correctly)."""
+    from videoitg_tpu.models.qwen2 import init_qwen2, qwen2_hidden_states
+    from videoitg_tpu.ops.quant import quantize_qwen2_int8
+
+    cfg = GroundingConfig.tiny().lm
+    lm = init_qwen2(jax.random.PRNGKey(0), cfg)
+    qlm = quantize_qwen2_int8(lm)
+    assert qlm["layers"]["q"]["scale"].shape == (
+        cfg.num_layers, cfg.q_dim), qlm["layers"]["q"]["scale"].shape
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 6, cfg.hidden_size))
+    pos = jnp.arange(6)[None]
+    a = np.asarray(qwen2_hidden_states(lm, x, pos, None, cfg))
+    b = np.asarray(qwen2_hidden_states(qlm, x, pos, None, cfg))
+    rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
+    assert rel < 0.05, rel
+
+
 def test_quantized_engine_preserves_ranking():
     from tests.test_engine import ToyTokenizer, _frames
 

@@ -40,6 +40,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--world_size", type=int, default=None,
                    help="total shards (default: jax.process_count())")
     p.add_argument("--log_samples", action="store_true")
+    p.add_argument("--use_cache", default=None, metavar="PATH",
+                   help="sqlite response cache; reruns skip cached docs "
+                        "(reference --use_cache / CachingLMM)")
+    p.add_argument("--seed", type=int, default=1234,
+                   help="recorded into report metadata (reference --seed)")
     p.add_argument("--cpu", action="store_true")
     return p
 
@@ -71,6 +76,11 @@ def main(argv=None) -> int:
     model_kwargs = parse_model_args(args.model_args)
     model_kwargs.setdefault("data_root", args.data_root)
     adapter = get_adapter(args.model)(**model_kwargs)
+    if args.use_cache:
+        from videoitg_tpu.eval.cache import CachingAdapter
+
+        adapter = CachingAdapter(adapter, args.use_cache,
+                                 model_tag=f"{args.model}|{args.model_args}")
 
     reports = []
     task_names = expand_task_names([t.strip() for t in args.tasks.split(",")])
@@ -94,12 +104,20 @@ def main(argv=None) -> int:
             limit=args.limit, log_samples=args.log_samples,
         )
         if args.rank == 0:
-            from videoitg_tpu.eval.harness import ResultsWriter, wait_for_ranks
+            from videoitg_tpu.eval.harness import (
+                ResultsWriter, run_metadata, wait_for_ranks,
+            )
 
             if args.world_size > 1:
+                # Raises RankTimeoutError (nonzero exit, no report) on
+                # stragglers — partial benchmark numbers are never written.
                 wait_for_ranks(task, out_dir, args.world_size)
                 report = merge_and_aggregate(task, out_dir, args.world_size)
             ResultsWriter(out_dir, args.rank, args.world_size).merge()
+            report.metadata = run_metadata(
+                model=args.model, model_args=args.model_args,
+                world_size=args.world_size, limit=args.limit, seed=args.seed,
+            )
             save_report(report, out_dir)
         reports.append(report)
 

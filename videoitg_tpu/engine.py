@@ -98,14 +98,8 @@ class SelectionEngine:
         # 384 frames for its GPUs; 128 keeps the 8B-int8 pipeline on one v5e).
         self.vision_chunk = 128 if vision_chunk is None else vision_chunk
 
-        from videoitg_tpu.ops.quant import cast_params, is_quantized_tree
+        from videoitg_tpu.ops.quant import cast_params
 
-        if mesh is not None and is_quantized_tree(params):
-            raise ValueError(
-                "mesh serving is the bf16 tier — int8-quantized params have a "
-                "different tree structure than the partition specs; use "
-                "quantize_int8 only single-chip, or shard bf16 params"
-            )
         if mesh is not None and "tp" in mesh.shape:
             tp = mesh.shape["tp"]
             for what, n in (("LM q", cfg.lm.num_heads), ("LM kv", cfg.lm.num_kv_heads),
@@ -116,12 +110,13 @@ class SelectionEngine:
                         f"pick tp from divisors (e.g. tp<=({cfg.lm.num_kv_heads}))"
                     )
         if mesh is not None:
-            # Mesh serving is the bf16 tier; quantized trees have different
-            # leaf names than the partition specs.
-            specs = sharding_lib.grounding_param_specs()
-            self.params = sharding_lib.shard_params(
-                cast_params(params, dtype), specs, mesh
+            # Dense specs adapted to the actual tree: int8 w_q shards like w,
+            # scales follow the out axis — int8 and tp/dp compose.
+            params = cast_params(params, dtype)
+            specs = sharding_lib.adapt_specs_to_params(
+                sharding_lib.grounding_param_specs(), params
             )
+            self.params = sharding_lib.shard_params(params, specs, mesh)
         else:
             self.params = cast_params(params, dtype)
 

@@ -79,9 +79,48 @@ class EvalReport:
     metrics: Dict[str, float]
     num_docs: int
     samples: List[dict] = field(default_factory=list)
+    metadata: Dict[str, object] = field(default_factory=dict)
 
     def to_json(self) -> dict:
-        return {"task": self.task, "metrics": self.metrics, "num_docs": self.num_docs}
+        out = {"task": self.task, "metrics": self.metrics, "num_docs": self.num_docs}
+        if self.metadata:
+            out["metadata"] = self.metadata
+        return out
+
+
+def run_metadata(model: str = "", model_args: str = "",
+                 world_size: int = 1, limit=None, seed=None) -> Dict[str, object]:
+    """Reproducibility record for report.json — the reference attaches git
+    hash, seeds, and the full run config to its results dict
+    (lmms_eval/evaluator.py:268-292)."""
+    import datetime
+    import subprocess
+
+    try:
+        git_hash = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=5,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip() or None
+    except Exception:
+        git_hash = None
+    meta: Dict[str, object] = {
+        "model": model,
+        "model_args": model_args,
+        "world_size": world_size,
+        "limit": limit,
+        "seed": seed,
+        "git_hash": git_hash,
+        "date": datetime.datetime.now().isoformat(timespec="seconds"),
+    }
+    try:
+        import jax
+
+        meta["jax_version"] = jax.__version__
+        meta["backend"] = jax.default_backend()
+    except Exception:
+        pass
+    return meta
 
 
 def evaluate_task(
@@ -141,9 +180,18 @@ def evaluate_task(
                       samples=sample_log)
 
 
+class RankTimeoutError(RuntimeError):
+    """Raised when rank sentinels never appear — a silently-partial benchmark
+    number is worse than a crash, so the caller must NOT merge or write
+    report.json (the reference instead hides stragglers behind a 52-week
+    NCCL timeout, videoitg.py:154)."""
+
+
 def wait_for_ranks(task: Task, output_dir: str, world_size: int,
                    timeout_s: float = 86400.0, poll_s: float = 10.0) -> bool:
-    """Block until every rank's completion sentinel exists (shared FS)."""
+    """Block until every rank's completion sentinel exists (shared FS).
+
+    Raises RankTimeoutError on timeout; returns True otherwise."""
     import time as _time
 
     deadline = _time.time() + timeout_s
@@ -154,9 +202,10 @@ def wait_for_ranks(task: Task, output_dir: str, world_size: int,
         if not missing:
             return True
         if _time.time() > deadline:
-            print(f"[harness] WARNING: timed out waiting for ranks {missing}; "
-                  f"merging partial results")
-            return False
+            raise RankTimeoutError(
+                f"timed out after {timeout_s}s waiting for ranks {missing} on "
+                f"task {task.name}; refusing to aggregate partial results"
+            )
         _time.sleep(poll_s)
 
 

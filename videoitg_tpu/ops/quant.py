@@ -14,6 +14,8 @@ loading (its builder.py:48-57).
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 
@@ -22,11 +24,16 @@ _SIGLIP_LINEAR_KEYS = ("q", "k", "v", "o", "fc1", "fc2")
 
 
 def quantize_linear_int8(lin: dict) -> dict:
-    """{'w': [in,out], 'b'?} -> {'w_q': int8, 'scale': fp32 [out], 'b'?}."""
+    """{'w': [in,out] or stacked [L,in,out], 'b'?} ->
+    {'w_q': int8, 'scale': fp32 [out] / [L,out], 'b'?}.
+
+    The reduction is over the INPUT axis (axis=-2), never a stacked-layer
+    axis, so per-layer scales survive lax.scan's leading-axis slicing
+    (models/common.py stacks layer weights on axis 0)."""
     w = lin["w"].astype(jnp.float32)
-    amax = jnp.max(jnp.abs(w), axis=0)  # per output channel
+    amax = jnp.max(jnp.abs(w), axis=-2)  # per output channel: [..., out]
     scale = jnp.where(amax == 0, 1.0, amax / 127.0)
-    w_q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    w_q = jnp.clip(jnp.round(w / scale[..., None, :]), -127, 127).astype(jnp.int8)
     out = {"w_q": w_q, "scale": scale.astype(jnp.float32)}
     if "b" in lin:
         out["b"] = lin["b"]
@@ -125,7 +132,9 @@ def init_qwen2_int8(key, cfg, dtype=jnp.bfloat16) -> dict:
     def to_q(shape_like_lin, k):
         kw, _ = jax.random.split(k)
         w_q = jax.random.randint(kw, shape_like_lin, -127, 128, dtype=jnp.int8)
-        scale = jnp.full((shape_like_lin[-1],), 0.01, dtype=jnp.float32)
+        # [L, out] — must carry the stacked-layer axis so lax.scan slices it.
+        scale = jnp.full(shape_like_lin[:-2] + shape_like_lin[-1:], 0.01,
+                         dtype=jnp.float32)
         return {"w_q": w_q, "scale": scale}
 
     h = cfg.hidden_size

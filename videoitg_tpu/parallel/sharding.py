@@ -80,6 +80,47 @@ def grounding_param_specs(with_lm_head: bool = False) -> dict:
     return specs
 
 
+def adapt_specs_to_params(specs: Any, params: Any) -> Any:
+    """Rewrite a dense spec tree so it matches a quantized / LoRA param tree.
+
+    int8 serving replaces a linear's {'w'} with {'w_q', 'scale'} (ops/quant):
+    `w_q` inherits `w`'s spec; the per-output-channel `scale` keeps the
+    stacked-layer axes plus `w`'s output axis (so a column-parallel linear
+    shards its scales on the same tp axis as its int8 columns, and a
+    row-parallel linear replicates them). `act_q` markers (value None) pass
+    through as empty subtrees. LoRA leaves are tiny and stay replicated —
+    storage placement only; GSPMD still shards the compute. This is what
+    removes the reference's quantized-vs-distributed exclusivity (its
+    bitsandbytes path is single-process, builder.py:48-57).
+    """
+
+    def rec(spec, param):
+        if isinstance(param, dict):
+            if "w_q" in param:
+                w_spec = spec["w"]
+                out = {
+                    "w_q": w_spec,
+                    "scale": P(*(tuple(w_spec)[:-2] + tuple(w_spec)[-1:])),
+                }
+                if "b" in param:
+                    out["b"] = spec.get(
+                        "b", P(*(tuple(w_spec)[:-2] + tuple(w_spec)[-1:]))
+                    )
+                if "act_q" in param:
+                    out["act_q"] = None
+                return out
+            out = {}
+            for k, v in param.items():
+                if k in ("lora_a", "lora_b", "lora_scale"):
+                    out[k] = P()  # replicate adapters (tiny)
+                else:
+                    out[k] = rec(spec[k], v)
+            return out
+        return spec
+
+    return rec(specs, params)
+
+
 def named_shardings(specs: Any, mesh: Mesh) -> Any:
     return jax.tree.map(
         lambda s: NamedSharding(mesh, s),
