@@ -10,7 +10,7 @@ from videoitg_tpu.parallel.mesh import make_mesh
 from videoitg_tpu.parallel.sharding import grounding_param_specs, shard_params
 
 
-@pytest.mark.parametrize("name", ["tiny", "dryrun"])
+@pytest.mark.parametrize("name", ["tiny", "dryrun", "dryrun-serve"])
 def test_specs_match_param_tree(name):
     cfg = preset(name)
     params = init_grounding(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
@@ -37,7 +37,7 @@ def test_shard_params_places_on_mesh():
 
 def test_every_preset_divisible_by_tp4():
     """All preset dims used by tp-sharding divide 4 (the v5e-8 default)."""
-    for name in ("videoitg-8b", "videoitg-2b", "dryrun"):
+    for name in ("videoitg-8b", "videoitg-2b", "dryrun", "dryrun-serve"):
         cfg = preset(name)
         for dim in (cfg.lm.q_dim, cfg.lm.kv_dim, cfg.lm.intermediate_size,
                     cfg.lm.vocab_size, cfg.vision.hidden_size,

@@ -208,6 +208,28 @@ class GroundingConfig:
         )
 
     @classmethod
+    def dryrun_serve(cls) -> "GroundingConfig":
+        """Head-count-honest serving miniature: the REAL VideoITG-8B head
+        counts (LM 28 q / 4 kv, vision 16) with tiny head_dim, so tp
+        divisibility, GQA grouping, and attention layouts are exactly the
+        flagship's while FLOPs stay dryrun-sized."""
+        return cls(
+            vision=VisionConfig(
+                hidden_size=128, intermediate_size=256, num_layers=2,
+                num_heads=16, image_size=56, patch_size=14, select_layer=-2,
+            ),
+            projector=ProjectorConfig(
+                input_dim=128, output_dim=224, vision_token_num=64, vision_min_num=1
+            ),
+            lm=LMConfig(
+                vocab_size=2048, hidden_size=224, intermediate_size=448,
+                num_layers=2, num_heads=28, num_kv_heads=4, head_dim=8,
+                causal=False,
+            ),
+            max_text_len=16,
+        )
+
+    @classmethod
     def tiny(cls, vocab_size: int = 512) -> "GroundingConfig":
         """A CPU-testable miniature with the same structure.
 
@@ -247,6 +269,7 @@ def preset(name: str) -> GroundingConfig:
         "videoitg-8b": GroundingConfig.videoitg_8b,
         "videoitg-2b": GroundingConfig.videoitg_2b,
         "dryrun": GroundingConfig.dryrun,
+        "dryrun-serve": GroundingConfig.dryrun_serve,
         "tiny": GroundingConfig.tiny,
     }
     if name not in presets:
