@@ -1,0 +1,53 @@
+"""The real-checkpoint parity harness must pass end-to-end on a synthesized
+full-layout checkpoint (VERDICT round-1 item 2: when nvidia/VideoITG-8B
+weights are reachable, parity is one command — scripts/parity_vs_torch.py)."""
+
+import sys
+
+import pytest
+
+torch = pytest.importorskip("torch")
+
+
+def test_parity_harness_selftest(tmp_path):
+    sys.path.insert(0, "scripts")
+    try:
+        import parity_vs_torch
+    finally:
+        sys.path.pop(0)
+
+    report = parity_vs_torch.selftest(str(tmp_path))
+    assert report["pass"]
+    assert report["scores_2dp_equal"]
+    assert report["top3_index_equal"] and report["top8_index_equal"]
+    assert report["max_abs_score_diff"] < 1e-4
+    # report also written to disk for CI artifacts
+    assert (tmp_path / "parity.json").exists()
+
+
+def test_synthesized_checkpoint_loads_both_stacks(tmp_path):
+    """The synthesized checkpoint must be a faithful reference layout: the
+    JAX converter consumes it without fallback paths."""
+    sys.path.insert(0, "scripts")
+    try:
+        import parity_vs_torch
+    finally:
+        sys.path.pop(0)
+
+    import jax.numpy as jnp
+    from transformers import AutoTokenizer
+
+    from videoitg_tpu.checkpoint import (
+        convert_grounding_checkpoint, load_hf_state_dict,
+    )
+    from videoitg_tpu.config import GroundingConfig
+
+    ckpt = parity_vs_torch.synthesize_checkpoint(str(tmp_path / "ckpt"))
+    sd = load_hf_state_dict(ckpt)
+    cfg = GroundingConfig.from_json(
+        open(tmp_path / "ckpt" / "videoitg_tpu_config.json").read())
+    params = convert_grounding_checkpoint(sd, cfg, dtype=jnp.float32)
+    assert params["lm"]["layers"]["q"]["w"].shape[0] == cfg.lm.num_layers
+    tok = AutoTokenizer.from_pretrained(ckpt, use_fast=True)
+    ids = tok("find the rocket").input_ids
+    assert len(ids) == 3 and all(isinstance(i, int) for i in ids)
