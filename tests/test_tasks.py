@@ -64,6 +64,65 @@ def test_longvideobench_parse_and_agg():
     assert agg["lvb_acc"] == 1.0
 
 
+def test_lvb_timestamp_and_frame_timestamps():
+    from videoitg_tpu.eval.tasks.longvideobench import (
+        compute_frame_timestamps, timestamp_to_seconds,
+    )
+
+    assert timestamp_to_seconds("01:02:03.5") == 3723.5
+    assert timestamp_to_seconds("00:00:07") == 7.0
+    # duration > max frames: uniform stride; else one per second
+    assert compute_frame_timestamps(32.0, 16) == [2.0 * i for i in range(16)]
+    assert compute_frame_timestamps(3.9, 16) == [0.0, 1.0, 2.0]
+
+
+def test_lvb_insert_subtitles_both_schemas():
+    """val_i interleaving, parity with reference utils.py:56-143: both
+    subtitle schemas, midpoint placement, sub-1s widening, uncovered drop."""
+    from videoitg_tpu.eval.tasks.longvideobench import insert_subtitles_into_frames
+
+    frames = [0.0, 2.0, 4.0, 6.0]
+    # schema A: {"timestamp": [s, e], "text"}; null end -> duration
+    subs = [
+        {"timestamp": [1.0, 3.0], "text": "first"},
+        {"timestamp": [4.5, None], "text": "tail"},
+    ]
+    out = insert_subtitles_into_frames(frames, subs, 0.0, 8.0)
+    # midpoints: 2.0 and 6.25 -> first after frames<=2.0, tail after <=6.25
+    assert out.split("\n") == ["<image>", "<image>", "first",
+                               "<image>", "<image>", "tail"]
+    # schema B: HH:MM:SS strings + "line"; starting-timestamp offset applied
+    subs_b = [{"start": "00:00:11", "end": "00:00:13", "line": "shifted"}]
+    out_b = insert_subtitles_into_frames(frames, subs_b, 10.0, 8.0)
+    assert out_b.split("\n") == ["<image>", "<image>", "shifted",
+                                 "<image>", "<image>"]
+    # sub-1s subtitle covering no frame midpoint gets widened to 1s and kept
+    subs_c = [{"timestamp": [1.9, 2.2], "text": "short"}]
+    assert "short" in insert_subtitles_into_frames(frames, subs_c, 0.0, 8.0)
+    # subtitle covering no sampled frame is dropped
+    subs_d = [{"timestamp": [6.2, 7.8], "text": "dropped"}]
+    assert "dropped" not in insert_subtitles_into_frames(frames, subs_d, 0.0, 8.0)
+
+
+def test_lvb_val_i_doc_to_text(tmp_path):
+    import json
+    import os
+
+    task = get_task("longvideobench_val_i")
+    os.makedirs(tmp_path / "subtitles")
+    (tmp_path / "subtitles" / "v.json").write_text(json.dumps(
+        [{"timestamp": [1.0, 3.0], "text": "hello sub"}]))
+    doc = {"id": "a1", "question": "Q?", "option0": "x", "option1": "y",
+           "correct_choice": 0, "duration_group": 600, "duration": 8.0,
+           "starting_timestamp_for_subtitles": 0.0,
+           "question_category": "c", "video_path": "v.mp4",
+           "subtitle_path": "v.json"}
+    text = task.doc_to_text(doc, data_root=str(tmp_path))
+    assert "hello sub" in text and "<image>" in text
+    assert "A. x" in text and "B. y" in text
+    assert text.index("hello sub") < text.index("A. x")
+
+
 def test_cgbench_srt_and_agg(tmp_path):
     from videoitg_tpu.eval.tasks.cgbench import parse_srt
 
