@@ -31,20 +31,13 @@ def test_short_kernel_group_fallback():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
 
 
-@pytest.mark.parametrize("bb", [2, 4])
-def test_short_kernel_batch_block(bb):
-    rng = np.random.default_rng(6)
-    q = jnp.asarray(rng.standard_normal((4, 4, 200, 64)).astype(np.float32))
-    k = jnp.asarray(rng.standard_normal((4, 4, 200, 64)).astype(np.float32))
-    v = jnp.asarray(rng.standard_normal((4, 4, 200, 64)).astype(np.float32))
-    want = mha_reference(q, k, v)
-    got = flash_mha_short(q, k, v, group=4, batch_block=bb, interpret=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
-
-
-def test_short_kernel_batch_block_nondivisible():
+def test_short_kernel_odd_unaligned_dims():
+    """Full-dim blocks accept ANY (S, D) — no 8/128 alignment padding; this
+    is the no-HBM-padding property the round-2 rewrite is built on."""
     rng = np.random.default_rng(7)
-    q = jnp.asarray(rng.standard_normal((3, 4, 100, 32)).astype(np.float32))
-    got = flash_mha_short(q, q, q, group=4, batch_block=2, interpret=True)  # falls to 1
-    want = mha_reference(q, q, q)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
+    for s, d in [(101, 36), (729, 72), (57, 17)]:
+        q = jnp.asarray(rng.standard_normal((2, 4, s, d)).astype(np.float32))
+        got = flash_mha_short(q, q, q, group=4, interpret=True)
+        want = mha_reference(q, q, q)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=1e-4)
