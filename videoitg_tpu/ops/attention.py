@@ -148,12 +148,22 @@ def mha(
     shard_map island with batch over dp and heads over tp — both
     communication-free for attention.
     """
-    if use_flash == "train":
+    if use_flash in ("train", "train-jax"):
+        if use_flash == "train-jax":
+            train_fn = mha_trainable  # jax's stock kernel (KV repeat), kept
+            # for A/B benchmarking only
+        else:
+            from videoitg_tpu.ops.flash_attention_train import flash_mha_train
+
+            interpret = jax.default_backend() == "cpu"
+            train_fn = lambda q_, k_, v_, valid=None, causal=False: (  # noqa: E731
+                flash_mha_train(q_, k_, v_, valid=valid, causal=causal,
+                                interpret=interpret))
         from videoitg_tpu.parallel.context import current_attention_mesh
 
         ctx = current_attention_mesh()
         if ctx is None:
-            return mha_trainable(q, k, v, valid=valid, causal=causal)
+            return train_fn(q, k, v, valid=valid, causal=causal)
         import jax as _jax
         from jax.sharding import PartitionSpec as P
 
@@ -162,7 +172,7 @@ def mha(
             valid = jnp.ones((q.shape[0], q.shape[2]), dtype=bool)
         spec_q = P(dp, tp, None, None)
         f = _jax.shard_map(
-            lambda q_, k_, v_, vd: mha_trainable(q_, k_, v_, valid=vd, causal=causal),
+            lambda q_, k_, v_, vd: train_fn(q_, k_, v_, valid=vd, causal=causal),
             mesh=mesh,
             in_specs=(spec_q, spec_q, spec_q, P(dp, None)),
             out_specs=spec_q,
