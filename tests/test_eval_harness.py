@@ -295,6 +295,22 @@ def test_adapter_act_int8_path(videomme_data, tmp_path):
     assert len(row["index"]) >= 1 and all(0 <= v <= 1 for v in row["logits"])
 
 
+def test_adapter_int4_path(videomme_data, tmp_path):
+    task = get_task("videomme")
+    docs = _videomme_docs(videomme_data)[:1]
+    adapter = get_adapter("videoitg")(
+        random_init=True, preset="tiny", num_frames=8, target_fps=1,
+        data_root=videomme_data, dtype="float32", quantize_int4=True,
+    )
+    assert "w_q4" in adapter.engine.params["lm"]["layers"]["q"]
+    out = str(tmp_path / "int4")
+    report = evaluate_task(adapter, task, docs, out)
+    assert report.num_docs == 1
+    merged = ResultsWriter(out, 0, 1).merge()
+    row = json.loads(open(merged).read().strip())
+    assert len(row["index"]) >= 1 and all(0 <= v <= 1 for v in row["logits"])
+
+
 def test_task_groups_expand():
     from videoitg_tpu.eval.api import expand_task_names
 

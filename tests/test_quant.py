@@ -58,6 +58,76 @@ def test_quantized_stacked_lm_forward_close_to_dense():
     assert rel < 0.05, rel
 
 
+def test_int4_pack_unpack_roundtrip():
+    from videoitg_tpu.ops.quant import quantize_linear_int4, unpack_int4
+
+    rng = np.random.default_rng(11)
+    w = jnp.asarray(rng.standard_normal((3, 8, 12)).astype(np.float32))
+    q4 = quantize_linear_int4({"w": w})
+    assert q4["w_q4"].dtype == jnp.int8 and q4["w_q4"].shape == (3, 4, 12)
+    assert q4["scale4"].shape == (3, 12)
+    w_q = np.asarray(unpack_int4(q4["w_q4"]))
+    assert w_q.min() >= -7 and w_q.max() <= 7
+    want = np.clip(np.round(np.asarray(w) / np.asarray(q4["scale4"])[:, None, :]),
+                   -7, 7)
+    np.testing.assert_array_equal(w_q, want)
+
+
+def test_int4_linear_close_to_fp():
+    from videoitg_tpu.ops.quant import quantize_linear_int4
+
+    rng = np.random.default_rng(12)
+    lin = {"w": jnp.asarray(rng.standard_normal((64, 32)).astype(np.float32)),
+           "b": jnp.asarray(rng.standard_normal(32).astype(np.float32))}
+    x = jnp.asarray(rng.standard_normal((4, 64)).astype(np.float32))
+    want = np.asarray(linear(lin, x))
+    got = np.asarray(jax.jit(linear)(quantize_linear_int4(lin), x))
+    # int4: relative error ~0.5/7
+    assert np.abs(got - want).max() / (np.abs(want).max() + 1e-6) < 0.25
+    # with dynamic activation quant (jit only — eager int ops crash axon)
+    q4 = dict(quantize_linear_int4(lin)); q4["act_q"] = None
+    got8 = np.asarray(jax.jit(linear)(q4, x))
+    assert np.abs(got8 - want).max() / (np.abs(want).max() + 1e-6) < 0.3
+
+
+def test_int4_stacked_lm_forward_runs():
+    from videoitg_tpu.models.qwen2 import init_qwen2, qwen2_hidden_states
+    from videoitg_tpu.ops.quant import quantize_qwen2_int4
+
+    cfg = GroundingConfig.tiny().lm
+    lm = init_qwen2(jax.random.PRNGKey(0), cfg)
+    q4lm = quantize_qwen2_int4(lm)
+    assert q4lm["layers"]["q"]["w_q4"].shape == (
+        cfg.num_layers, cfg.hidden_size // 2, cfg.q_dim)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 6, cfg.hidden_size))
+    pos = jnp.arange(6)[None]
+    a = np.asarray(jax.jit(
+        lambda p, x_: qwen2_hidden_states(p, x_, pos, None, cfg))(lm, x))
+    b = np.asarray(jax.jit(
+        lambda p, x_: qwen2_hidden_states(p, x_, pos, None, cfg))(q4lm, x))
+    assert np.all(np.isfinite(b))
+    corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+    assert corr > 0.9, corr
+
+
+def test_int4_tree_shards_on_mesh():
+    from videoitg_tpu.models.grounding import init_grounding
+    from videoitg_tpu.ops.quant import quantize_qwen2_int4
+    from videoitg_tpu.parallel.mesh import make_mesh
+    from videoitg_tpu.parallel.sharding import (
+        adapt_specs_to_params, grounding_param_specs, shard_params,
+    )
+
+    cfg = GroundingConfig.tiny()
+    params = init_grounding(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    params["lm"] = quantize_qwen2_int4(params["lm"])
+    specs = adapt_specs_to_params(grounding_param_specs(), params)
+    mesh = make_mesh(dp=2, tp=2, devices=jax.devices()[:4])
+    sharded = shard_params(params, specs, mesh)
+    q = sharded["lm"]["layers"]["q"]
+    assert q["w_q4"].sharding.shard_shape(q["w_q4"].shape)[-1] == q["w_q4"].shape[-1] // 2
+
+
 def test_quantized_engine_preserves_ranking():
     from tests.test_engine import ToyTokenizer, _frames
 

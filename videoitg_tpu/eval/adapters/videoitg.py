@@ -30,6 +30,7 @@ class VideoITGAdapter(ModelAdapter):
         data_root: str = "",
         dtype: Optional[str] = None,
         quantize_int8: bool = False,
+        quantize_int4: bool = False,
         act_int8: bool = False,
         dp: Optional[int] = None,
         tp: Optional[int] = None,
@@ -88,6 +89,14 @@ class VideoITGAdapter(ModelAdapter):
             from videoitg_tpu.ops.quant import quantize_grounding_int8
 
             params = quantize_grounding_int8(params)
+        if quantize_int4:
+            # Packed-nibble int4 LM weights (~4.3 GB for the 8B LM); larger
+            # quantization error than int8 — the reference's bitsandbytes
+            # load_in_4bit analog (its builder.py:48-57).
+            from videoitg_tpu.ops.quant import quantize_qwen2_int4
+
+            params = dict(params)
+            params["lm"] = quantize_qwen2_int4(params["lm"])
         if act_int8:
             from videoitg_tpu.ops.quant import apply_full_int8
 

@@ -18,6 +18,10 @@ def linear(params, x: jax.Array) -> jax.Array:
         from videoitg_tpu.ops.quant import quantized_linear
 
         return quantized_linear(params, x)
+    if "w_q4" in params:  # packed-int4 serving path (ops/quant.py)
+        from videoitg_tpu.ops.quant import quantized_linear_int4
+
+        return quantized_linear_int4(params, x)
     y = x @ params["w"]
     if "lora_a" in params:  # LoRA adapter (train/lora.py)
         delta = (x @ params["lora_a"]) @ params["lora_b"]
@@ -95,7 +99,7 @@ def fused_qkv(p_q: dict, p_k: dict, p_v: dict, x: jax.Array):
     Falls back to separate linears when any projection is quantized or
     LoRA-adapted (those paths have their own fused forms).
     """
-    if any(("w_q" in p or "lora_a" in p) for p in (p_q, p_k, p_v)):
+    if any(("w_q" in p or "w_q4" in p or "lora_a" in p) for p in (p_q, p_k, p_v)):
         return linear(p_q, x), linear(p_k, x), linear(p_v, x)
     dq = p_q["w"].shape[-1]
     dk = p_k["w"].shape[-1]

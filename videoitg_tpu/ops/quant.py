@@ -45,11 +45,11 @@ def is_quantized(lin: dict) -> bool:
 
 
 def is_quantized_tree(params) -> bool:
-    """True if any linear in the tree is int8-quantized."""
+    """True if any linear in the tree is int8/int4-quantized."""
 
     def rec(t):
         if isinstance(t, dict):
-            return "w_q" in t or any(rec(v) for v in t.values())
+            return "w_q" in t or "w_q4" in t or any(rec(v) for v in t.values())
         return False
 
     return rec(params)
@@ -85,12 +85,116 @@ def quantized_linear(lin: dict, x: jax.Array) -> jax.Array:
     return y
 
 
+def quantize_linear_int4(lin: dict) -> dict:
+    """{'w': [..., in, out]} -> {'w_q4': int8 [..., in/2, out] (two nibbles
+    per byte), 'scale4': fp32 [..., out], 'b'?}.
+
+    int4 values live PACKED inside int8 bytes — no int4-dtype array is ever
+    created (eager int4 ops RecursionError this sandbox's TPU plugin; the
+    packed form is also what survives orbax/safetensors round-trips). Byte
+    layout: low nibble = row i, high nibble = row i + in/2, so unpacking is
+    two arithmetic shifts and a concat. Range is symmetric [-7, 7]
+    (scale = amax/7). The reference's 4-bit knob is bitsandbytes
+    load_in_4bit (its builder.py:48-57)."""
+    w = lin["w"].astype(jnp.float32)
+    in_dim = w.shape[-2]
+    assert in_dim % 2 == 0, f"int4 packing needs even in-dim, got {in_dim}"
+    amax = jnp.max(jnp.abs(w), axis=-2)
+    scale = jnp.where(amax == 0, 1.0, amax / 7.0)
+    w_q = jnp.clip(jnp.round(w / scale[..., None, :]), -7, 7).astype(jnp.int8)
+    lo = w_q[..., : in_dim // 2, :]
+    hi = w_q[..., in_dim // 2 :, :]
+    packed = jnp.bitwise_or(
+        jnp.bitwise_and(lo, 0xF), jnp.left_shift(hi, 4)
+    ).astype(jnp.int8)
+    out = {"w_q4": packed, "scale4": scale.astype(jnp.float32)}
+    if "b" in lin:
+        out["b"] = lin["b"]
+    return out
+
+
+def unpack_int4(packed: jax.Array) -> jax.Array:
+    """int8 [..., in/2, out] -> int8 [..., in, out] in [-7, 7] (jit-safe)."""
+    lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)  # sign-extend low
+    hi = jnp.right_shift(packed, 4)                     # arithmetic shift
+    return jnp.concatenate([lo, hi], axis=-2)
+
+
+def quantized_linear_int4(lin: dict, x: jax.Array) -> jax.Array:
+    """x @ dequant4(w): unpack nibbles under jit, fp32 accumulation.
+
+    With the act_q marker the GEMM runs int8 x int8 on the MXU (unpacked
+    int4 weights are valid int8 operands)."""
+    w_q = unpack_int4(lin["w_q4"])
+    if "act_q" in lin:
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        x_scale = jnp.where(amax == 0, 1.0, amax / 127.0)
+        x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / x_scale),
+                       -127, 127).astype(jnp.int8)
+        y = jnp.einsum("...i,io->...o", x_q, w_q,
+                       preferred_element_type=jnp.int32)
+        y = (y.astype(jnp.float32) * x_scale * lin["scale4"]).astype(x.dtype)
+    else:
+        y = jnp.einsum("...i,io->...o", x, w_q.astype(x.dtype),
+                       preferred_element_type=jnp.float32)
+        y = (y * lin["scale4"]).astype(x.dtype)
+    if "b" in lin:
+        y = y + lin["b"]
+    return y
+
+
+def quantize_qwen2_int4(lm_params: dict) -> dict:
+    """int4 weights for all decoder-layer linears (embeddings/norms bf16)."""
+    out = dict(lm_params)
+    layers = dict(lm_params["layers"])
+    for key in _QWEN2_LINEAR_KEYS:
+        layers[key] = quantize_linear_int4(layers[key])
+    out["layers"] = layers
+    return out
+
+
+def init_qwen2_int4(key, cfg, dtype=jnp.bfloat16) -> dict:
+    """Random-init a qwen2 tree directly in packed-int4 serving form."""
+    def to_q(shape_like_lin, k):
+        kw, _ = jax.random.split(k)
+        packed_shape = shape_like_lin[:-2] + (shape_like_lin[-2] // 2,
+                                              shape_like_lin[-1])
+        w_q4 = jax.random.randint(kw, packed_shape, -128, 128,
+                                  dtype=jnp.int32).astype(jnp.int8)
+        scale = jnp.full(shape_like_lin[:-2] + shape_like_lin[-1:], 0.02,
+                         dtype=jnp.float32)
+        return {"w_q4": w_q4, "scale4": scale}
+
+    h = cfg.hidden_size
+    shapes = {
+        "q": (h, cfg.q_dim), "k": (h, cfg.kv_dim), "v": (h, cfg.kv_dim),
+        "o": (cfg.q_dim, h), "gate": (h, cfg.intermediate_size),
+        "up": (h, cfg.intermediate_size), "down": (cfg.intermediate_size, h),
+    }
+    biased = {"q", "k", "v"}
+    keys = jax.random.split(key, len(shapes) + 2)
+    layers = {}
+    for i, (name, shape) in enumerate(shapes.items()):
+        lin = to_q((cfg.num_layers,) + shape, keys[i])
+        if name in biased:
+            lin["b"] = jnp.zeros((cfg.num_layers, shape[-1]), dtype=dtype)
+        layers[name] = lin
+    layers["input_norm"] = {"scale": jnp.ones((cfg.num_layers, h), dtype)}
+    layers["post_attn_norm"] = {"scale": jnp.ones((cfg.num_layers, h), dtype)}
+    return {
+        "embed": {"w": (jax.random.normal(keys[-2], (cfg.vocab_size, h), jnp.bfloat16)
+                        * 0.02).astype(dtype)},
+        "layers": layers,
+        "final_norm": {"scale": jnp.ones((h,), dtype)},
+    }
+
+
 def enable_act_quant(tower_params: dict, keys=_QWEN2_LINEAR_KEYS) -> dict:
     """Mark every quantized layer linear for dynamic activation quant."""
     out = dict(tower_params)
     layers = dict(tower_params["layers"])
     for key in keys:
-        if "w_q" in layers[key]:
+        if "w_q" in layers[key] or "w_q4" in layers[key]:
             lin = dict(layers[key])
             lin["act_q"] = None  # structural marker (see quantized_linear)
             layers[key] = lin
@@ -168,7 +272,7 @@ def cast_params(params: Any, dtype) -> Any:
 
     def rec(tree):
         if isinstance(tree, dict):
-            if "w_q" in tree:
+            if "w_q" in tree or "w_q4" in tree:
                 out = dict(tree)
                 if "b" in tree:
                     out["b"] = jnp.asarray(tree["b"], dtype=dtype)
@@ -184,7 +288,7 @@ def apply_full_int8(params: dict) -> dict:
     dynamic activation quant on LM + vision encoder linears. Used by bench
     and the videoitg adapter so 'act8' always means the same configuration."""
     params = dict(params)
-    if "w_q" not in params["lm"]["layers"]["q"]:
+    if not ({"w_q", "w_q4"} & set(params["lm"]["layers"]["q"])):
         params["lm"] = quantize_qwen2_int8(params["lm"])
     params["lm"] = enable_act_quant(params["lm"])
     params["vision"] = enable_act_quant(

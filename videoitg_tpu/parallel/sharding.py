@@ -96,16 +96,17 @@ def adapt_specs_to_params(specs: Any, params: Any) -> Any:
 
     def rec(spec, param):
         if isinstance(param, dict):
-            if "w_q" in param:
+            if "w_q" in param or "w_q4" in param:
                 w_spec = spec["w"]
-                out = {
-                    "w_q": w_spec,
-                    "scale": P(*(tuple(w_spec)[:-2] + tuple(w_spec)[-1:])),
-                }
+                scale_spec = P(*(tuple(w_spec)[:-2] + tuple(w_spec)[-1:]))
+                if "w_q" in param:
+                    out = {"w_q": w_spec, "scale": scale_spec}
+                else:
+                    # packed int4: the in-axis is halved but its sharding
+                    # axis is unchanged (nibble planes split the same way)
+                    out = {"w_q4": w_spec, "scale4": scale_spec}
                 if "b" in param:
-                    out["b"] = spec.get(
-                        "b", P(*(tuple(w_spec)[:-2] + tuple(w_spec)[-1:]))
-                    )
+                    out["b"] = spec.get("b", scale_spec)
                 if "act_q" in param:
                     out["act_q"] = None
                 return out
