@@ -1,0 +1,140 @@
+"""Generate-roundtrip tests for the downstream (stage B) adapters on tiny
+fixture checkpoints — real HF load paths (trust_remote_code chat-style and
+processor-style), real generate/chat calls, bf16 weights (VERDICT item 7:
+structural tests replaced by roundtrips; fp32 default gone)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from videoitg_tpu.eval.api import get_adapter, get_task
+from videoitg_tpu.eval.harness import ResultsWriter, evaluate_task
+
+
+@pytest.fixture(scope="module")
+def video_root(tmp_path_factory):
+    from videoitg_tpu.data.video import write_test_video
+
+    root = tmp_path_factory.mktemp("dsroot")
+    os.makedirs(root / "data")
+    for i in range(2):
+        write_test_video(str(root / "data" / f"vid{i}.mp4"), 64, 48, 30, 10, 8)
+    return str(root)
+
+
+def _docs():
+    return [
+        {"videoID": f"vid{i}", "question_id": f"q{i}",
+         "question": "what color is the video",
+         "options": ["A. red", "B. green", "C. blue", "D. black"],
+         "answer": "A", "duration": "short", "domain": "d",
+         "sub_category": "s", "task_type": "t"}
+        for i in range(2)
+    ]
+
+
+@pytest.fixture(scope="module")
+def selection_jsonl(tmp_path_factory):
+    d = tmp_path_factory.mktemp("sel")
+    p = d / "results.jsonl"
+    rows = [{"doc_id": i, "index": [5, 1, 9, 3], "logits": [0.9, 0.8, 0.7, 0.6],
+             "num_frames": 1, "contexts": "q", "video_path": f"vid{i}.mp4"}
+            for i in range(2)]
+    p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def tiny_internvl(tmp_path_factory):
+    from tests.fixtures.build import build_tiny_internvl
+
+    return build_tiny_internvl(str(tmp_path_factory.mktemp("ivl") / "ckpt"))
+
+
+@pytest.fixture(scope="module")
+def tiny_llava(tmp_path_factory):
+    from tests.fixtures.build import build_tiny_llava
+
+    return build_tiny_llava(str(tmp_path_factory.mktemp("llava") / "ckpt"))
+
+
+def test_internvl_chat_roundtrip(video_root, selection_jsonl, tiny_internvl):
+    adapter = get_adapter("internvl-chat")(
+        pretrained=tiny_internvl, frame_indices_jsonl=selection_jsonl,
+        num_frame=3, data_root=video_root, use_fast=True)
+    assert adapter.model.dtype == torch.bfloat16  # bf16 default, not fp32
+    task = get_task("videomme")
+    report = evaluate_task(adapter, task, _docs(), video_root + "/outA",
+                           log_samples=True)
+    assert report.num_docs == 2
+    for s in report.samples:
+        assert s["response"] in list("ABCD")
+    # responses are pixel-dependent and deterministic
+    r2 = evaluate_task(adapter, task, _docs(), video_root + "/outA2",
+                       log_samples=True)
+    assert [s["response"] for s in r2.samples] == [
+        s["response"] for s in report.samples]
+
+
+def test_qwen_style_processor_roundtrip(video_root, selection_jsonl, tiny_llava):
+    adapter = get_adapter("qwen-vl-chat")(
+        pretrained=tiny_llava, frame_indices_jsonl=selection_jsonl,
+        num_frame=2, data_root=video_root, dtype="bfloat16", max_new_tokens=3)
+    assert adapter.model.dtype == torch.bfloat16
+    task = get_task("videomme")
+    report = evaluate_task(adapter, task, _docs(), video_root + "/outB",
+                           log_samples=True)
+    assert report.num_docs == 2
+    for s in report.samples:
+        assert isinstance(s["response"], str) and len(s["response"]) > 0
+    # metadata captured from the decoder for processor-based models
+    assert adapter.last_metadata["total_num_frames"] == 30
+    assert adapter.last_metadata["frames_indices"] == [1, 5]  # first-2 asc
+    assert adapter.last_metadata["video_backend"] == "libav"
+
+
+def test_hf_video_llm_dispatch(tiny_internvl, tiny_llava, selection_jsonl):
+    from videoitg_tpu.eval.adapters.downstream import (
+        InternVLChatAdapter, QwenVLChatAdapter,
+    )
+
+    a = get_adapter("hf-video-llm")(pretrained=tiny_internvl, use_fast=True,
+                                    frame_indices_jsonl=selection_jsonl)
+    assert isinstance(a, InternVLChatAdapter)
+    b = get_adapter("hf-video-llm")(pretrained=tiny_llava,
+                                    frame_indices_jsonl=selection_jsonl)
+    assert isinstance(b, QwenVLChatAdapter)
+
+
+def test_video_metadata_passed_when_supported(video_root, selection_jsonl, tiny_llava):
+    """Processors that accept video_metadata must receive fps + indices
+    (reference qwen3_vl.py:234-241,465)."""
+    adapter = get_adapter("qwen-vl-chat")(
+        pretrained=tiny_llava, frame_indices_jsonl=selection_jsonl,
+        num_frame=2, data_root=video_root, max_new_tokens=2)
+    seen = {}
+    orig_proc = adapter.processor
+
+    class SpyProc:
+        video_processor = object()  # force the video branch
+
+        def apply_chat_template(self, *a, **k):
+            return orig_proc.apply_chat_template(*a, **k)
+
+        def __call__(self, **kwargs):
+            seen.update(kwargs)
+            raise RuntimeError("stop after capture")
+
+    adapter.processor = SpyProc()
+    adapter._accepts_metadata = True
+    frames = np.zeros((2, 48, 64, 3), dtype=np.uint8)
+    adapter.last_metadata = {"fps": 10.0, "frames_indices": [1, 5],
+                             "total_num_frames": 30, "video_backend": "libav"}
+    with pytest.raises(RuntimeError, match="stop after capture"):
+        adapter.answer(0, {}, frames, [1, 5], "q", None)
+    assert seen["video_metadata"] == [adapter.last_metadata]
+    assert "videos" in seen

@@ -8,9 +8,15 @@ to uniform sampling when a doc is missing.
 
 `FrameSelectionConsumer` implements that protocol once; concrete adapters
 plug in an answer function:
-  * hf-video-llm — generic HF AutoModel wrapper (InternVL2.5/3.5, Qwen3-VL,
-    LLaVA-Video, Eagle2.5 checkpoints) driving torch generate.
-  * echo-answer  — deterministic stub for harness tests / dry runs.
+  * internvl-chat — InternVL-style trust_remote_code checkpoints
+    (InternVL2.5/3.5, Eagle2.5): AutoModel + model.chat(tokenizer,
+    pixel_values, "FrameN: <image>" prompt, num_patches_list), tile
+    preprocessing, bf16 (reference internvl2.py:330-395).
+  * qwen-vl-chat  — processor-based chat-template checkpoints (Qwen2/3-VL,
+    LLaVA-Video): video message content + per-video metadata (fps, frame
+    timestamps) fed to the processor (reference qwen3_vl.py:187-241,400-470).
+  * hf-video-llm  — auto-dispatch between the two by checkpoint config.
+  * echo-answer   — deterministic stub for harness tests / dry runs.
 """
 
 from __future__ import annotations
@@ -77,6 +83,14 @@ class FrameSelectionConsumer(ModelAdapter):
             total = len(vr)
             ids = select_frame_ids(self.indices_map, doc_id, self.num_frame, total)
             frames = vr.get_batch(ids)
+            # Video metadata for processor-based downstreams (the reference
+            # builds the same dict, qwen3_vl.py:234-241).
+            self.last_metadata = {
+                "fps": vr.fps,
+                "frames_indices": list(ids),
+                "total_num_frames": total,
+                "video_backend": "libav",
+            }
         return frames, ids
 
     def answer(self, doc_id, doc, frames: np.ndarray, frame_ids: Sequence[int],
@@ -106,71 +120,156 @@ class EchoAnswerAdapter(FrameSelectionConsumer):
         return f"{self.answer_letter} (frames={list(frame_ids)})"
 
 
-@register_adapter("hf-video-llm")
-class HFVideoLLMAdapter(FrameSelectionConsumer):
-    """Generic HF downstream VLM on selected frames.
+def _torch_dtype(name: str):
+    import torch
 
-    Prompts frames as "Frame1: <image>\\n...Frame{N}: <image>\\n" + question
-    (reference internvl2.py:389-393) and delegates to the checkpoint's chat/
-    generate API. Works with trust_remote_code InternVL-style checkpoints
-    and processor-based ones (Qwen-VL family).
+    return {"bfloat16": torch.bfloat16, "float16": torch.float16,
+            "float32": torch.float32}[name]
+
+
+@register_adapter("internvl-chat")
+class InternVLChatAdapter(FrameSelectionConsumer):
+    """InternVL-style downstream (InternVL2.5/3.5, Eagle2.5 checkpoints).
+
+    Protocol (reference internvl2.py:330-395): dynamic-tile preprocess per
+    frame, prompt "Frame{i}: <image>\\n" * T + question, and
+    model.chat(tokenizer, pixel_values, question, gen_kwargs,
+    num_patches_list=...). bf16 by default — an 8B checkpoint in fp32 would
+    not serve (reference loads torch.bfloat16, internvl2.py:252).
     """
 
-    def __init__(self, pretrained: str = "", max_new_tokens: int = 16, **kwargs):
+    def __init__(self, pretrained: str = "", max_new_tokens: int = 16,
+                 dtype: str = "bfloat16", max_tiles: int = 1,
+                 input_size: int = 448, use_fast: bool = False, **kwargs):
         super().__init__(**kwargs)
         if not pretrained:
-            raise ValueError("hf-video-llm requires pretrained=<hf id or dir>")
+            raise ValueError("internvl-chat requires pretrained=<hf id or dir>")
         import torch
-        from transformers import AutoConfig, AutoModel, AutoProcessor, AutoTokenizer
+        from transformers import AutoModel, AutoTokenizer
 
         self.torch = torch
         self.max_new_tokens = max_new_tokens
-        cfg = AutoConfig.from_pretrained(pretrained, trust_remote_code=True)
-        self.is_chat_style = hasattr(cfg, "vision_config") and hasattr(cfg, "llm_config")
-        if self.is_chat_style:  # InternVL-style: model.chat(tokenizer, pixel_values, q)
-            self.tokenizer = AutoTokenizer.from_pretrained(
-                pretrained, trust_remote_code=True)
-            self.model = AutoModel.from_pretrained(
-                pretrained, trust_remote_code=True,
-                torch_dtype=torch.float32).eval()
-        else:  # processor-based chat-template models
-            self.processor = AutoProcessor.from_pretrained(
-                pretrained, trust_remote_code=True)
-            from transformers import AutoModelForCausalLM
-
-            self.model = AutoModelForCausalLM.from_pretrained(
-                pretrained, trust_remote_code=True,
-                torch_dtype=torch.float32).eval()
+        self.torch_dtype = _torch_dtype(dtype)
+        self.max_tiles = max_tiles
+        self.input_size = input_size
+        # The InternVL family ships slow tokenizers (reference internvl2.py
+        # loads use_fast=False); fixtures may be fast-only.
+        self.tokenizer = AutoTokenizer.from_pretrained(
+            pretrained, trust_remote_code=True, use_fast=use_fast)
+        self.model = AutoModel.from_pretrained(
+            pretrained, trust_remote_code=True,
+            torch_dtype=self.torch_dtype, low_cpu_mem_usage=True).eval()
 
     def answer(self, doc_id, doc, frames, frame_ids, question, task) -> str:
         torch = self.torch
-        if self.is_chat_style:
-            from videoitg_tpu.eval.adapters.internvl_preprocess import (
-                video_frames_to_pixel_values,
-            )
+        from videoitg_tpu.eval.adapters.internvl_preprocess import (
+            video_frames_to_pixel_values,
+        )
 
-            pixel_values, num_patches_list = video_frames_to_pixel_values(frames)
-            prefix = "".join(f"Frame{i + 1}: <image>\n"
-                             for i in range(len(num_patches_list)))
-            with torch.no_grad():
-                out = self.model.chat(
-                    self.tokenizer, pixel_values, prefix + question,
-                    dict(max_new_tokens=self.max_new_tokens, do_sample=False),
-                    num_patches_list=num_patches_list,
-                )
-            return out if isinstance(out, str) else out[0]
-        messages = [{
-            "role": "user",
-            "content": ([{"type": "image"} for _ in range(len(frames))] +
-                        [{"type": "text", "text": question}]),
-        }]
-        prompt = self.processor.apply_chat_template(messages, add_generation_prompt=True)
-        inputs = self.processor(text=prompt, images=[f for f in frames],
-                                return_tensors="pt")
+        pixel_values, num_patches_list = video_frames_to_pixel_values(
+            frames, input_size=self.input_size)
+        pixel_values = pixel_values.to(self.torch_dtype)
+        prefix = "".join(f"Frame{i + 1}: <image>\n"
+                         for i in range(len(num_patches_list)))
+        with torch.no_grad():
+            out = self.model.chat(
+                self.tokenizer, pixel_values, prefix + question,
+                dict(max_new_tokens=self.max_new_tokens, do_sample=False),
+                num_patches_list=num_patches_list,
+            )
+        return out if isinstance(out, str) else out[0]
+
+
+@register_adapter("qwen-vl-chat")
+class QwenVLChatAdapter(FrameSelectionConsumer):
+    """Processor-based downstream (Qwen2/3-VL, LLaVA-Video checkpoints).
+
+    Protocol (reference qwen3_vl.py:400-470): a chat-template message whose
+    content is one video (the selected frames) + the question; the processor
+    receives the frames and per-video metadata (fps, frame indices) so
+    models with temporal position encodings see real timestamps.
+    """
+
+    def __init__(self, pretrained: str = "", max_new_tokens: int = 16,
+                 dtype: str = "bfloat16", **kwargs):
+        super().__init__(**kwargs)
+        if not pretrained:
+            raise ValueError("qwen-vl-chat requires pretrained=<hf id or dir>")
+        import inspect
+
+        import torch
+        from transformers import AutoProcessor
+
+        self.torch = torch
+        self.max_new_tokens = max_new_tokens
+        self.torch_dtype = _torch_dtype(dtype)
+        self.processor = AutoProcessor.from_pretrained(
+            pretrained, trust_remote_code=True)
+        self.model = self._load_model(pretrained)
+        call_params = inspect.signature(
+            type(self.processor).__call__).parameters
+        self._accepts_metadata = "video_metadata" in call_params
+
+    def _load_model(self, pretrained: str):
+        from transformers import AutoModelForCausalLM, AutoModelForVision2Seq
+
+        try:
+            m = AutoModelForVision2Seq.from_pretrained(
+                pretrained, trust_remote_code=True,
+                torch_dtype=self.torch_dtype, low_cpu_mem_usage=True)
+        except Exception:
+            m = AutoModelForCausalLM.from_pretrained(
+                pretrained, trust_remote_code=True,
+                torch_dtype=self.torch_dtype, low_cpu_mem_usage=True)
+        return m.eval()
+
+    def answer(self, doc_id, doc, frames, frame_ids, question, task) -> str:
+        torch = self.torch
+        has_video_proc = getattr(self.processor, "video_processor", None) is not None
+        if has_video_proc:
+            content = [{"type": "video"}, {"type": "text", "text": question}]
+        else:
+            # Image-sequence fallback (LLaVA-style processors; also the only
+            # video path in environments without HF's torchvision-backed
+            # video processors) — one image slot per selected frame.
+            content = ([{"type": "image"} for _ in range(len(frames))]
+                       + [{"type": "text", "text": question}])
+        messages = [{"role": "user", "content": content}]
+        prompt = self.processor.apply_chat_template(
+            messages, tokenize=False, add_generation_prompt=True)
+        if has_video_proc:
+            kwargs = dict(text=[prompt], videos=[frames], return_tensors="pt")
+            if self._accepts_metadata and getattr(self, "last_metadata", None):
+                kwargs["video_metadata"] = [self.last_metadata]
+        else:
+            from PIL import Image
+
+            kwargs = dict(text=[prompt],
+                          images=[Image.fromarray(f) for f in frames],
+                          return_tensors="pt")
+        inputs = self.processor(**kwargs)
+        inputs = {k: (v.to(self.torch_dtype)
+                      if hasattr(v, "dtype") and v.dtype.is_floating_point else v)
+                  for k, v in inputs.items()}
         with torch.no_grad():
             out = self.model.generate(**inputs, max_new_tokens=self.max_new_tokens,
                                       do_sample=False)
-        text = self.processor.batch_decode(
+        return self.processor.batch_decode(
             out[:, inputs["input_ids"].shape[1]:], skip_special_tokens=True)[0]
-        return text
+
+
+@register_adapter("hf-video-llm")
+def hf_video_llm(pretrained: str = "", **kwargs):
+    """Auto-dispatch by checkpoint config: InternVL-style configs carry
+    vision_config + llm_config and a chat() API; everything else goes
+    through the processor branch (reference has one wrapper per family —
+    internvl2/internvl3_5/qwen3_vl/eagle2_5 — with these two shapes)."""
+    if not pretrained:
+        raise ValueError("hf-video-llm requires pretrained=<hf id or dir>")
+    from transformers import AutoConfig
+
+    cfg = AutoConfig.from_pretrained(pretrained, trust_remote_code=True)
+    if hasattr(cfg, "vision_config") and hasattr(cfg, "llm_config"):
+        return InternVLChatAdapter(pretrained=pretrained, **kwargs)
+    return QwenVLChatAdapter(pretrained=pretrained, **kwargs)
 
