@@ -180,6 +180,56 @@ def test_projector_parity(hw):
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
 
 
+def test_projector_builder_families_parity():
+    """linear / mlpNx_gelu / identity (reference builder.py:48-69) against
+    torch oracles, through the converter's per-family key layouts."""
+    import dataclasses
+
+    from videoitg_tpu.config import ProjectorConfig
+    from videoitg_tpu.models.projector import apply_projector, init_projector
+
+    rng = np.random.default_rng(13)
+    feats = rng.standard_normal((3, 9, 16)).astype(np.float32)
+
+    # linear: bare nn.Linear under "model.mm_projector"
+    torch.manual_seed(5)
+    lin = torch.nn.Linear(16, 24).eval()
+    sd = {"model.mm_projector." + k: v for k, v in lin.state_dict().items()}
+    cfg = ProjectorConfig(input_dim=16, output_dim=24, projector_type="linear")
+    params = convert_projector(sd, prefix="model.mm_projector.",
+                               projector_type="linear")
+    with torch.no_grad():
+        want = lin(torch.from_numpy(feats)).numpy()
+    got = np.asarray(apply_projector(params, jnp.asarray(feats), cfg))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+    # mlp3x_gelu: Sequential(Linear, GELU, Linear, GELU, Linear)
+    torch.manual_seed(6)
+    mlp = torch.nn.Sequential(
+        torch.nn.Linear(16, 24), torch.nn.GELU(), torch.nn.Linear(24, 24),
+        torch.nn.GELU(), torch.nn.Linear(24, 24)).eval()
+    sd = {"model.mm_projector." + k: v for k, v in mlp.state_dict().items()}
+    cfg = ProjectorConfig(input_dim=16, output_dim=24, projector_type="mlp3x_gelu")
+    params = convert_projector(sd, prefix="model.mm_projector.",
+                               projector_type="mlp3x_gelu")
+    with torch.no_grad():
+        want = mlp(torch.from_numpy(feats)).numpy()
+    got = np.asarray(apply_projector(params, jnp.asarray(feats), cfg))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+    # identity
+    cfg = ProjectorConfig(projector_type="identity")
+    assert init_projector(jax.random.PRNGKey(0), cfg) == {}
+    np.testing.assert_array_equal(
+        np.asarray(apply_projector({}, jnp.asarray(feats), cfg)), feats)
+
+    # init shapes match the family
+    cfg = ProjectorConfig(input_dim=16, output_dim=24, projector_type="mlp2x_gelu")
+    p = init_projector(jax.random.PRNGKey(0), cfg)
+    assert set(p) == {"fc1", "fc2"}
+    assert dataclasses.asdict(cfg)["projector_type"] == "mlp2x_gelu"  # serializes
+
+
 def test_pool_frame_grid_identity_when_hw_ge_ori():
     rng = np.random.default_rng(4)
     feats = jnp.asarray(rng.standard_normal((2, 9, 4)).astype(np.float32))

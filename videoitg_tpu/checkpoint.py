@@ -138,11 +138,26 @@ def convert_siglip(sd: Mapping, cfg: VisionConfig, dtype=jnp.float32, prefix: st
     return params
 
 
-def convert_projector(sd: Mapping, dtype=jnp.float32, prefix: str = "") -> dict:
-    """seq_mlp projector: out_projection.0 / out_projection.2 Linears."""
+def convert_projector(sd: Mapping, dtype=jnp.float32, prefix: str = "",
+                      projector_type: str = "seq_mlp") -> dict:
+    """Projector weights per family (reference builder.py:48-69 layouts):
+    seq_mlp = out_projection.{0,2}; linear = a bare nn.Linear; mlpNx_gelu =
+    nn.Sequential indices 0, 2, 4...; identity = no params."""
+    if projector_type == "seq_mlp":
+        return {
+            "fc1": _lin(sd, prefix + "out_projection.0", dtype),
+            "fc2": _lin(sd, prefix + "out_projection.2", dtype),
+        }
+    if projector_type == "identity":
+        return {}
+    if projector_type == "linear":
+        return {"fc1": _lin(sd, prefix.rstrip("."), dtype)}
+    m = re.fullmatch(r"mlp(\d+)x_gelu", projector_type)
+    if not m:
+        raise ValueError(f"unknown projector type {projector_type!r}")
     return {
-        "fc1": _lin(sd, prefix + "out_projection.0", dtype),
-        "fc2": _lin(sd, prefix + "out_projection.2", dtype),
+        f"fc{i + 1}": _lin(sd, prefix + str(2 * i), dtype)
+        for i in range(int(m.group(1)))
     }
 
 

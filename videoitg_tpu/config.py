@@ -112,6 +112,10 @@ class ProjectorConfig:
 
     input_dim: int = 1152
     output_dim: int = 3584
+    # Projector family (reference multimodal_projector/builder.py:48-69):
+    # "seq_mlp" (the VideoITG projector: budget pooling + 2-layer MLP),
+    # "linear", "mlp{N}x_gelu" (e.g. mlp2x_gelu, LLaVA's default), "identity".
+    projector_type: str = "seq_mlp"
     # Total vision-token budget across all frames of one video. The released
     # grounding checkpoint trains with 16384
     # (reference scripts/videoitg/finetune-qwen2-7b-grounding.sh:29).

@@ -26,11 +26,22 @@ from videoitg_tpu.ops.resize import bilinear_resize_matrix
 
 
 def init_projector(key, cfg: ProjectorConfig, dtype=jnp.float32) -> dict:
-    k1, k2 = jax.random.split(key)
-    return {
-        "fc1": init_linear(k1, cfg.input_dim, cfg.output_dim, dtype=dtype),
-        "fc2": init_linear(k2, cfg.output_dim, cfg.output_dim, dtype=dtype),
-    }
+    """Init per cfg.projector_type (reference builder.py:48-69 families).
+
+    seq_mlp and mlpNx_gelu share the fc{i} naming (seq_mlp IS a 2-layer MLP
+    plus budget pooling); "linear" is one fc1; "identity" has no params.
+    """
+    if cfg.projector_type == "identity":
+        return {}
+    if cfg.projector_type == "linear":
+        return {"fc1": init_linear(key, cfg.input_dim, cfg.output_dim, dtype=dtype)}
+    depth = 2 if cfg.projector_type == "seq_mlp" else _mlp_depth(cfg.projector_type)
+    keys = jax.random.split(key, depth)
+    params = {"fc1": init_linear(keys[0], cfg.input_dim, cfg.output_dim, dtype=dtype)}
+    for i in range(1, depth):
+        params[f"fc{i + 1}"] = init_linear(
+            keys[i], cfg.output_dim, cfg.output_dim, dtype=dtype)
+    return params
 
 
 def pool_frame_grid(feats: jax.Array, hw: int) -> jax.Array:
@@ -55,9 +66,39 @@ def pool_frame_grid(feats: jax.Array, hw: int) -> jax.Array:
 
 
 def project_frames(params: dict, feats: jax.Array, hw: int) -> jax.Array:
-    """[T, P, C] tower features -> [T, hw*hw, D] LM-space tokens."""
+    """[T, P, C] tower features -> [T, hw*hw, D] LM-space tokens (seq_mlp)."""
     pooled = pool_frame_grid(feats, hw)
     return linear(params["fc2"], gelu_exact(linear(params["fc1"], pooled)))
+
+
+def apply_projector(params: dict, feats: jax.Array, cfg: ProjectorConfig,
+                    hw: int | None = None) -> jax.Array:
+    """Type-dispatched projector application (reference builder.py:48-69).
+
+    seq_mlp pools to the per-video token budget (hw required); the other
+    families are per-token maps used by the VLM pretrain/SFT stages."""
+    t = cfg.projector_type
+    if t == "seq_mlp":
+        assert hw is not None, "seq_mlp needs the static HW"
+        return project_frames(params, feats, hw)
+    if t == "identity":
+        return feats
+    if t == "linear":
+        return linear(params["fc1"], feats)
+    depth = _mlp_depth(t)
+    x = linear(params["fc1"], feats)
+    for i in range(1, depth):
+        x = linear(params[f"fc{i + 1}"], gelu_exact(x))
+    return x
+
+
+def _mlp_depth(projector_type: str) -> int:
+    import re
+
+    m = re.fullmatch(r"mlp(\d+)x_gelu", projector_type)
+    if not m:
+        raise ValueError(f"unknown projector type {projector_type!r}")
+    return int(m.group(1))
 
 
 def inference_hw(cfg: ProjectorConfig, num_frames: int, ori_hw: int = 27) -> int:
