@@ -55,6 +55,28 @@ def test_loss_decreases_and_vision_frozen():
     )
 
 
+def test_tune_projector_only_freezes_rest():
+    """Stage-1 adapter pretrain (reference --tune_mm_mlp_adapter True,
+    pretrain-qwen2-7b.sh:26): only projector leaves move."""
+    rng = np.random.default_rng(3)
+    params = init_grounding(jax.random.PRNGKey(2), CFG, dtype=jnp.float32)
+    tx = make_grounding_optimizer(
+        params, learning_rate=1e-3, total_steps=10, warmup_ratio=0.0,
+        schedule="constant", tune_projector_only=True,
+    )
+    state = create_train_state(params, tx)
+    step_fn = make_train_step(CFG, tx, hw=2, use_flash=False)
+    batch = _make_batch(rng)
+    for _ in range(3):
+        state, _ = step_fn(state, batch)
+    for key in ("lm", "vision", "out_proj"):
+        for a, b in zip(jax.tree.leaves(params[key]),
+                        jax.tree.leaves(state.params[key])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.allclose(np.asarray(params["projector"]["fc1"]["w"]),
+                           np.asarray(state.params["projector"]["fc1"]["w"]))
+
+
 def test_grad_accumulation_runs():
     rng = np.random.default_rng(1)
     params = init_grounding(jax.random.PRNGKey(1), CFG, dtype=jnp.float32)

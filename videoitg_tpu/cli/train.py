@@ -43,6 +43,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--learning-rate", type=float, default=2e-5)
     p.add_argument("--out-proj-lr", type=float, default=2e-4)
     p.add_argument("--mm-projector-lr", type=float, default=None)
+    p.add_argument("--tune-projector-only", action="store_true",
+                   help="stage-1 adapter pretrain: train only the projector "
+                        "(reference --tune_mm_mlp_adapter True)")
     p.add_argument("--weight-decay", type=float, default=0.0)
     p.add_argument("--warmup-ratio", type=float, default=0.05)
     p.add_argument("--lr-scheduler-type", default="cosine")
@@ -177,6 +180,7 @@ def main(argv=None) -> int:
         schedule=args.lr_scheduler_type,
         max_grad_norm=args.max_grad_norm,
         accum_steps=args.gradient_accumulation_steps,
+        tune_projector_only=args.tune_projector_only,
     )
     state = create_train_state(params, tx)
 

@@ -68,6 +68,7 @@ def make_grounding_optimizer(
     eps: float = 1e-8,
     max_grad_norm: Optional[float] = 1.0,
     accum_steps: int = 1,
+    tune_projector_only: bool = False,
 ) -> optax.GradientTransformation:
     def adamw(lr):
         sched = make_schedule(lr, total_steps, warmup_ratio, schedule)
@@ -76,12 +77,16 @@ def make_grounding_optimizer(
             chain.insert(0, optax.clip_by_global_norm(max_grad_norm))
         return optax.chain(*chain)
 
+    # Stage-1 projector pretrain trains ONLY the adapter (reference
+    # --tune_mm_mlp_adapter True, pretrain-qwen2-7b.sh:26).
+    frozen = optax.set_to_zero()
     tx = optax.multi_transform(
         {
-            "base": adamw(learning_rate),
-            "out_proj": adamw(out_proj_lr if out_proj_lr is not None else learning_rate),
+            "base": frozen if tune_projector_only else adamw(learning_rate),
+            "out_proj": frozen if tune_projector_only else adamw(
+                out_proj_lr if out_proj_lr is not None else learning_rate),
             "projector": adamw(projector_lr if projector_lr is not None else learning_rate),
-            "frozen": optax.set_to_zero(),
+            "frozen": frozen,
         },
         _label_tree(params),
     )
