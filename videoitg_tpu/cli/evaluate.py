@@ -45,6 +45,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(reference --use_cache / CachingLMM)")
     p.add_argument("--seed", type=int, default=1234,
                    help="recorded into report metadata (reference --seed)")
+    p.add_argument("--report_to", default="jsonl",
+                   help="'jsonl' or 'jsonl,wandb' — eval-side W&B sink "
+                        "(reference WandbLogger, logging_utils.py:70)")
+    p.add_argument("--run_name", default=None)
     p.add_argument("--cpu", action="store_true")
     return p
 
@@ -133,6 +137,18 @@ def main(argv=None) -> int:
                     reports.append(EvalReport(task=gname, metrics=rollup,
                                               num_docs=sum(r.num_docs for r in reports)))
         print(make_table(reports))
+        # Eval-side metrics stream (+ optional W&B), one row per task —
+        # the reference's WandbLogger/EvaluationTracker counterpart.
+        from videoitg_tpu.utils.metrics_logger import MetricsLogger
+
+        mlog = MetricsLogger(args.output_path, report_to=args.report_to,
+                             run_name=args.run_name,
+                             config={"model": args.model,
+                                     "model_args": args.model_args,
+                                     "tasks": args.tasks, "seed": args.seed})
+        for i, rep in enumerate(reports):
+            mlog.log(i, {f"{rep.task}/{k}": v for k, v in rep.metrics.items()})
+        mlog.close()
         engine = getattr(adapter, "engine", None)
         if engine is not None and engine.timer.totals:
             print("\nstage timings:")

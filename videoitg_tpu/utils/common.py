@@ -24,6 +24,36 @@ def call_with_data_root(fn, doc, data_root: str):
         return fn(doc)
 
 
+def violates_moderation(text: str, endpoint: str | None = None,
+                        timeout: float = 5.0) -> bool:
+    """Demo-input moderation hook (reference eagle/utils.py:118-136).
+
+    The reference POSTs to the OpenAI moderation API and fails open (returns
+    False on any error). Same contract here: if `endpoint` (or
+    $MODERATION_ENDPOINT) is configured, POST {"input": text} and read
+    results[0].flagged; unreachable/unset endpoints fail open — this sandbox
+    has no egress, so by default the hook is a documented no-op."""
+    import json as _json
+    import os
+    import urllib.request
+
+    endpoint = endpoint or os.environ.get("MODERATION_ENDPOINT")
+    if not endpoint:
+        return False
+    req = urllib.request.Request(
+        endpoint,
+        data=_json.dumps({"input": text.replace("\n", "")}).encode(),
+        headers={"Content-Type": "application/json",
+                 **({"Authorization": "Bearer " + os.environ["OPENAI_API_KEY"]}
+                    if "OPENAI_API_KEY" in os.environ else {})},
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            return bool(_json.load(resp)["results"][0]["flagged"])
+    except Exception:
+        return False
+
+
 class CharTokenizer:
     """Deterministic char-level tokenizer for smoke tests / random-init runs
     (one id per character, modulo the vocab)."""
