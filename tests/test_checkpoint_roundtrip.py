@@ -45,6 +45,27 @@ def test_save_load_hf_dir(tmp_path):
     )
 
 
+def test_orbax_roundtrip_quantized_tree(tmp_path):
+    """Quantized serving trees (int8 w_q/scale, packed-int4 w_q4/scale4,
+    act_q None markers) must survive native orbax save/restore — a serving
+    deployment checkpoints the quantized form, never the bf16 original."""
+    from videoitg_tpu.checkpoint import restore_orbax, save_orbax
+    from videoitg_tpu.models.grounding import init_grounding
+    from videoitg_tpu.ops.quant import apply_full_int8, quantize_qwen2_int4
+
+    params = apply_full_int8(init_grounding(jax.random.PRNGKey(3), CFG,
+                                            dtype=jnp.float32))
+    params["lm"] = quantize_qwen2_int4(
+        init_grounding(jax.random.PRNGKey(3), CFG, dtype=jnp.float32)["lm"])
+    save_orbax(str(tmp_path / "ckpt"), params)
+    back = restore_orbax(str(tmp_path / "ckpt" / "params"), params)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        assert a.dtype == b.dtype
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert back["lm"]["layers"]["q"]["w_q4"].dtype == jnp.int8
+    assert "act_q" in back["vision"]["layers"]["q"]
+
+
 def test_projector_only_save(tmp_path):
     from videoitg_tpu.models.grounding import init_grounding
 
