@@ -82,3 +82,55 @@ def test_read_video_frames_subsampling(fixture_mp4):
 def test_missing_file_raises():
     with pytest.raises(FileNotFoundError):
         VideoReader("/nonexistent/file.mp4")
+
+
+def test_frame_cache_roundtrip_and_invalidation(tmp_path):
+    """Decode-to-cache: hits return identical frames; different sampling
+    configs and file edits miss (key covers path, size, mtime, config)."""
+    import os
+    import time
+
+    import numpy as np
+
+    from videoitg_tpu.data.frame_cache import FrameCache, read_video_frames_cached
+    from videoitg_tpu.data.video import write_test_video
+
+    p = write_test_video(str(tmp_path / "v.mp4"), 64, 48, 30, 10, 8)
+    cache = FrameCache(str(tmp_path / "cache"))
+    f1, s1 = read_video_frames_cached(p, num_frames=8, target_fps=1, cache=cache)
+    assert cache.get(p, 8, 1, "eval", 1) is not None
+    f2, s2 = read_video_frames_cached(p, num_frames=8, target_fps=1, cache=cache)
+    np.testing.assert_array_equal(f1, f2)
+    assert s1 == s2
+    # different config -> separate entry
+    assert cache.get(p, 4, 1, "eval", 1) is None
+    # editing the file invalidates (mtime/size in the key)
+    time.sleep(1.1)
+    write_test_video(p, 64, 48, 40, 10, 8)
+    assert cache.get(p, 8, 1, "eval", 1) is None
+    f3, _ = read_video_frames_cached(p, num_frames=8, target_fps=1, cache=cache)
+    # the NEW 40-frame@10fps video strides to 4 sampled frames — proof the
+    # stale 30-frame entry was not served
+    assert f3.shape[0] == 4
+
+
+def test_decode_ahead_uses_frame_cache(tmp_path, monkeypatch):
+    import numpy as np
+
+    from videoitg_tpu.data.frame_cache import FrameCache
+    from videoitg_tpu.data.prefetch import decode_ahead
+    from videoitg_tpu.data.video import write_test_video
+
+    p = write_test_video(str(tmp_path / "v.mp4"), 64, 48, 20, 10, 8)
+    cache = FrameCache(str(tmp_path / "cache"))
+    items = [("a", p, None)]
+    out1 = list(decode_ahead(items, num_frames=4, target_fps=1, frame_cache=cache))
+    # poison the decoder: a cache hit must not touch it
+    import videoitg_tpu.data.video as video_mod
+
+    def boom(*a, **k):
+        raise AssertionError("decode called despite cache hit")
+
+    monkeypatch.setattr(video_mod, "read_video_frames", boom)
+    out2 = list(decode_ahead(items, num_frames=4, target_fps=1, frame_cache=cache))
+    np.testing.assert_array_equal(out1[0].frames, out2[0].frames)

@@ -31,20 +31,22 @@ def decode_ahead(
     multiple: int = 1,
     workers: int = 2,
     ahead: int = 4,
+    frame_cache=None,
 ) -> Iterator[DecodedItem]:
     """items: iterable of (key, video_path, meta). Yields DecodedItems in
     input order, decoding up to `ahead` videos ahead on `workers` threads.
     Decode errors are surfaced per-item (callers decide to skip/retry),
     mirroring the reference's per-sample robustness rather than crashing
-    the whole run."""
-    from videoitg_tpu.data.video import read_video_frames
+    the whole run. `frame_cache` (data.frame_cache.FrameCache) skips decode
+    for videos already sampled with this exact config."""
+    from videoitg_tpu.data.frame_cache import read_video_frames_cached
 
     def work(item):
         key, path, meta = item
         try:
-            frames, sampled = read_video_frames(
+            frames, sampled = read_video_frames_cached(
                 path, num_frames=num_frames, target_fps=target_fps,
-                sampling=sampling, multiple=multiple,
+                sampling=sampling, multiple=multiple, cache=frame_cache,
             )
             return DecodedItem(key, frames, sampled, None, meta)
         except Exception as e:  # surfaced, not raised

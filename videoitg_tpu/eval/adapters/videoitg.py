@@ -36,6 +36,7 @@ class VideoITGAdapter(ModelAdapter):
         tp: Optional[int] = None,
         decode_workers: int = 4,
         decode_ahead: int = 4,
+        frame_cache_dir: Optional[str] = None,
         batch_size: int = 1,
         **_ignored,
     ):
@@ -119,6 +120,11 @@ class VideoITGAdapter(ModelAdapter):
         self.decode_workers = decode_workers
         self.decode_ahead = decode_ahead
         self.batch_size = batch_size
+        self.frame_cache = None
+        if frame_cache_dir:
+            from videoitg_tpu.data.frame_cache import FrameCache
+
+            self.frame_cache = FrameCache(frame_cache_dir)
 
     def generate_until(self, items: List[tuple], task: Task, writer=None) -> List[str]:
         from videoitg_tpu.data.prefetch import decode_ahead
@@ -166,6 +172,7 @@ class VideoITGAdapter(ModelAdapter):
             work, num_frames=self.num_frames, target_fps=self.target_fps,
             sampling="eval", multiple=self.multiple,
             workers=self.decode_workers, ahead=max(self.decode_ahead, self.batch_size),
+            frame_cache=self.frame_cache,
         ):
             if dec.error is not None:
                 print(f"[videoitg adapter] decode failed for doc {dec.key}: "
