@@ -100,10 +100,6 @@ def profile_decode_overlap(model: str, n_videos: int, num_frames: int):
         for fr, _ in decs:
             score(fr)
         t_score = time.time() - t0
-
-        t0 = time.time()
-        for fr, _ in decs:
-            pass  # decoded already; serial = decode + score measured parts
         t_serial = t_decode + t_score
 
         t0 = time.time()

@@ -110,6 +110,25 @@ def test_hf_video_llm_dispatch(tiny_internvl, tiny_llava, selection_jsonl):
     assert isinstance(b, QwenVLChatAdapter)
 
 
+def test_inline_image_slots_stripped(video_root, selection_jsonl, tiny_internvl):
+    """val_i-style prompts carry their own '<image>' slots; adapters that
+    place per-frame tokens must drop them or token counts diverge."""
+    from videoitg_tpu.eval.adapters.downstream import FrameSelectionConsumer
+
+    q = "<image>\nsub line\n<image>\nQ?\nA. x"
+    assert FrameSelectionConsumer.strip_inline_image_slots(q) == \
+        "sub line\nQ?\nA. x"
+
+    adapter = get_adapter("internvl-chat")(
+        pretrained=tiny_internvl, frame_indices_jsonl=selection_jsonl,
+        num_frame=2, data_root=video_root, use_fast=True)
+    frames = np.zeros((2, 48, 64, 3), dtype=np.uint8)
+    # fixture chat() asserts the prompt's image tokens == num_patches_list;
+    # inline slots would make it 4 tokens for 2 frames
+    out = adapter.answer(0, {}, frames, [1, 5], q, None)
+    assert out in list("ABCD")
+
+
 def test_video_metadata_passed_when_supported(video_root, selection_jsonl, tiny_llava):
     """Processors that accept video_metadata must receive fps + indices
     (reference qwen3_vl.py:234-241,465)."""

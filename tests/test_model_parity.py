@@ -230,6 +230,71 @@ def test_projector_builder_families_parity():
     assert dataclasses.asdict(cfg)["projector_type"] == "mlp2x_gelu"  # serializes
 
 
+def test_projector_families_wired_through_grounding_forward():
+    """Non-seq_mlp projectors must run through the FULL grounding model:
+    token counts become one-per-patch, masks and positions follow
+    (code-review round-2 finding: apply_projector existed but was never
+    wired into the forwards)."""
+    import dataclasses
+
+    from videoitg_tpu.config import GroundingConfig
+    from videoitg_tpu.models.grounding import (
+        GroundingBatch, grounding_logits, init_grounding,
+    )
+
+    base = GroundingConfig.tiny()
+    for ptype in ("mlp2x_gelu", "linear", "identity"):
+        cfg = dataclasses.replace(
+            base, projector=dataclasses.replace(base.projector,
+                                                projector_type=ptype))
+        if ptype == "identity":
+            # identity keeps tower width; LM must match
+            cfg = dataclasses.replace(
+                cfg, lm=dataclasses.replace(
+                    cfg.lm, hidden_size=cfg.vision.hidden_size,
+                    head_dim=8, num_heads=4, num_kv_heads=2,
+                    intermediate_size=64))
+        params = init_grounding(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        rng = np.random.default_rng(1)
+        b, t = 1, 3
+        batch = GroundingBatch(
+            frames=jnp.asarray(rng.standard_normal(
+                (b, t, cfg.vision.image_size, cfg.vision.image_size, 3)),
+                dtype=jnp.float32),
+            frame_valid=jnp.asarray([[True, True, False]]),
+            text_ids=jnp.zeros((b, 4), jnp.int32),
+            text_valid=jnp.ones((b, 4), bool),
+        )
+        logits = grounding_logits(params, batch, cfg, hw=2)
+        assert logits.shape == (b, t)
+        assert np.all(np.isfinite(np.asarray(logits)[0, :2]))
+        assert np.asarray(logits)[0, 2] == -np.inf  # padding masked
+
+
+def test_projector_family_checkpoint_roundtrip():
+    """export -> convert must preserve non-seq_mlp projector layouts."""
+    import dataclasses
+
+    from videoitg_tpu.checkpoint import (
+        convert_grounding_checkpoint, export_grounding_state_dict,
+    )
+    from videoitg_tpu.config import GroundingConfig
+    from videoitg_tpu.models.grounding import init_grounding
+
+    base = GroundingConfig.tiny()
+    cfg = dataclasses.replace(
+        base, projector=dataclasses.replace(base.projector,
+                                            projector_type="mlp3x_gelu"))
+    params = init_grounding(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    sd = export_grounding_state_dict(params, cfg)
+    assert "model.mm_projector.0.weight" in sd
+    assert "model.mm_projector.4.weight" in sd
+    back = convert_grounding_checkpoint(sd, cfg, dtype=jnp.float32)
+    for a, b in zip(jax.tree.leaves(params["projector"]),
+                    jax.tree.leaves(back["projector"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_pool_frame_grid_identity_when_hw_ge_ori():
     rng = np.random.default_rng(4)
     feats = jnp.asarray(rng.standard_normal((2, 9, 4)).astype(np.float32))

@@ -168,7 +168,9 @@ def convert_grounding_checkpoint(sd: Mapping, cfg: GroundingConfig, dtype=jnp.fl
         "vision": convert_siglip(
             sd, cfg.vision, dtype=dtype, prefix="model.vision_tower.vision_tower.vision_model."
         ),
-        "projector": convert_projector(sd, dtype=dtype, prefix="model.mm_projector."),
+        "projector": convert_projector(
+            sd, dtype=dtype, prefix="model.mm_projector.",
+            projector_type=cfg.projector.projector_type),
         "out_proj": _lin(sd, "out_proj", dtype),
     }
 
@@ -182,7 +184,9 @@ def convert_vlm_checkpoint(sd: Mapping, cfg: GroundingConfig, dtype=jnp.float32)
         "vision": convert_siglip(
             sd, cfg.vision, dtype=dtype, prefix="model.vision_tower.vision_tower.vision_model."
         ),
-        "projector": convert_projector(sd, dtype=dtype, prefix="model.mm_projector."),
+        "projector": convert_projector(
+            sd, dtype=dtype, prefix="model.mm_projector.",
+            projector_type=cfg.projector.projector_type),
     }
 
 
@@ -288,8 +292,16 @@ def export_grounding_state_dict(params: dict, cfg: GroundingConfig) -> Dict[str,
         put_lin(base + "mlp.fc1", lp["fc1"])
         put_lin(base + "mlp.fc2", lp["fc2"])
 
-    put_lin("model.mm_projector.out_projection.0", params["projector"]["fc1"])
-    put_lin("model.mm_projector.out_projection.2", params["projector"]["fc2"])
+    ptype = cfg.projector.projector_type
+    if ptype == "seq_mlp":
+        put_lin("model.mm_projector.out_projection.0", params["projector"]["fc1"])
+        put_lin("model.mm_projector.out_projection.2", params["projector"]["fc2"])
+    elif ptype == "linear":
+        put_lin("model.mm_projector", params["projector"]["fc1"])
+    elif ptype != "identity":  # mlpNx_gelu: Sequential indices 0, 2, 4...
+        names = sorted(params["projector"], key=lambda k: int(k[2:]))
+        for i, name in enumerate(names):
+            put_lin(f"model.mm_projector.{2 * i}", params["projector"][name])
     put_lin("out_proj", params["out_proj"])
     return sd
 

@@ -149,7 +149,8 @@ def main(argv=None) -> int:
         for i, rep in enumerate(reports):
             mlog.log(i, {f"{rep.task}/{k}": v for k, v in rep.metrics.items()})
         mlog.close()
-        engine = getattr(adapter, "engine", None)
+        engine = (getattr(adapter, "engine", None)
+                  or getattr(getattr(adapter, "inner", None), "engine", None))
         if engine is not None and engine.timer.totals:
             print("\nstage timings:")
             print(engine.timer.report())

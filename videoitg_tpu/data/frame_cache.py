@@ -23,7 +23,7 @@ import numpy as np
 def _key(path: str, num_frames: int, target_fps: float, sampling: str,
          multiple: int) -> str:
     st = os.stat(path)
-    raw = (f"{os.path.abspath(path)}\x00{st.st_size}\x00{int(st.st_mtime)}"
+    raw = (f"{os.path.abspath(path)}\x00{st.st_size}\x00{st.st_mtime_ns}"
            f"\x00{num_frames}\x00{target_fps}\x00{sampling}\x00{multiple}")
     return hashlib.sha256(raw.encode()).hexdigest()[:32]
 

@@ -97,6 +97,16 @@ class FrameSelectionConsumer(ModelAdapter):
                question: str, task: Task) -> str:
         raise NotImplementedError
 
+    @staticmethod
+    def strip_inline_image_slots(question: str) -> str:
+        """Interleaved-prompt tasks (longvideobench_val_i) embed one
+        '<image>' slot per UNIFORM frame inside doc_to_text. These adapters
+        place their own image tokens for the ITG-SELECTED frames, so the
+        inline slots must be dropped (subtitle lines keep their order) or
+        the image-token count would exceed the frame count and real
+        chat/processor APIs would reject or mis-render the prompt."""
+        return question.replace("<image>\n", "").replace("<image>", "")
+
     def generate_until(self, items: List[tuple], task: Task, writer=None) -> List[str]:
         responses = []
         for doc_id, doc in items:
@@ -166,6 +176,7 @@ class InternVLChatAdapter(FrameSelectionConsumer):
             video_frames_to_pixel_values,
         )
 
+        question = self.strip_inline_image_slots(question)
         pixel_values, num_patches_list = video_frames_to_pixel_values(
             frames, input_size=self.input_size)
         pixel_values = pixel_values.to(self.torch_dtype)
@@ -195,8 +206,6 @@ class QwenVLChatAdapter(FrameSelectionConsumer):
         super().__init__(**kwargs)
         if not pretrained:
             raise ValueError("qwen-vl-chat requires pretrained=<hf id or dir>")
-        import inspect
-
         import torch
         from transformers import AutoProcessor
 
@@ -206,9 +215,10 @@ class QwenVLChatAdapter(FrameSelectionConsumer):
         self.processor = AutoProcessor.from_pretrained(
             pretrained, trust_remote_code=True)
         self.model = self._load_model(pretrained)
-        call_params = inspect.signature(
-            type(self.processor).__call__).parameters
-        self._accepts_metadata = "video_metadata" in call_params
+        # Real Qwen2/3-VL processors take video_metadata through **kwargs
+        # (no named parameter to introspect) — attempt the call with
+        # metadata and fall back once on rejection (cached).
+        self._accepts_metadata: Optional[bool] = None
 
     def _load_model(self, pretrained: str):
         from transformers import AutoModelForCausalLM, AutoModelForVision2Seq
@@ -225,6 +235,7 @@ class QwenVLChatAdapter(FrameSelectionConsumer):
 
     def answer(self, doc_id, doc, frames, frame_ids, question, task) -> str:
         torch = self.torch
+        question = self.strip_inline_image_slots(question)
         has_video_proc = getattr(self.processor, "video_processor", None) is not None
         if has_video_proc:
             content = [{"type": "video"}, {"type": "text", "text": question}]
@@ -239,15 +250,23 @@ class QwenVLChatAdapter(FrameSelectionConsumer):
             messages, tokenize=False, add_generation_prompt=True)
         if has_video_proc:
             kwargs = dict(text=[prompt], videos=[frames], return_tensors="pt")
-            if self._accepts_metadata and getattr(self, "last_metadata", None):
-                kwargs["video_metadata"] = [self.last_metadata]
+            meta = getattr(self, "last_metadata", None)
+            if meta and self._accepts_metadata is not False:
+                try:
+                    inputs = self.processor(**kwargs, video_metadata=[meta])
+                    self._accepts_metadata = True
+                except TypeError:
+                    self._accepts_metadata = False
+                    inputs = self.processor(**kwargs)
+            else:
+                inputs = self.processor(**kwargs)
         else:
             from PIL import Image
 
             kwargs = dict(text=[prompt],
                           images=[Image.fromarray(f) for f in frames],
                           return_tensors="pt")
-        inputs = self.processor(**kwargs)
+            inputs = self.processor(**kwargs)
         inputs = {k: (v.to(self.torch_dtype)
                       if hasattr(v, "dtype") and v.dtype.is_floating_point else v)
                   for k, v in inputs.items()}

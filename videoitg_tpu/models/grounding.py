@@ -35,7 +35,11 @@ from videoitg_tpu.config import GroundingConfig
 from videoitg_tpu.models import qwen2 as qwen2_mod
 from videoitg_tpu.models import siglip as siglip_mod
 from videoitg_tpu.models.common import init_linear
-from videoitg_tpu.models.projector import init_projector, project_frames
+from videoitg_tpu.models.projector import (
+    apply_projector,
+    frame_token_count,
+    init_projector,
+)
 
 
 def init_grounding(key, cfg: GroundingConfig, dtype=jnp.float32) -> dict:
@@ -93,7 +97,10 @@ def grounding_logits(
     """
     b, t = batch.frame_valid.shape
     l_txt = batch.text_ids.shape[1]
-    n_img = t * hw * hw
+    # Tokens per frame depend on the projector family (seq_mlp pools to
+    # hw^2; linear/mlpNx/identity keep one token per patch).
+    n_pf = frame_token_count(cfg.projector, hw, cfg.vision.num_patches)
+    n_img = t * n_pf
 
     # Vision tower over all frames of all videos as one batch.
     frames_flat = batch.frames.reshape((b * t,) + batch.frames.shape[2:])
@@ -113,14 +120,15 @@ def grounding_logits(
         )  # [B*T, P, C]
     if freeze_vision:
         feats = jax.lax.stop_gradient(feats)
-    img_tokens = project_frames(params["projector"], feats, hw)  # [B*T, hw^2, D]
+    img_tokens = apply_projector(params["projector"], feats, cfg.projector,
+                                 hw=hw)  # [B*T, n_pf, D]
     img_tokens = img_tokens.reshape(b, n_img, -1)
 
     txt_tokens = qwen2_mod.embed_tokens(params["lm"], jnp.maximum(batch.text_ids, 0))
 
     x = jnp.concatenate([img_tokens, txt_tokens.astype(img_tokens.dtype)], axis=1)
 
-    img_valid = jnp.repeat(batch.frame_valid, hw * hw, axis=1)  # [B, n_img]
+    img_valid = jnp.repeat(batch.frame_valid, n_pf, axis=1)  # [B, n_img]
     valid = jnp.concatenate([img_valid, batch.text_valid], axis=1)  # [B, S]
 
     # Packed positions: valid image tokens form a prefix, so image slot i has
@@ -136,7 +144,7 @@ def grounding_logits(
 
     # Per-frame mean pool of image-slot hidden states, fp32
     # (reference grounding_qwen2.py:148-156).
-    img_hidden = hidden[:, :n_img, :].reshape(b, t, hw * hw, -1).astype(jnp.float32)
+    img_hidden = hidden[:, :n_img, :].reshape(b, t, n_pf, -1).astype(jnp.float32)
     frame_hidden = jnp.mean(img_hidden, axis=2)
     logits = (
         frame_hidden @ params["out_proj"]["w"].astype(jnp.float32)

@@ -92,6 +92,12 @@ def apply_projector(params: dict, feats: jax.Array, cfg: ProjectorConfig,
     return x
 
 
+def frame_token_count(cfg: ProjectorConfig, hw: int, num_patches: int) -> int:
+    """LM tokens contributed per frame: seq_mlp pools to hw^2; the other
+    families keep one token per tower patch."""
+    return hw * hw if cfg.projector_type == "seq_mlp" else num_patches
+
+
 def _mlp_depth(projector_type: str) -> int:
     import re
 

@@ -31,7 +31,7 @@ from videoitg_tpu.constants import IGNORE_INDEX
 from videoitg_tpu.models import qwen2 as qwen2_mod
 from videoitg_tpu.models import siglip as siglip_mod
 from videoitg_tpu.models.common import apply_rope, linear, rms_norm, slice_layer_params
-from videoitg_tpu.models.projector import project_frames
+from videoitg_tpu.models.projector import apply_projector, frame_token_count
 from videoitg_tpu.ops.attention import mha
 
 
@@ -58,14 +58,15 @@ class VLMBatch(NamedTuple):
 def _pack_embeds(params, batch: VLMBatch, cfg: GroundingConfig, hw: int,
                  use_flash: bool, remat: bool, freeze_vision: bool):
     b, t = batch.frame_valid.shape
-    n_img = t * hw * hw
+    n_pf = frame_token_count(cfg.projector, hw, cfg.vision.num_patches)
+    n_img = t * n_pf
     frames_flat = batch.frames.reshape((b * t,) + batch.frames.shape[2:])
     feats = siglip_mod.siglip_features(
         params["vision"], frames_flat, cfg.vision, use_flash=use_flash, remat=remat
     )
     if freeze_vision:
         feats = jax.lax.stop_gradient(feats)
-    img_tokens = project_frames(params["projector"], feats, hw)
+    img_tokens = apply_projector(params["projector"], feats, cfg.projector, hw=hw)
     img_tokens = img_tokens.reshape(b, n_img, -1)
 
     pre = qwen2_mod.embed_tokens(params["lm"], jnp.maximum(batch.pre_ids, 0))
@@ -74,7 +75,7 @@ def _pack_embeds(params, batch: VLMBatch, cfg: GroundingConfig, hw: int,
         [pre.astype(img_tokens.dtype), img_tokens, post.astype(img_tokens.dtype)], axis=1
     )
 
-    img_valid = jnp.repeat(batch.frame_valid, hw * hw, axis=1)
+    img_valid = jnp.repeat(batch.frame_valid, n_pf, axis=1)
     valid = jnp.concatenate([batch.pre_valid, img_valid, batch.post_valid], axis=1)
 
     # Packed positions: cumulative count of valid tokens before each slot.
@@ -116,7 +117,9 @@ def vlm_loss(
     post_start = l_pre + n_img
     pred_logits = logits[:, post_start - 1 : post_start - 1 + l_post, :]
     n_valid_img = jnp.sum(
-        jnp.repeat(batch.frame_valid, hw * hw, axis=1).astype(jnp.int32), axis=1
+        jnp.repeat(batch.frame_valid,
+                   frame_token_count(cfg.projector, hw, cfg.vision.num_patches),
+                   axis=1).astype(jnp.int32), axis=1
     )
     boundary_idx = l_pre + n_valid_img - 1  # last valid image slot per sample
     boundary_logits = jnp.take_along_axis(

@@ -143,7 +143,9 @@ def mha(
 
     use_flash: False -> XLA reference (CPU tests, tiny shapes);
                True  -> in-tree Pallas inference kernels (no backward);
-               "train" -> differentiable flash (mha_trainable).
+               "train" -> in-tree native-GQA custom-VJP kernel
+                          (ops/flash_attention_train.py; interpret on CPU);
+               "train-jax" -> jax's stock vjp kernel + KV repeat (A/B only).
     Under an active attention mesh (parallel/context.py) kernels run as a
     shard_map island with batch over dp and heads over tp — both
     communication-free for attention.
