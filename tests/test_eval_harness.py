@@ -188,6 +188,21 @@ def test_response_cache(tmp_path):
     assert r3 == ["resp-0", "resp-1", "resp-2"] and calls == [0, 1, 2]
 
 
+def test_fractional_limit_and_predict_only(videomme_data, tmp_path):
+    """Reference --limit float semantics (fraction of docs) and
+    --predict_only (responses logged, no metrics)."""
+    task = get_task("videomme")
+    docs = _videomme_docs(videomme_data)
+    adapter = get_adapter("echo-answer")(frame_indices_jsonl=None, num_frame=2,
+                                         data_root=videomme_data)
+    rep = evaluate_task(adapter, task, docs, str(tmp_path / "frac"), limit=0.5)
+    assert rep.num_docs == 2  # 4 docs * 0.5
+    rep2 = evaluate_task(adapter, task, docs, str(tmp_path / "po"),
+                         predict_only=True)
+    assert rep2.metrics == {} and rep2.num_docs == 4
+    assert len(rep2.samples) == 4 and all("response" in s for s in rep2.samples)
+
+
 def test_wait_for_ranks_timeout_raises(tmp_path):
     """Partial results must crash, not silently merge (VERDICT weak item)."""
     from videoitg_tpu.eval.api import Task

@@ -34,7 +34,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--docs_json", default=None,
                    help="explicit docs file (bypasses task loader)")
     p.add_argument("--output_path", default="./eval_out")
-    p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--limit", type=float, default=None,
+                   help="int = first N docs; float in (0,1) = fraction "
+                        "(reference --limit)")
+    p.add_argument("--predict_only", action="store_true",
+                   help="log responses without computing metrics "
+                        "(reference --predict_only)")
     p.add_argument("--rank", type=int, default=None,
                    help="doc shard id (default: jax.process_index())")
     p.add_argument("--world_size", type=int, default=None,
@@ -106,6 +111,7 @@ def main(argv=None) -> int:
             adapter, task, docs, out_dir,
             rank=args.rank, world_size=args.world_size,
             limit=args.limit, log_samples=args.log_samples,
+            predict_only=args.predict_only,
         )
         if args.rank == 0:
             from videoitg_tpu.eval.harness import (

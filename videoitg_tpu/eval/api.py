@@ -107,6 +107,12 @@ class ModelAdapter:
     def generate_until(self, items: List[tuple], task: Task, writer=None) -> List[str]:
         raise NotImplementedError
 
+    def generate_until_multi_round(self, items: List[tuple], task: Task,
+                                   writer=None) -> List[str]:
+        """Multi-round chat request type; every reference wrapper on the
+        VideoITG path delegates to generate_until (e.g. internvl2.py:403)."""
+        return self.generate_until(items, task, writer=writer)
+
 
 def shard_items(items: Sequence, rank: int, world_size: int) -> List:
     """Round-robin doc sharding, identical to the reference's

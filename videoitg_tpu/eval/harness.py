@@ -130,8 +130,9 @@ def evaluate_task(
     output_dir: str,
     rank: int = 0,
     world_size: int = 1,
-    limit: Optional[int] = None,
+    limit: Optional[float] = None,
     log_samples: bool = False,
+    predict_only: bool = False,
 ) -> EvalReport:
     """Run one task: shard docs, generate, score, aggregate.
 
@@ -139,10 +140,15 @@ def evaluate_task(
     artifacts; metric aggregation runs on the merged records (rank 0 merges
     after all ranks finish — on a multihost pod call merge via
     `merge_and_aggregate` once shards are complete).
-    """
+
+    limit: int = first N docs; float in (0, 1) = that fraction of docs
+    (reference --limit semantics, evaluator_utils.get_sample_size).
+    predict_only skips process_results/metrics and only logs responses
+    (reference --predict_only)."""
     items = task.docs_with_ids(docs)
     if limit is not None:
-        items = items[:limit]
+        n = int(len(items) * limit) if 0 < limit < 1 else int(limit)
+        items = items[:n]
     my_items = shard_items(items, rank, world_size)
 
     writer = ResultsWriter(output_dir, rank, world_size)
@@ -151,9 +157,9 @@ def evaluate_task(
     records = []
     sample_log = []
     for (doc_id, doc), resp in zip(my_items, responses):
-        rec = task.process_results(doc, resp)
+        rec = {} if predict_only else task.process_results(doc, resp)
         records.append(rec)
-        if log_samples:
+        if log_samples or predict_only:
             sample_log.append({"doc_id": doc_id, "response": resp, **rec})
 
     # Persist per-rank records so rank-0 (or a later process) can aggregate.
@@ -161,7 +167,7 @@ def evaluate_task(
     with open(rec_path, "w", encoding="utf-8") as f:
         for rec in records:
             f.write(json.dumps(rec, ensure_ascii=False) + "\n")
-    if log_samples:
+    if log_samples or predict_only:
         # Per-sample response log (the reference EvaluationTracker's
         # save_results_samples counterpart).
         sample_path = os.path.join(output_dir, f"samples.rank{rank}.{task.name}.jsonl")
@@ -175,7 +181,7 @@ def evaluate_task(
     with open(os.path.join(output_dir, f"done.rank{rank}.{task.name}"), "w") as f:
         f.write(str(len(records)))
 
-    metrics = task.aggregate(records) if records else {}
+    metrics = {} if predict_only else (task.aggregate(records) if records else {})
     return EvalReport(task=task.name, metrics=metrics, num_docs=len(records),
                       samples=sample_log)
 
