@@ -77,3 +77,45 @@ def test_merge_lora_matches_runtime():
     np.testing.assert_allclose(folded, runtime, atol=2e-5, rtol=1e-5)
     base = np.asarray(grounding_logits(params, batch, CFG, hw=2))
     assert np.abs(folded - base).max() > 1e-5  # adapter actually changed things
+
+
+def test_qlora_adapters_on_quantized_base():
+    """QLoRA (reference peft + bitsandbytes, train_itg.py:1213-1268):
+    adapters apply on int8/int4 bases, init as identity, and train while
+    the quantized base stays frozen."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from videoitg_tpu.config import GroundingConfig
+    from videoitg_tpu.models.common import linear
+    from videoitg_tpu.models.grounding import init_grounding
+    from videoitg_tpu.ops.quant import quantize_qwen2_int4, quantize_qwen2_int8
+    from videoitg_tpu.train.lora import add_lora, merge_lora
+
+    cfg = GroundingConfig.tiny()
+    params = init_grounding(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    for quantize in (quantize_qwen2_int8, quantize_qwen2_int4):
+        qparams = dict(params)
+        qparams["lm"] = quantize(params["lm"])
+        ql = add_lora(qparams, jax.random.PRNGKey(1), rank=2)
+        lin = jax.tree.map(lambda x: x[0], ql["lm"]["layers"]["q"],
+                           is_leaf=lambda x: not isinstance(x, dict))
+        x = jax.random.normal(jax.random.PRNGKey(2), (3, cfg.lm.hidden_size))
+        base_lin = jax.tree.map(lambda x_: x_[0], qparams["lm"]["layers"]["q"],
+                                is_leaf=lambda x_: not isinstance(x_, dict))
+        # zero-init B => identity at start
+        np.testing.assert_allclose(np.asarray(linear(lin, x)),
+                                   np.asarray(linear(base_lin, x)), atol=1e-6)
+        # a nonzero B changes the output (adapters are NOT dropped)
+        lin2 = dict(lin)
+        lin2["lora_b"] = jnp.ones_like(lin["lora_b"])
+        assert np.abs(np.asarray(linear(lin2, x))
+                      - np.asarray(linear(lin, x))).max() > 1e-3
+        # folding into a quantized base is refused loudly
+        try:
+            merge_lora(ql)
+            raise AssertionError("expected ValueError")
+        except ValueError as e:
+            assert "quantized" in str(e)

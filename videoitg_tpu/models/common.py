@@ -13,19 +13,29 @@ import jax
 import jax.numpy as jnp
 
 
+def _lora_delta(params, x: jax.Array) -> jax.Array:
+    delta = (x @ params["lora_a"]) @ params["lora_b"]
+    return delta * params["lora_scale"].astype(delta.dtype)
+
+
 def linear(params, x: jax.Array) -> jax.Array:
     if "w_q" in params:  # weight-only int8 serving path (ops/quant.py)
         from videoitg_tpu.ops.quant import quantized_linear
 
-        return quantized_linear(params, x)
+        y = quantized_linear(params, x)
+        if "lora_a" in params:  # QLoRA: adapters over a quantized base
+            y = y + _lora_delta(params, x).astype(y.dtype)
+        return y
     if "w_q4" in params:  # packed-int4 serving path (ops/quant.py)
         from videoitg_tpu.ops.quant import quantized_linear_int4
 
-        return quantized_linear_int4(params, x)
+        y = quantized_linear_int4(params, x)
+        if "lora_a" in params:  # 4-bit QLoRA (reference: bnb 4bit + peft)
+            y = y + _lora_delta(params, x).astype(y.dtype)
+        return y
     y = x @ params["w"]
     if "lora_a" in params:  # LoRA adapter (train/lora.py)
-        delta = (x @ params["lora_a"]) @ params["lora_b"]
-        y = y + delta * params["lora_scale"].astype(y.dtype)
+        y = y + _lora_delta(params, x).astype(y.dtype)
     if "b" in params:
         y = y + params["b"]
     return y

@@ -24,21 +24,31 @@ def add_lora(
     rank: int = 16,
     alpha: float = 32.0,
     targets: Sequence[str] = DEFAULT_TARGETS,
+    dtype=jnp.float32,
 ) -> dict:
-    """Return params with LoRA leaves added to LM decoder-layer linears."""
+    """Return params with LoRA leaves added to LM decoder-layer linears.
+
+    Works on dense AND quantized bases (QLoRA — the reference's peft +
+    bitsandbytes 4/8-bit path, train_itg.py:1213-1268): adapters train in
+    float while the frozen base stays int8/int4."""
     out = dict(params)
     lm = dict(params["lm"])
     layers = dict(lm["layers"])
     keys = jax.random.split(key, len(targets))
     for k_i, name in zip(keys, targets):
         lin = dict(layers[name])
-        w = lin["w"]  # [L, in, out] stacked
-        n_layers, d_in, d_out = w.shape
+        if "w" in lin:
+            n_layers, d_in, d_out = lin["w"].shape
+        elif "w_q" in lin:
+            n_layers, d_in, d_out = lin["w_q"].shape
+        else:  # packed int4: the in-axis holds two nibbles per byte
+            n_layers, d_half, d_out = lin["w_q4"].shape
+            d_in = d_half * 2
         # Kaiming-ish init for A, zeros for B (standard LoRA).
         lin["lora_a"] = (
             jax.random.normal(k_i, (n_layers, d_in, rank), jnp.float32) * (d_in ** -0.5)
-        ).astype(w.dtype)
-        lin["lora_b"] = jnp.zeros((n_layers, rank, d_out), dtype=w.dtype)
+        ).astype(dtype)
+        lin["lora_b"] = jnp.zeros((n_layers, rank, d_out), dtype=dtype)
         lin["lora_scale"] = jnp.full((n_layers,), alpha / rank, dtype=jnp.float32)
         layers[name] = lin
     lm["layers"] = layers
@@ -51,6 +61,11 @@ def merge_lora(params: dict) -> dict:
 
     def merge_tree(tree):
         if isinstance(tree, dict) and "lora_a" in tree:
+            if "w" not in tree:
+                raise ValueError(
+                    "cannot fold LoRA into a quantized base (no dense 'w'); "
+                    "dequantize first or serve base+adapters unmerged"
+                )
             lin = dict(tree)
             delta = jnp.einsum(
                 "lir,lro->lio", lin["lora_a"].astype(jnp.float32),
