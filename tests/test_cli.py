@@ -55,6 +55,17 @@ def test_cli_select(workdir):
     assert set(row) >= {"index", "logits", "num_frames"}
 
 
+def test_cli_select_quantized(workdir):
+    for q in ("act8", "int4"):
+        r = _run([sys.executable, "-m", "videoitg_tpu.cli.select", "--cpu",
+                  "--preset", "tiny", "--random-init", "--quantize", q,
+                  "--video", "root/data/vid0.mp4", "--prompt", "q",
+                  "--topk", "2", "--num-frames", "4", "--json",
+                  "--dtype", "float32"], cwd=workdir)
+        row = json.loads(r.stdout.strip().splitlines()[-1])
+        assert all(0 <= v <= 1 for v in row["logits"])
+
+
 def test_cli_evaluate_two_stage(workdir):
     _run([sys.executable, "-m", "videoitg_tpu.cli.evaluate", "--cpu",
           "--model", "videoitg",

@@ -36,6 +36,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--json", action="store_true",
                    help="print the full results.jsonl-style record")
     p.add_argument("--dtype", default=None, choices=[None, "bfloat16", "float32"])
+    p.add_argument("--quantize", default=None, choices=[None, "int8", "int4", "act8"],
+                   help="serving quantization of the LM: int8 / int4 weights, "
+                        "act8 = int8 weights + dynamic int8 activations "
+                        "(an 8B bf16 does not fit one v5e chip)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     return p
 
@@ -76,6 +80,20 @@ def main(argv=None) -> int:
     else:
         print("error: pass --model DIR or --random-init", file=sys.stderr)
         return 2
+
+    if args.quantize in ("int8", "act8"):
+        from videoitg_tpu.ops.quant import quantize_grounding_int8
+
+        params = quantize_grounding_int8(params)
+    elif args.quantize == "int4":
+        from videoitg_tpu.ops.quant import quantize_qwen2_int4
+
+        params = dict(params)
+        params["lm"] = quantize_qwen2_int4(params["lm"])
+    if args.quantize == "act8":
+        from videoitg_tpu.ops.quant import apply_full_int8
+
+        params = apply_full_int8(params)
 
     engine = SelectionEngine(
         params, cfg, tokenizer, dtype=dtype,
