@@ -145,6 +145,59 @@ def test_cgbench_srt_and_agg(tmp_path):
     assert agg["cgbench_perception_score"] == 100.0
 
 
+def test_parse_multi_choice_mmmu():
+    from videoitg_tpu.eval.extraction import parse_multi_choice_mmmu
+
+    opts = ["A", "B", "C", "D", "E"]
+    i2a = {o: f"answer text {o.lower()}" for o in opts}
+    assert parse_multi_choice_mmmu("The answer is (B)", opts, i2a) == "B"
+    assert parse_multi_choice_mmmu("C. because", opts, i2a) == "C"
+    assert parse_multi_choice_mmmu("I think D is right", opts, i2a) == "D"
+    # content match when no letter and response is long
+    assert parse_multi_choice_mmmu(
+        "the video clearly shows answer text e happening", opts, i2a) == "E"
+    # deterministic fallback
+    a = parse_multi_choice_mmmu("???", opts, i2a, seed="x")
+    assert a == parse_multi_choice_mmmu("???", opts, i2a, seed="x") and a in opts
+
+
+def test_mvbench_prompt_and_scoring():
+    task = get_task("mvbench")
+    doc = {"question": "What happens?", "candidates": ["run", "walk", "sit"],
+           "answer": "walk", "video": "v.mp4"}
+    text = task.doc_to_text(doc)
+    assert "(A) run" in text and "(B) walk" in text
+    assert "Only give the best option." in text
+    assert task.process_results(doc, "B")["score"] == 1
+    assert task.process_results(doc, "(B) walk")["score"] == 1
+    assert task.process_results(doc, "B. walk")["score"] == 1
+    assert task.process_results(doc, "A")["score"] == 0
+    recs = [task.process_results(doc, r) for r in ["B", "A", ""]]
+    # empty predictions excluded from the denominator (reference :183-199)
+    assert task.aggregate(recs)["mvbench_accuracy"] == 50.0
+
+
+def test_egoschema_and_nextqa_scoring():
+    ego = get_task("egoschema_subset")
+    doc = {"video_idx": "vid1", "question": "Q?",
+           "option": [f"opt {i}" for i in range(5)], "answer": 2}
+    text = ego.doc_to_text(doc)
+    assert "opt 3" in text and "letter" in text
+    rec = ego.process_results(doc, "C")
+    assert rec["pred"] == 2 and rec["ground_truth"] == 2
+    assert ego.aggregate([rec])["egoschema_accuracy"] == 100.0
+
+    nq = get_task("nextqa_mc_test")
+    doc = {"video": 123, "qid": 7, "question": "Why?",
+           **{f"a{i}": f"choice {i}" for i in range(5)}, "answer": 1}
+    text = nq.doc_to_text(doc)
+    assert "B. choice 1" in text and text.endswith("directly.")
+    rec = nq.process_results(doc, "(B)")
+    assert rec["exact_match"] == 1.0
+    assert nq.aggregate([rec, nq.process_results(doc, "A")])[
+        "nextqa_exact_match"] == 50.0
+
+
 def test_bootstrap_stderr():
     from videoitg_tpu.eval.metrics import bootstrap_stderr
 

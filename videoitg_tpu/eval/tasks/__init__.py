@@ -1,7 +1,15 @@
 """Benchmark task registry — importing this package registers all tasks."""
 
 from videoitg_tpu.eval.api import register_group
-from videoitg_tpu.eval.tasks import cgbench, longvideobench, mlvu, videomme  # noqa: F401
+from videoitg_tpu.eval.tasks import (  # noqa: F401
+    cgbench,
+    egoschema,
+    longvideobench,
+    mlvu,
+    mvbench,
+    nextqa,
+    videomme,
+)
 
 # The reference paper's headline benchmark family (README.md:61-74).
 register_group("videoitg_bench", [
