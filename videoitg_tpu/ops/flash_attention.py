@@ -61,24 +61,28 @@ def _flash_kernel(
     def _compute():
         q = q_ref[0, 0]  # [BQ, D]
         k = k_ref[0, 0]  # [BK, D]
+        # UNSCALED scores: sm_scale folds into the fused exp((s-m)*scale)
+        # chains below (exact — max commutes with positive scaling), saving
+        # one full [BQ, BK] VPU pass per K step. The caller pre-divides
+        # kbias by sm_scale so masking stays an additive bias.
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * sm_scale  # [BQ, BK] fp32
-        s = s + kbias_ref[0, 0]  # -1e30 on invalid keys, 0 on valid
+        )  # [BQ, BK] fp32
+        s = s + kbias_ref[0, 0]  # -BIG/scale on invalid keys, 0 on valid
         if causal:
             qpos = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
             kpos = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(kpos <= qpos, s, _NEG_BIG)
 
-        m_prev = m_ref[:, 0][:, None]  # [BQ, 1]
+        m_prev = m_ref[:, 0][:, None]  # [BQ, 1] (running max of UNSCALED s)
         l_prev = l_ref[:, 0][:, None]
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
-        # exp(-1e30 - m) underflows to exactly 0 for any live m, so masked
+        # exp of a hugely negative value underflows to exactly 0, so masked
         # columns vanish; when the whole row is masked m_new stays -1e30 and
         # the row is finite garbage, zeroed at finalize by qvalid.
-        p = jnp.exp(s - m_new)  # [BQ, BK]
-        alpha = jnp.exp(m_prev - m_new)  # [BQ, 1]
+        p = jnp.exp((s - m_new) * sm_scale)  # [BQ, BK]
+        alpha = jnp.exp((m_prev - m_new) * sm_scale)  # [BQ, 1]
         l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
 
         v = v_ref[0, 0]  # [BK, D]
@@ -147,8 +151,10 @@ def flash_mha(
     vp = _pad_to(_pad_to(v, s_pad, axis=2), d_pad, axis=3)
     validp = _pad_to(valid, s_pad, axis=1)
     # Shaped [B, 1, S] so the (1, block) VMEM blocks satisfy Mosaic's
-    # trailing-two-dims tiling rule for any B.
-    kbias = jnp.where(validp, 0.0, _NEG_BIG).astype(jnp.float32)[:, None, :]
+    # trailing-two-dims tiling rule for any B. The bias is pre-divided by
+    # sm_scale: the kernel adds it to UNSCALED scores (scale folds into the
+    # exp chain) and still needs masked columns hugely negative.
+    kbias = jnp.where(validp, 0.0, _NEG_BIG * (d ** 0.5)).astype(jnp.float32)[:, None, :]
     qvalid = validp.astype(jnp.float32)[:, None, :]
 
     nq = s_pad // block_q
