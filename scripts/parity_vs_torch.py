@@ -66,12 +66,10 @@ def _torch_tensors(sd, prefix: str):
     return out
 
 
-def build_torch_stack(sd, cfg):
-    """(vision_model, qwen2_model) HF modules loaded from the checkpoint."""
-    import torch
-    from transformers import Qwen2Config, Qwen2Model, SiglipVisionConfig, SiglipVisionModel
+def _hf_vision_config(cfg):
+    from transformers import SiglipVisionConfig
 
-    vis_cfg = SiglipVisionConfig(
+    return SiglipVisionConfig(
         hidden_size=cfg.vision.hidden_size,
         intermediate_size=cfg.vision.intermediate_size,
         num_hidden_layers=cfg.vision.num_layers,
@@ -80,17 +78,13 @@ def build_torch_stack(sd, cfg):
         patch_size=cfg.vision.patch_size,
         layer_norm_eps=cfg.vision.layer_norm_eps,
         hidden_act="gelu_pytorch_tanh",
-        attn_implementation="eager",
     )
-    vision = SiglipVisionModel(vis_cfg).eval()
-    vsd = _torch_tensors(sd, "model.vision_tower.vision_tower.")
-    missing, unexpected = vision.load_state_dict(vsd, strict=False)
-    # The grounding checkpoint selects hidden_states[-2]: the attention-pool
-    # head (and possibly the last layer + post-LN) may be absent — fine.
-    real_missing = [k for k in missing if ".head." not in k and "post_layernorm" not in k]
-    assert not real_missing and not unexpected, (real_missing, unexpected)
 
-    lm_cfg = Qwen2Config(
+
+def _hf_lm_config(cfg):
+    from transformers import Qwen2Config
+
+    return Qwen2Config(
         vocab_size=cfg.lm.vocab_size,
         hidden_size=cfg.lm.hidden_size,
         intermediate_size=cfg.lm.intermediate_size,
@@ -100,9 +94,27 @@ def build_torch_stack(sd, cfg):
         head_dim=cfg.lm.head_dim,
         rms_norm_eps=cfg.lm.rms_norm_eps,
         rope_theta=cfg.lm.rope_theta,
-        attn_implementation="eager",
-        use_cache=False,
     )
+
+
+def build_torch_stack(sd, cfg):
+    """(vision_model, qwen2_model) HF modules loaded from the checkpoint."""
+    import torch
+    from transformers import Qwen2Model, SiglipVisionModel
+
+    vis_cfg = _hf_vision_config(cfg)
+    vis_cfg.attn_implementation = "eager"
+    vision = SiglipVisionModel(vis_cfg).eval()
+    vsd = _torch_tensors(sd, "model.vision_tower.vision_tower.")
+    missing, unexpected = vision.load_state_dict(vsd, strict=False)
+    # The grounding checkpoint selects hidden_states[-2]: the attention-pool
+    # head (and possibly the last layer + post-LN) may be absent — fine.
+    real_missing = [k for k in missing if ".head." not in k and "post_layernorm" not in k]
+    assert not real_missing and not unexpected, (real_missing, unexpected)
+
+    lm_cfg = _hf_lm_config(cfg)
+    lm_cfg.attn_implementation = "eager"
+    lm_cfg.use_cache = False
     lm = Qwen2Model(lm_cfg).eval()
     lsd = {
         k[len("model."):]: torch.as_tensor(np.asarray(v)).float()
@@ -262,31 +274,11 @@ def synthesize_checkpoint(out_dir: str, cfg=None, seed: int = 0) -> str:
     cfg = cfg or GroundingConfig.tiny()
     os.makedirs(out_dir, exist_ok=True)
 
-    # Re-use build_torch_stack's HF configs by initializing random modules.
     torch.manual_seed(seed)
-    from transformers import Qwen2Config, Qwen2Model, SiglipVisionConfig, SiglipVisionModel
+    from transformers import Qwen2Model, SiglipVisionModel
 
-    vision = SiglipVisionModel(SiglipVisionConfig(
-        hidden_size=cfg.vision.hidden_size,
-        intermediate_size=cfg.vision.intermediate_size,
-        num_hidden_layers=cfg.vision.num_layers,
-        num_attention_heads=cfg.vision.num_heads,
-        image_size=cfg.vision.image_size,
-        patch_size=cfg.vision.patch_size,
-        layer_norm_eps=cfg.vision.layer_norm_eps,
-        hidden_act="gelu_pytorch_tanh",
-    )).eval()
-    lm = Qwen2Model(Qwen2Config(
-        vocab_size=cfg.lm.vocab_size,
-        hidden_size=cfg.lm.hidden_size,
-        intermediate_size=cfg.lm.intermediate_size,
-        num_hidden_layers=cfg.lm.num_layers,
-        num_attention_heads=cfg.lm.num_heads,
-        num_key_value_heads=cfg.lm.num_kv_heads,
-        head_dim=cfg.lm.head_dim,
-        rms_norm_eps=cfg.lm.rms_norm_eps,
-        rope_theta=cfg.lm.rope_theta,
-    )).eval()
+    vision = SiglipVisionModel(_hf_vision_config(cfg)).eval()
+    lm = Qwen2Model(_hf_lm_config(cfg)).eval()
 
     sd = {}
     for k, v in lm.state_dict().items():

@@ -27,7 +27,7 @@ def _word_vocab():
     return vocab
 
 
-def _fast_tokenizer(extra_specials=()):
+def _fast_tokenizer():
     from tokenizers import Tokenizer, models, pre_tokenizers
 
     vocab = _word_vocab()

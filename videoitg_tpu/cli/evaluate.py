@@ -70,7 +70,8 @@ def main(argv=None) -> int:
         expand_task_names, get_adapter, get_task, parse_model_args,
     )
     from videoitg_tpu.eval.harness import (
-        evaluate_task, make_table, merge_and_aggregate, save_report,
+        ResultsWriter, evaluate_task, make_table, merge_and_aggregate,
+        run_metadata, save_report, wait_for_ranks,
     )
 
     # Multihost default: each JAX process evaluates its doc shard (the
@@ -114,10 +115,6 @@ def main(argv=None) -> int:
             predict_only=args.predict_only,
         )
         if args.rank == 0:
-            from videoitg_tpu.eval.harness import (
-                ResultsWriter, run_metadata, wait_for_ranks,
-            )
-
             if args.world_size > 1:
                 # Raises RankTimeoutError (nonzero exit, no report) on
                 # stragglers — partial benchmark numbers are never written.

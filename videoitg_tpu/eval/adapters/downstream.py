@@ -149,7 +149,7 @@ class InternVLChatAdapter(FrameSelectionConsumer):
     """
 
     def __init__(self, pretrained: str = "", max_new_tokens: int = 16,
-                 dtype: str = "bfloat16", max_tiles: int = 1,
+                 dtype: str = "bfloat16",
                  input_size: int = 448, use_fast: bool = False, **kwargs):
         super().__init__(**kwargs)
         if not pretrained:
@@ -160,7 +160,6 @@ class InternVLChatAdapter(FrameSelectionConsumer):
         self.torch = torch
         self.max_new_tokens = max_new_tokens
         self.torch_dtype = _torch_dtype(dtype)
-        self.max_tiles = max_tiles
         self.input_size = input_size
         # The InternVL family ships slow tokenizers (reference internvl2.py
         # loads use_fast=False); fixtures may be fast-only.

@@ -55,34 +55,40 @@ def is_quantized_tree(params) -> bool:
     return rec(params)
 
 
-def quantized_linear(lin: dict, x: jax.Array) -> jax.Array:
-    """x @ dequant(w) with the scale applied post-GEMM.
-
-    When the linear carries the act_q marker key, activations are
+def _int_weight_matmul(w_q: jax.Array, scale: jax.Array, x: jax.Array,
+                       bias, act_q: bool) -> jax.Array:
+    """Shared core of the int8/int4 linear paths: x @ dequant(w_q) with the
+    per-out-channel scale applied post-GEMM; with act_q, activations are
     dynamically quantized per row (symmetric int8) so the GEMM runs
-    int8 x int8 on the MXU (~2x bf16 peak on v5e). Accumulation is int32;
-    both scales apply post-GEMM. Opt-in: per-token activation quantization
-    perturbs numerics more than weight-only, so the faithful serving tier
-    leaves it off. (The marker's value is None so the flag lives in the
-    pytree STRUCTURE — static under jit — rather than as a traced leaf.)
-    """
-    if "act_q" in lin:
+    int8 x int8 on the MXU (~2x bf16 peak on v5e), int32 accumulation."""
+    if act_q:
         amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
         x_scale = jnp.where(amax == 0, 1.0, amax / 127.0)
         x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / x_scale),
                        -127, 127).astype(jnp.int8)
-        y = jnp.einsum("...i,io->...o", x_q, lin["w_q"],
+        y = jnp.einsum("...i,io->...o", x_q, w_q,
                        preferred_element_type=jnp.int32)
-        y = (y.astype(jnp.float32) * x_scale * lin["scale"]).astype(x.dtype)
+        y = (y.astype(jnp.float32) * x_scale * scale).astype(x.dtype)
     else:
-        y = jnp.einsum(
-            "...i,io->...o", x, lin["w_q"].astype(x.dtype),
-            preferred_element_type=jnp.float32,
-        )
-        y = (y * lin["scale"]).astype(x.dtype)
-    if "b" in lin:
-        y = y + lin["b"]
+        y = jnp.einsum("...i,io->...o", x, w_q.astype(x.dtype),
+                       preferred_element_type=jnp.float32)
+        y = (y * scale).astype(x.dtype)
+    if bias is not None:
+        y = y + bias
     return y
+
+
+def quantized_linear(lin: dict, x: jax.Array) -> jax.Array:
+    """x @ dequant(w) with the scale applied post-GEMM.
+
+    The act_q marker opts into dynamic per-token activation quantization
+    (see _int_weight_matmul); it perturbs numerics more than weight-only,
+    so the faithful serving tier leaves it off. (The marker's value is None
+    so the flag lives in the pytree STRUCTURE — static under jit — rather
+    than as a traced leaf.)
+    """
+    return _int_weight_matmul(lin["w_q"], lin["scale"], x, lin.get("b"),
+                              act_q="act_q" in lin)
 
 
 def quantize_linear_int4(lin: dict) -> dict:
@@ -121,26 +127,10 @@ def unpack_int4(packed: jax.Array) -> jax.Array:
 
 
 def quantized_linear_int4(lin: dict, x: jax.Array) -> jax.Array:
-    """x @ dequant4(w): unpack nibbles under jit, fp32 accumulation.
-
-    With the act_q marker the GEMM runs int8 x int8 on the MXU (unpacked
-    int4 weights are valid int8 operands)."""
-    w_q = unpack_int4(lin["w_q4"])
-    if "act_q" in lin:
-        amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
-        x_scale = jnp.where(amax == 0, 1.0, amax / 127.0)
-        x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / x_scale),
-                       -127, 127).astype(jnp.int8)
-        y = jnp.einsum("...i,io->...o", x_q, w_q,
-                       preferred_element_type=jnp.int32)
-        y = (y.astype(jnp.float32) * x_scale * lin["scale4"]).astype(x.dtype)
-    else:
-        y = jnp.einsum("...i,io->...o", x, w_q.astype(x.dtype),
-                       preferred_element_type=jnp.float32)
-        y = (y * lin["scale4"]).astype(x.dtype)
-    if "b" in lin:
-        y = y + lin["b"]
-    return y
+    """x @ dequant4(w): unpack nibbles under jit, then the shared int path
+    (unpacked int4 weights are valid int8 MXU operands)."""
+    return _int_weight_matmul(unpack_int4(lin["w_q4"]), lin["scale4"], x,
+                              lin.get("b"), act_q="act_q" in lin)
 
 
 def quantize_qwen2_int4(lm_params: dict) -> dict:
@@ -151,42 +141,6 @@ def quantize_qwen2_int4(lm_params: dict) -> dict:
         layers[key] = quantize_linear_int4(layers[key])
     out["layers"] = layers
     return out
-
-
-def init_qwen2_int4(key, cfg, dtype=jnp.bfloat16) -> dict:
-    """Random-init a qwen2 tree directly in packed-int4 serving form."""
-    def to_q(shape_like_lin, k):
-        kw, _ = jax.random.split(k)
-        packed_shape = shape_like_lin[:-2] + (shape_like_lin[-2] // 2,
-                                              shape_like_lin[-1])
-        w_q4 = jax.random.randint(kw, packed_shape, -128, 128,
-                                  dtype=jnp.int32).astype(jnp.int8)
-        scale = jnp.full(shape_like_lin[:-2] + shape_like_lin[-1:], 0.02,
-                         dtype=jnp.float32)
-        return {"w_q4": w_q4, "scale4": scale}
-
-    h = cfg.hidden_size
-    shapes = {
-        "q": (h, cfg.q_dim), "k": (h, cfg.kv_dim), "v": (h, cfg.kv_dim),
-        "o": (cfg.q_dim, h), "gate": (h, cfg.intermediate_size),
-        "up": (h, cfg.intermediate_size), "down": (cfg.intermediate_size, h),
-    }
-    biased = {"q", "k", "v"}
-    keys = jax.random.split(key, len(shapes) + 2)
-    layers = {}
-    for i, (name, shape) in enumerate(shapes.items()):
-        lin = to_q((cfg.num_layers,) + shape, keys[i])
-        if name in biased:
-            lin["b"] = jnp.zeros((cfg.num_layers, shape[-1]), dtype=dtype)
-        layers[name] = lin
-    layers["input_norm"] = {"scale": jnp.ones((cfg.num_layers, h), dtype)}
-    layers["post_attn_norm"] = {"scale": jnp.ones((cfg.num_layers, h), dtype)}
-    return {
-        "embed": {"w": (jax.random.normal(keys[-2], (cfg.vocab_size, h), jnp.bfloat16)
-                        * 0.02).astype(dtype)},
-        "layers": layers,
-        "final_norm": {"scale": jnp.ones((h,), dtype)},
-    }
 
 
 def enable_act_quant(tower_params: dict, keys=_QWEN2_LINEAR_KEYS) -> dict:
@@ -213,8 +167,6 @@ def quantize_siglip_int8(vision_params: dict) -> dict:
     return out
 
 
-
-
 def quantize_qwen2_int8(lm_params: dict) -> dict:
     """Quantize all decoder-layer linears of a qwen2 param tree (embeddings,
     norms, and any lm_head stay bf16 — they are small or precision-critical)."""
@@ -226,21 +178,9 @@ def quantize_qwen2_int8(lm_params: dict) -> dict:
     return out
 
 
-def init_qwen2_int8(key, cfg, dtype=jnp.bfloat16) -> dict:
-    """Random-init a qwen2 tree directly in int8 serving form.
-
-    For benchmarking the 8B architecture on one chip without ever
-    materializing bf16 weights (which would not fit HBM alongside the int8
-    copy during quantization).
-    """
-    def to_q(shape_like_lin, k):
-        kw, _ = jax.random.split(k)
-        w_q = jax.random.randint(kw, shape_like_lin, -127, 128, dtype=jnp.int8)
-        # [L, out] — must carry the stacked-layer axis so lax.scan slices it.
-        scale = jnp.full(shape_like_lin[:-2] + shape_like_lin[-1:], 0.01,
-                         dtype=jnp.float32)
-        return {"w_q": w_q, "scale": scale}
-
+def _init_qwen2_quantized(key, cfg, dtype, to_q) -> dict:
+    """Shared skeleton for random-init quantized qwen2 trees (bench/smoke):
+    decoder linears via to_q, bf16 embeddings/norms."""
     h = cfg.hidden_size
     shapes = {
         "q": (h, cfg.q_dim), "k": (h, cfg.kv_dim), "v": (h, cfg.kv_dim),
@@ -263,6 +203,39 @@ def init_qwen2_int8(key, cfg, dtype=jnp.bfloat16) -> dict:
         "layers": layers,
         "final_norm": {"scale": jnp.ones((h,), dtype)},
     }
+
+
+def init_qwen2_int8(key, cfg, dtype=jnp.bfloat16) -> dict:
+    """Random-init a qwen2 tree directly in int8 serving form.
+
+    For benchmarking the 8B architecture on one chip without ever
+    materializing bf16 weights (which would not fit HBM alongside the int8
+    copy during quantization).
+    """
+    def to_q(shape_like_lin, k):
+        kw, _ = jax.random.split(k)
+        w_q = jax.random.randint(kw, shape_like_lin, -127, 128, dtype=jnp.int8)
+        # [L, out] — must carry the stacked-layer axis so lax.scan slices it.
+        scale = jnp.full(shape_like_lin[:-2] + shape_like_lin[-1:], 0.01,
+                         dtype=jnp.float32)
+        return {"w_q": w_q, "scale": scale}
+
+    return _init_qwen2_quantized(key, cfg, dtype, to_q)
+
+
+def init_qwen2_int4(key, cfg, dtype=jnp.bfloat16) -> dict:
+    """Random-init a qwen2 tree directly in packed-int4 serving form."""
+    def to_q(shape_like_lin, k):
+        kw, _ = jax.random.split(k)
+        packed_shape = shape_like_lin[:-2] + (shape_like_lin[-2] // 2,
+                                              shape_like_lin[-1])
+        w_q4 = jax.random.randint(kw, packed_shape, -128, 128,
+                                  dtype=jnp.int32).astype(jnp.int8)
+        scale = jnp.full(shape_like_lin[:-2] + shape_like_lin[-1:], 0.02,
+                         dtype=jnp.float32)
+        return {"w_q4": w_q4, "scale4": scale}
+
+    return _init_qwen2_quantized(key, cfg, dtype, to_q)
 
 
 def cast_params(params: Any, dtype) -> Any:
