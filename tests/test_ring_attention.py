@@ -1,0 +1,65 @@
+"""Ring attention (sequence parallelism) vs the single-device oracle, on
+the 8-device virtual CPU mesh. The reference has no sequence parallelism
+(SURVEY §5.7) — this component exceeds it."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from videoitg_tpu.ops.attention import mha_reference
+from videoitg_tpu.parallel.ring_attention import ring_attention
+
+
+def _mesh(n):
+    return Mesh(np.asarray(jax.devices()[:n]), ("sp",))
+
+
+@pytest.mark.parametrize("n,causal", [(4, False), (4, True), (8, False)])
+def test_ring_matches_reference(n, causal):
+    rng = np.random.default_rng(0)
+    b, h, s, d = 2, 4, 64, 16
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)), dtype=jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)), dtype=jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)), dtype=jnp.float32)
+    want = mha_reference(q, k, v, causal=causal)
+    got = ring_attention(q, k, v, mesh=_mesh(n), causal=causal)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=1e-4)
+
+
+def test_ring_key_mask_and_dead_rows():
+    rng = np.random.default_rng(1)
+    b, h, s, d = 1, 2, 48, 8
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)), dtype=jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)), dtype=jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)), dtype=jnp.float32)
+    valid = jnp.asarray(np.arange(s) < 29)[None]
+    want = mha_reference(q, k, v, valid=valid)
+    got = ring_attention(q, k, v, valid=valid, mesh=_mesh(4))
+    m = np.asarray(valid)[:, None, :, None]
+    # valid rows match the oracle; invalid rows are exact zeros (the
+    # flash-kernel contract — the oracle leaves them as garbage-to-mask)
+    np.testing.assert_allclose(np.asarray(got) * m, np.asarray(want) * m,
+                               atol=3e-5, rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(got) * (1 - m), 0.0)
+    # a fully-masked batch (no valid keys) must output exact zeros
+    none_valid = jnp.zeros((b, s), dtype=bool)
+    out = ring_attention(q, k, v, valid=none_valid, mesh=_mesh(4))
+    np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+
+def test_ring_under_jit_with_grounding_shapes():
+    """jit-compiled ring attention at a GQA-free grounding-ish shape
+    (sequence divisible by the ring); executes the collective for real."""
+    rng = np.random.default_rng(2)
+    mesh = _mesh(8)
+    b, h, s, d = 1, 4, 128, 32
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)), dtype=jnp.float32)
+    f = jax.jit(lambda q_: ring_attention(q_, q_, q_, mesh=mesh))
+    got = f(q)
+    want = mha_reference(q, q, q)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=1e-4)

@@ -1,0 +1,124 @@
+"""Ring attention: sequence-parallel exact attention over a mesh axis.
+
+The reference has NO sequence parallelism of any kind (SURVEY §5.7 — it
+shrinks tokens via the projector budget instead). On TPU, sharding the
+sequence lets the 13k-token bidirectional prefill (or much longer contexts)
+spread both activations AND the O(S^2) attention work across chips with
+only ICI-neighbor traffic: each chip holds one KV shard and passes it
+around the ring with `ppermute`, merging partial softmax statistics
+exactly like flash attention's online softmax — the result is
+bit-consistent with single-device attention up to fp32 reorder.
+
+Communication per layer: (ring_size - 1) neighbor sends of the local KV
+shard (2 * S/n * D bytes) — bandwidth-optimal and overlappable with the
+per-step compute by XLA's async collective scheduling.
+
+Forward-only (serving). q/k/v enter as GLOBAL [B, H, S, D] arrays; the
+sequence axis is sharded over `axis` via shard_map.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+_NEG_BIG = -1e30
+
+
+def _block_stats(q, k, v, kbias, sm_scale, qpos, kpos, causal):
+    """One q-shard x kv-block attention: returns (m, l, o_unnorm)."""
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32)
+    s = s + kbias[:, None, None, :]
+    if causal:
+        s = jnp.where((kpos[None, None, None, :] <= qpos[None, None, :, None]),
+                      s, _NEG_BIG)
+    m = jnp.max(s, axis=-1)                                   # [B,H,Q]
+    p = jnp.exp((s - m[..., None]) * sm_scale)
+    l = jnp.sum(p, axis=-1)                                   # [B,H,Q]
+    o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+                   preferred_element_type=jnp.float32)
+    return m, l, o
+
+
+def _ring_shard_fn(q, k, v, kbias, axis: str, sm_scale: float, causal: bool):
+    """Runs per-shard under shard_map; S axis sharded over `axis`."""
+    n = jax.lax.psum(1, axis)
+    rank = jax.lax.axis_index(axis)
+    b, h, s_loc, d = q.shape
+    qpos = rank * s_loc + jnp.arange(s_loc, dtype=jnp.int32)
+
+    def step(i, carry):
+        k_blk, v_blk, kb_blk, m, l, acc = carry
+        src = jax.lax.rem(rank + i, n)  # which global shard this block is
+        kpos = src * s_loc + jnp.arange(s_loc, dtype=jnp.int32)
+        m_blk, l_blk, o_blk = _block_stats(
+            q, k_blk, v_blk, kb_blk, sm_scale, qpos, kpos, causal)
+        # online-softmax merge in the UNSCALED-score domain (matches
+        # ops/flash_attention's folded-scale convention)
+        m_new = jnp.maximum(m, m_blk)
+        a_old = jnp.exp((m - m_new) * sm_scale)
+        a_blk = jnp.exp((m_blk - m_new) * sm_scale)
+        l = l * a_old + l_blk * a_blk
+        acc = acc * a_old[..., None] + o_blk * a_blk[..., None]
+        # rotate KV (and its validity bias) one step around the ring
+        perm = [(j, (j - 1) % n) for j in range(n)]
+        k_blk = jax.lax.ppermute(k_blk, axis, perm)
+        v_blk = jax.lax.ppermute(v_blk, axis, perm)
+        kb_blk = jax.lax.ppermute(kb_blk, axis, perm)
+        return k_blk, v_blk, kb_blk, m_new, l, acc
+
+    init = (
+        k, v, kbias,
+        jnp.full((b, h, s_loc), _NEG_BIG, jnp.float32),
+        jnp.zeros((b, h, s_loc), jnp.float32),
+        jnp.zeros((b, h, s_loc, d), jnp.float32),
+    )
+    *_, m, l, acc = jax.lax.fori_loop(0, n, step, init)
+    out = acc / jnp.where(l == 0.0, 1.0, l)[..., None]
+    # When EVERY key is masked the -BIG bias cancels inside (s - m) and the
+    # row softmaxes over garbage; like ops/flash_attention, invalid QUERY
+    # rows (valid marks tokens — queries and keys alike) are zeroed here.
+    qvalid = (kbias == 0.0)  # kbias here is THIS rank's local shard [B, s_loc]
+    out = out * qvalid[:, None, :, None]
+    return out.astype(q.dtype)
+
+
+def ring_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    valid: Optional[jax.Array] = None,
+    *,
+    mesh: Mesh,
+    axis: str = "sp",
+    causal: bool = False,
+) -> jax.Array:
+    """Exact attention with the sequence axis sharded over `mesh[axis]`.
+
+    q/k/v: [B, H, S, D] with S divisible by the axis size; valid: [B, S]
+    bool key mask. Same numerics contract as ops/attention.mha_reference
+    (fp32 softmax, masked keys contribute zero, dead rows output zero).
+    """
+    b, h, s, d = q.shape
+    n = mesh.shape[axis]
+    assert s % n == 0, f"seq {s} must divide the {axis}={n} ring"
+    if valid is None:
+        valid = jnp.ones((b, s), dtype=bool)
+    # additive bias in the unscaled-score domain
+    kbias = jnp.where(valid, 0.0, _NEG_BIG).astype(jnp.float32)
+
+    spec_qkv = P(None, None, axis, None)
+    spec_bias = P(None, axis)
+    fn = functools.partial(_ring_shard_fn, axis=axis, sm_scale=d ** -0.5,
+                           causal=causal)
+    return jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(spec_qkv, spec_qkv, spec_qkv, spec_bias),
+        out_specs=spec_qkv,
+        check_vma=False,
+    )(q, k, v, kbias)
