@@ -194,3 +194,26 @@ def test_rank_frames_stable_ties(tiny_setup):
     index, logits = eng.rank_frames(scores, [10, 20, 30, 40])
     assert index == [20, 30, 10, 40]  # tie 0.9 keeps original order
     assert logits == [0.9, 0.9, 0.5, 0.1]
+
+
+def test_engine_on_sp_mesh_matches_single_device(tiny_setup):
+    """Sequence parallelism end-to-end: a dp2 x tp2 x sp2 mesh routes the
+    LM's masked attention through ring attention (the vision tower keeps
+    its per-frame path) and must score identically."""
+    from videoitg_tpu.parallel.mesh import make_mesh as mk
+
+    cfg, params = tiny_setup
+    mesh = mk(dp=2, tp=2, sp=2, devices=jax.devices())
+    assert dict(mesh.shape) == {"dp": 2, "tp": 2, "sp": 2}
+
+    rng = np.random.default_rng(21)
+    vids = [_frames(rng, 4), _frames(rng, 4)]
+    instrs = ["q one", "q two"]
+    eng1 = SelectionEngine(params, cfg, ToyTokenizer(), dtype=jnp.float32,
+                           use_flash=False, buckets=(4,))
+    engm = SelectionEngine(params, cfg, ToyTokenizer(), mesh=mesh,
+                           dtype=jnp.float32, use_flash=False, buckets=(4,))
+    want = eng1.score_frames(vids, instrs)
+    got = engm.score_frames(vids, instrs)
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(g, w, atol=2e-5, rtol=1e-5)

@@ -34,6 +34,7 @@ class VideoITGAdapter(ModelAdapter):
         act_int8: bool = False,
         dp: Optional[int] = None,
         tp: Optional[int] = None,
+        sp: int = 1,
         decode_workers: int = 4,
         decode_ahead: int = 4,
         frame_cache_dir: Optional[str] = None,
@@ -104,10 +105,10 @@ class VideoITGAdapter(ModelAdapter):
             params = apply_full_int8(params)
 
         mesh = None
-        if dp is not None or tp is not None:
+        if dp is not None or tp is not None or sp > 1:
             from videoitg_tpu.parallel.mesh import make_mesh
 
-            mesh = make_mesh(dp=dp, tp=tp)
+            mesh = make_mesh(dp=dp, tp=tp, sp=sp)
 
         self.engine = SelectionEngine(
             params, cfg, tokenizer, mesh=mesh, num_frames=num_frames,

@@ -169,7 +169,7 @@ def mha(
         import jax as _jax
         from jax.sharding import PartitionSpec as P
 
-        mesh, dp, tp = ctx
+        mesh, dp, tp, _sp = ctx
         if valid is None:
             valid = jnp.ones((q.shape[0], q.shape[2]), dtype=bool)
         spec_q = P(dp, tp, None, None)
@@ -181,10 +181,24 @@ def mha(
             check_vma=False,
         )
         return f(q, k, v, valid)
+    from videoitg_tpu.parallel.context import current_attention_mesh
+
+    ctx = current_attention_mesh()
+
+    # Sequence parallelism: when the ambient mesh carries an sp axis, the
+    # LM's long masked sequence (valid is the discriminator — the vision
+    # tower passes valid=None and keeps its per-frame kernel) runs as ring
+    # attention, sharding S and its O(S^2) work over the ring.
+    if (ctx is not None and ctx[3] is not None and valid is not None
+            and q.shape[2] % ctx[0].shape[ctx[3]] == 0):
+        from videoitg_tpu.parallel.ring_attention import ring_attention
+
+        mesh, dp, tp, sp = ctx
+        return ring_attention(q, k, v, valid=valid, mesh=mesh, axis=sp,
+                              dp_axis=dp, tp_axis=tp, causal=causal)
+
     if not use_flash:
         return mha_reference(q, k, v, valid=valid, causal=causal)
-
-    from videoitg_tpu.parallel.context import current_attention_mesh
 
     # Short unmasked MHA (the vision tower's shape) gets the direct-softmax
     # multi-head-per-program kernel; everything else streams.
@@ -202,14 +216,13 @@ def mha(
         kernel = lambda q_, k_, v_, vd: flash_mha(  # noqa: E731
             q_, k_, v_, valid=vd, causal=causal)
 
-    ctx = current_attention_mesh()
     if ctx is None:
         return kernel(q, k, v, valid)
 
     import jax as _jax
     from jax.sharding import PartitionSpec as P
 
-    mesh, dp, tp = ctx
+    mesh, dp, tp, _sp = ctx
     if valid is None:
         valid = jnp.ones((q.shape[0], q.shape[2]), dtype=bool)
     spec_q = P(dp, tp, None, None)

@@ -16,20 +16,27 @@ from typing import Optional, Tuple
 
 from jax.sharding import Mesh
 
-_ACTIVE: Optional[Tuple[Mesh, str, str]] = None
+_ACTIVE: Optional[Tuple[Mesh, str, str, Optional[str]]] = None
 
 
 @contextlib.contextmanager
-def attention_mesh(mesh: Mesh, dp_axis: str = "dp", tp_axis: str = "tp"):
-    """While active, flash attention runs as a shard_map island over mesh."""
+def attention_mesh(mesh: Mesh, dp_axis: str = "dp", tp_axis: str = "tp",
+                   sp_axis: Optional[str] = None):
+    """While active, flash attention runs as a shard_map island over mesh.
+
+    sp_axis (when the mesh carries one with size > 1) additionally shards
+    the LM's long sequence via ring attention (parallel/ring_attention.py).
+    """
     global _ACTIVE
     prev = _ACTIVE
-    _ACTIVE = (mesh, dp_axis, tp_axis)
+    if sp_axis is None and "sp" in mesh.shape and mesh.shape["sp"] > 1:
+        sp_axis = "sp"
+    _ACTIVE = (mesh, dp_axis, tp_axis, sp_axis)
     try:
         yield
     finally:
         _ACTIVE = prev
 
 
-def current_attention_mesh() -> Optional[Tuple[Mesh, str, str]]:
+def current_attention_mesh() -> Optional[Tuple[Mesh, str, str, Optional[str]]]:
     return _ACTIVE

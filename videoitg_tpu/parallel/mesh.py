@@ -18,29 +18,41 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DP_AXIS = "dp"
 TP_AXIS = "tp"
+SP_AXIS = "sp"
 
 
 def make_mesh(
     dp: Optional[int] = None,
     tp: Optional[int] = None,
+    sp: int = 1,
     devices: Optional[Sequence] = None,
 ) -> Mesh:
-    """Build a (dp, tp) mesh over the available devices.
+    """Build a (dp, tp[, sp]) mesh over the available devices.
 
     Defaults: tp = largest divisor of device count that divides the 8B
-    model's 4 KV heads (1, 2, or 4); dp = the rest. On one device both are 1.
+    model's 4 KV heads (1, 2, or 4); dp = the rest. sp > 1 adds a
+    sequence-parallel axis (ring attention shards the LM's long sequence
+    over it — an axis the reference has no counterpart for, SURVEY §5.7).
+    On one device all axes are 1.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
+    per_seq = n // sp
+    assert per_seq * sp == n, f"sp({sp}) must divide device count ({n})"
     if tp is None:
-        tp = 4 if n % 4 == 0 else (2 if n % 2 == 0 else 1)
+        tp = 4 if per_seq % 4 == 0 else (2 if per_seq % 2 == 0 else 1)
         if dp is not None:
-            tp = n // dp
+            tp = per_seq // dp
     if dp is None:
-        dp = n // tp
-    assert dp * tp == n, f"dp({dp}) * tp({tp}) != device count ({n})"
-    arr = np.asarray(devices).reshape(dp, tp)
-    return Mesh(arr, (DP_AXIS, TP_AXIS))
+        dp = per_seq // tp
+    assert dp * tp * sp == n, f"dp({dp}) * tp({tp}) * sp({sp}) != devices ({n})"
+    if sp == 1:
+        # 2-axis layout keeps single-host placements identical to round 1
+        # (sp enters as a third axis only when requested).
+        arr = np.asarray(devices).reshape(dp, tp)
+        return Mesh(arr, (DP_AXIS, TP_AXIS))
+    arr = np.asarray(devices).reshape(dp, tp, sp)
+    return Mesh(arr, (DP_AXIS, TP_AXIS, SP_AXIS))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -30,19 +30,25 @@ _NEG_BIG = -1e30
 
 
 def _block_stats(q, k, v, kbias, sm_scale, qpos, kpos, causal):
-    """One q-shard x kv-block attention: returns (m, l, o_unnorm)."""
-    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+    """One q-shard x kv-block attention (GQA): returns (m, l, o_unnorm)."""
+    b, hq, sq, d = q.shape
+    hkv = k.shape[1]
+    g = hq // hkv
+    qg = q.reshape(b, hkv, g, sq, d)
+    s = jnp.einsum("bhgqd,bhkd->bhgqk", qg, k,
                    preferred_element_type=jnp.float32)
-    s = s + kbias[:, None, None, :]
+    s = s + kbias[:, None, None, None, :]
     if causal:
-        s = jnp.where((kpos[None, None, None, :] <= qpos[None, None, :, None]),
-                      s, _NEG_BIG)
-    m = jnp.max(s, axis=-1)                                   # [B,H,Q]
+        s = jnp.where(
+            (kpos[None, None, None, None, :] <= qpos[None, None, None, :, None]),
+            s, _NEG_BIG)
+    m = jnp.max(s, axis=-1)                                   # [B,Hkv,G,Q]
     p = jnp.exp((s - m[..., None]) * sm_scale)
-    l = jnp.sum(p, axis=-1)                                   # [B,H,Q]
-    o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+    l = jnp.sum(p, axis=-1)
+    o = jnp.einsum("bhgqk,bhkd->bhgqd", p.astype(v.dtype), v,
                    preferred_element_type=jnp.float32)
-    return m, l, o
+    return (m.reshape(b, hq, sq), l.reshape(b, hq, sq),
+            o.reshape(b, hq, sq, d))
 
 
 def _ring_shard_fn(q, k, v, kbias, axis: str, sm_scale: float, causal: bool):
@@ -96,13 +102,17 @@ def ring_attention(
     *,
     mesh: Mesh,
     axis: str = "sp",
+    dp_axis: Optional[str] = None,
+    tp_axis: Optional[str] = None,
     causal: bool = False,
 ) -> jax.Array:
     """Exact attention with the sequence axis sharded over `mesh[axis]`.
 
-    q/k/v: [B, H, S, D] with S divisible by the axis size; valid: [B, S]
-    bool key mask. Same numerics contract as ops/attention.mha_reference
-    (fp32 softmax, masked keys contribute zero, dead rows output zero).
+    q/k/v: [B, Hq, S, D], k/v [B, Hkv, S, D] (GQA) with S divisible by the
+    axis size; valid: [B, S] bool token mask (masks keys; invalid query
+    rows output exact zeros — the flash-kernel contract). Composes with
+    batch (dp_axis) and head (tp_axis) sharding: those axes are
+    communication-free inside the island.
     """
     b, h, s, d = q.shape
     n = mesh.shape[axis]
@@ -112,8 +122,8 @@ def ring_attention(
     # additive bias in the unscaled-score domain
     kbias = jnp.where(valid, 0.0, _NEG_BIG).astype(jnp.float32)
 
-    spec_qkv = P(None, None, axis, None)
-    spec_bias = P(None, axis)
+    spec_qkv = P(dp_axis, tp_axis, axis, None)
+    spec_bias = P(dp_axis, axis)
     fn = functools.partial(_ring_shard_fn, axis=axis, sm_scale=d ** -0.5,
                            causal=causal)
     return jax.shard_map(
