@@ -51,6 +51,23 @@ def test_ring_key_mask_and_dead_rows():
     np.testing.assert_array_equal(np.asarray(out), 0.0)
 
 
+def test_ring_flash_blocks_matches_reference():
+    """The HBM-efficient flash-block ring (streaming kernel per block +
+    logsumexp merge) must match the oracle, GQA and mask included."""
+    rng = np.random.default_rng(3)
+    b, hq, hkv, s, d = 1, 4, 2, 64, 16
+    q = jnp.asarray(rng.standard_normal((b, hq, s, d)), dtype=jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, hkv, s, d)), dtype=jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, hkv, s, d)), dtype=jnp.float32)
+    valid = jnp.asarray(np.arange(s) < 41)[None]
+    want = mha_reference(q, k, v, valid=valid)
+    got = ring_attention(q, k, v, valid=valid, mesh=_mesh(4),
+                         block_impl="flash", interpret=True)
+    m = np.asarray(valid)[:, None, :, None]
+    np.testing.assert_allclose(np.asarray(got) * m, np.asarray(want) * m,
+                               atol=3e-5, rtol=1e-4)
+
+
 def test_ring_under_jit_with_grounding_shapes():
     """jit-compiled ring attention at a GQA-free grounding-ish shape
     (sequence divisible by the ring); executes the collective for real."""

@@ -94,6 +94,56 @@ def _ring_shard_fn(q, k, v, kbias, axis: str, sm_scale: float, causal: bool):
     return out.astype(q.dtype)
 
 
+def _ring_shard_fn_flash(q, k, v, kbias, axis: str, sm_scale: float,
+                         causal: bool, interpret: bool):
+    """Flash-kernel ring: each KV block runs the streaming Pallas forward
+    (O(block) memory instead of the einsum ring's O(s_loc^2) scores) and
+    blocks merge via their logsumexp residuals:
+        o = sum_blk exp(lse_blk - lse_tot) * o_blk.
+    Non-causal only (the grounding LM's mode — block-level causal offsets
+    are not plumbed into the kernel's mask)."""
+    from videoitg_tpu.ops.flash_attention_train import _fwd
+
+    assert not causal, "flash-block ring supports the non-causal LM path"
+    n = jax.lax.psum(1, axis)
+    b, h, s_loc, d = q.shape
+
+    def step(i, carry):
+        k_blk, v_blk, kb_blk, lse, acc = carry
+        qvalid_ones = jnp.ones((b, 1, s_loc), jnp.float32)
+        o_blk, lse_blk8 = _fwd(q, k_blk, v_blk, kb_blk[:, None, :],
+                               qvalid_ones, False, 512, 512, interpret)
+        o_blk = o_blk[:, :, :s_loc, :d].astype(jnp.float32)
+        lse_blk = lse_blk8[:, :, :s_loc, 0]
+        # a block with NO valid key reports lse=+BIG (dead-row convention);
+        # as a ring contribution that means "nothing" -> -BIG.
+        has_valid = jnp.any(kb_blk == 0.0, axis=-1)[:, None, None]  # [B,1,1]
+        lse_blk = jnp.where(has_valid, lse_blk, _NEG_BIG)
+        # normalized-average merge: acc stays the exact softmax-weighted
+        # average of the blocks seen so far, lse their logsumexp.
+        m_new = jnp.maximum(lse, lse_blk)
+        w_old = jnp.exp(lse - m_new)
+        w_blk = jnp.exp(lse_blk - m_new)
+        denom = w_old + w_blk
+        acc = (acc * w_old[..., None] + o_blk * w_blk[..., None]) / denom[..., None]
+        lse = m_new + jnp.log(denom)
+        perm = [(j, (j - 1) % n) for j in range(n)]
+        k_blk = jax.lax.ppermute(k_blk, axis, perm)
+        v_blk = jax.lax.ppermute(v_blk, axis, perm)
+        kb_blk = jax.lax.ppermute(kb_blk, axis, perm)
+        return k_blk, v_blk, kb_blk, lse, acc
+
+    init = (
+        k, v, kbias,
+        jnp.full((b, h, s_loc), _NEG_BIG, jnp.float32),
+        jnp.zeros((b, h, s_loc, d), jnp.float32),
+    )
+    *_, lse, acc = jax.lax.fori_loop(0, n, step, init)
+    qvalid = (kbias == 0.0)
+    out = acc * qvalid[:, None, :, None]
+    return out.astype(q.dtype)
+
+
 def ring_attention(
     q: jax.Array,
     k: jax.Array,
@@ -105,6 +155,8 @@ def ring_attention(
     dp_axis: Optional[str] = None,
     tp_axis: Optional[str] = None,
     causal: bool = False,
+    block_impl: str = "einsum",
+    interpret: bool = False,
 ) -> jax.Array:
     """Exact attention with the sequence axis sharded over `mesh[axis]`.
 
@@ -124,8 +176,15 @@ def ring_attention(
 
     spec_qkv = P(dp_axis, tp_axis, axis, None)
     spec_bias = P(dp_axis, axis)
-    fn = functools.partial(_ring_shard_fn, axis=axis, sm_scale=d ** -0.5,
-                           causal=causal)
+    if block_impl == "flash":
+        # HBM-efficient at real scale: streaming kernel per block instead of
+        # materialized O(s_loc^2) scores.
+        fn = functools.partial(_ring_shard_fn_flash, axis=axis,
+                               sm_scale=d ** -0.5, causal=causal,
+                               interpret=interpret)
+    else:
+        fn = functools.partial(_ring_shard_fn, axis=axis, sm_scale=d ** -0.5,
+                               causal=causal)
     return jax.shard_map(
         fn, mesh=mesh,
         in_specs=(spec_qkv, spec_qkv, spec_qkv, spec_bias),
