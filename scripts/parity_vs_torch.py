@@ -66,10 +66,10 @@ def _torch_tensors(sd, prefix: str):
     return out
 
 
-def _hf_vision_config(cfg):
+def _hf_vision_config(cfg, **kwargs):
     from transformers import SiglipVisionConfig
 
-    return SiglipVisionConfig(
+    return SiglipVisionConfig(**kwargs,
         hidden_size=cfg.vision.hidden_size,
         intermediate_size=cfg.vision.intermediate_size,
         num_hidden_layers=cfg.vision.num_layers,
@@ -81,10 +81,10 @@ def _hf_vision_config(cfg):
     )
 
 
-def _hf_lm_config(cfg):
+def _hf_lm_config(cfg, **kwargs):
     from transformers import Qwen2Config
 
-    return Qwen2Config(
+    return Qwen2Config(**kwargs,
         vocab_size=cfg.lm.vocab_size,
         hidden_size=cfg.lm.hidden_size,
         intermediate_size=cfg.lm.intermediate_size,
@@ -102,9 +102,10 @@ def build_torch_stack(sd, cfg):
     import torch
     from transformers import Qwen2Model, SiglipVisionModel
 
-    vis_cfg = _hf_vision_config(cfg)
-    vis_cfg.attn_implementation = "eager"
-    vision = SiglipVisionModel(vis_cfg).eval()
+    # attn_implementation must go through the constructor: transformers
+    # reads _attn_implementation, and a post-hoc attribute set is ignored.
+    vision = SiglipVisionModel(
+        _hf_vision_config(cfg, attn_implementation="eager")).eval()
     vsd = _torch_tensors(sd, "model.vision_tower.vision_tower.")
     missing, unexpected = vision.load_state_dict(vsd, strict=False)
     # The grounding checkpoint selects hidden_states[-2]: the attention-pool
@@ -112,10 +113,8 @@ def build_torch_stack(sd, cfg):
     real_missing = [k for k in missing if ".head." not in k and "post_layernorm" not in k]
     assert not real_missing and not unexpected, (real_missing, unexpected)
 
-    lm_cfg = _hf_lm_config(cfg)
-    lm_cfg.attn_implementation = "eager"
-    lm_cfg.use_cache = False
-    lm = Qwen2Model(lm_cfg).eval()
+    lm = Qwen2Model(_hf_lm_config(cfg, attn_implementation="eager",
+                                  use_cache=False)).eval()
     lsd = {
         k[len("model."):]: torch.as_tensor(np.asarray(v)).float()
         for k, v in sd.items()

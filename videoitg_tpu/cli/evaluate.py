@@ -119,7 +119,8 @@ def main(argv=None) -> int:
                 # Raises RankTimeoutError (nonzero exit, no report) on
                 # stragglers — partial benchmark numbers are never written.
                 wait_for_ranks(task, out_dir, args.world_size)
-                report = merge_and_aggregate(task, out_dir, args.world_size)
+                report = merge_and_aggregate(task, out_dir, args.world_size,
+                                             predict_only=args.predict_only)
             ResultsWriter(out_dir, args.rank, args.world_size).merge()
             report.metadata = run_metadata(
                 model=args.model, model_args=args.model_args,

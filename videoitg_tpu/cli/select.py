@@ -81,19 +81,10 @@ def main(argv=None) -> int:
         print("error: pass --model DIR or --random-init", file=sys.stderr)
         return 2
 
-    if args.quantize in ("int8", "act8"):
-        from videoitg_tpu.ops.quant import quantize_grounding_int8
+    if args.quantize:
+        from videoitg_tpu.ops.quant import apply_quantization_tier
 
-        params = quantize_grounding_int8(params)
-    elif args.quantize == "int4":
-        from videoitg_tpu.ops.quant import quantize_qwen2_int4
-
-        params = dict(params)
-        params["lm"] = quantize_qwen2_int4(params["lm"])
-    if args.quantize == "act8":
-        from videoitg_tpu.ops.quant import apply_full_int8
-
-        params = apply_full_int8(params)
+        params = apply_quantization_tier(params, args.quantize)
 
     engine = SelectionEngine(
         params, cfg, tokenizer, dtype=dtype,

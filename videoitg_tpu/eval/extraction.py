@@ -22,7 +22,9 @@ ANSWER_PREFIXES = [
 def parse_multi_choice_mmmu(response: str, all_choices, index2ans, seed=0) -> str:
     """MMMU-style multi-choice parsing (reference egoschema/nextqa utils,
     copied from the MMMU eval): look for "(A)", then "A ", then "A.", then
-    answer-content substrings; ties resolve to the LAST occurrence; no match
+    answer-content substrings; among multiple candidates the one whose
+    LAST occurrence starts EARLIEST wins (reference argmin-of-rfind,
+    egoschema/utils.py:169 — upstream MMMU differs; keep parity); no match
     falls back to a (deterministically seeded) random choice."""
     import random
 

@@ -215,7 +215,8 @@ def wait_for_ranks(task: Task, output_dir: str, world_size: int,
         _time.sleep(poll_s)
 
 
-def merge_and_aggregate(task: Task, output_dir: str, world_size: int) -> EvalReport:
+def merge_and_aggregate(task: Task, output_dir: str, world_size: int,
+                        predict_only: bool = False) -> EvalReport:
     """Aggregate the union of all ranks' records (rank-0 step)."""
     records: List[dict] = []
     for r in range(world_size):
@@ -223,8 +224,9 @@ def merge_and_aggregate(task: Task, output_dir: str, world_size: int) -> EvalRep
         if os.path.exists(p):
             with open(p) as f:
                 records.extend(json.loads(x) for x in f if x.strip())
-    return EvalReport(task=task.name, metrics=task.aggregate(records),
-                      num_docs=len(records))
+    # predict_only ranks wrote empty records — aggregating would KeyError
+    metrics = {} if predict_only else task.aggregate(records)
+    return EvalReport(task=task.name, metrics=metrics, num_docs=len(records))
 
 
 def save_report(report: EvalReport, output_dir: str) -> str:

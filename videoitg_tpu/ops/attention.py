@@ -194,8 +194,14 @@ def mha(
         from videoitg_tpu.parallel.ring_attention import ring_attention
 
         mesh, dp, tp, sp = ctx
+        # Flash blocks on accelerators (O(block) memory — the point of sp at
+        # 13k tokens); einsum blocks only on the kernel-less CPU oracle path
+        # (ring is non-causal-only in flash form; the grounding LM is
+        # non-causal, and causal callers keep einsum blocks).
+        impl = "flash" if (use_flash and not causal) else "einsum"
         return ring_attention(q, k, v, valid=valid, mesh=mesh, axis=sp,
-                              dp_axis=dp, tp_axis=tp, causal=causal)
+                              dp_axis=dp, tp_axis=tp, causal=causal,
+                              block_impl=impl)
 
     if not use_flash:
         return mha_reference(q, k, v, valid=valid, causal=causal)

@@ -269,6 +269,23 @@ def apply_full_int8(params: dict) -> dict:
     return params
 
 
+def apply_quantization_tier(params: dict, tier: str) -> dict:
+    """One shared tier -> transform mapping for every serving entry point
+    (videoitg-select --quantize, the videoitg eval adapter, bench tiers):
+    'int8' = weight-only int8 LM; 'int4' = packed-nibble int4 LM;
+    'act8' = int8 weights + dynamic int8 activations (LM + vision)."""
+    if tier in ("int8", "act8"):
+        params = quantize_grounding_int8(params)
+    elif tier == "int4":
+        params = dict(params)
+        params["lm"] = quantize_qwen2_int4(params["lm"])
+    else:
+        raise ValueError(f"unknown quantization tier {tier!r}")
+    if tier == "act8":
+        params = apply_full_int8(params)
+    return params
+
+
 def quantize_grounding_int8(params: dict) -> dict:
     """Serving quantization for the full grounding model: LM linears int8;
     vision tower, projector, and scoring head stay bf16 (they are ~6% of

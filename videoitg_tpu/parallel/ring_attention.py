@@ -29,6 +29,12 @@ from jax.sharding import Mesh, PartitionSpec as P
 _NEG_BIG = -1e30
 
 
+def _rotate(axis, n, *arrays):
+    """One ring step: every rank sends its block to the previous rank."""
+    perm = [(j, (j - 1) % n) for j in range(n)]
+    return tuple(jax.lax.ppermute(a, axis, perm) for a in arrays)
+
+
 def _block_stats(q, k, v, kbias, sm_scale, qpos, kpos, causal):
     """One q-shard x kv-block attention (GQA): returns (m, l, o_unnorm)."""
     b, hq, sq, d = q.shape
@@ -58,8 +64,7 @@ def _ring_shard_fn(q, k, v, kbias, axis: str, sm_scale: float, causal: bool):
     b, h, s_loc, d = q.shape
     qpos = rank * s_loc + jnp.arange(s_loc, dtype=jnp.int32)
 
-    def step(i, carry):
-        k_blk, v_blk, kb_blk, m, l, acc = carry
+    def compute(i, k_blk, v_blk, kb_blk, m, l, acc):
         src = jax.lax.rem(rank + i, n)  # which global shard this block is
         kpos = src * s_loc + jnp.arange(s_loc, dtype=jnp.int32)
         m_blk, l_blk, o_blk = _block_stats(
@@ -71,20 +76,23 @@ def _ring_shard_fn(q, k, v, kbias, axis: str, sm_scale: float, causal: bool):
         a_blk = jnp.exp((m_blk - m_new) * sm_scale)
         l = l * a_old + l_blk * a_blk
         acc = acc * a_old[..., None] + o_blk * a_blk[..., None]
-        # rotate KV (and its validity bias) one step around the ring
-        perm = [(j, (j - 1) % n) for j in range(n)]
-        k_blk = jax.lax.ppermute(k_blk, axis, perm)
-        v_blk = jax.lax.ppermute(v_blk, axis, perm)
-        kb_blk = jax.lax.ppermute(kb_blk, axis, perm)
-        return k_blk, v_blk, kb_blk, m_new, l, acc
+        return m_new, l, acc
 
-    init = (
-        k, v, kbias,
+    def step(i, carry):
+        k_blk, v_blk, kb_blk, m, l, acc = carry
+        # rotate FIRST (steps 1..n-1): exactly n-1 ppermutes total — the
+        # local block was consumed before the loop.
+        k_blk, v_blk, kb_blk = _rotate(axis, n, k_blk, v_blk, kb_blk)
+        m, l, acc = compute(i, k_blk, v_blk, kb_blk, m, l, acc)
+        return k_blk, v_blk, kb_blk, m, l, acc
+
+    m0, l0, acc0 = compute(
+        0, k, v, kbias,
         jnp.full((b, h, s_loc), _NEG_BIG, jnp.float32),
         jnp.zeros((b, h, s_loc), jnp.float32),
         jnp.zeros((b, h, s_loc, d), jnp.float32),
     )
-    *_, m, l, acc = jax.lax.fori_loop(0, n, step, init)
+    *_, m, l, acc = jax.lax.fori_loop(1, n, step, (k, v, kbias, m0, l0, acc0))
     out = acc / jnp.where(l == 0.0, 1.0, l)[..., None]
     # When EVERY key is masked the -BIG bias cancels inside (s - m) and the
     # row softmaxes over garbage; like ops/flash_attention, invalid QUERY
@@ -108,8 +116,7 @@ def _ring_shard_fn_flash(q, k, v, kbias, axis: str, sm_scale: float,
     n = jax.lax.psum(1, axis)
     b, h, s_loc, d = q.shape
 
-    def step(i, carry):
-        k_blk, v_blk, kb_blk, lse, acc = carry
+    def compute(k_blk, v_blk, kb_blk, lse, acc):
         qvalid_ones = jnp.ones((b, 1, s_loc), jnp.float32)
         o_blk, lse_blk8 = _fwd(q, k_blk, v_blk, kb_blk[:, None, :],
                                qvalid_ones, False, 512, 512, interpret)
@@ -126,19 +133,20 @@ def _ring_shard_fn_flash(q, k, v, kbias, axis: str, sm_scale: float,
         w_blk = jnp.exp(lse_blk - m_new)
         denom = w_old + w_blk
         acc = (acc * w_old[..., None] + o_blk * w_blk[..., None]) / denom[..., None]
-        lse = m_new + jnp.log(denom)
-        perm = [(j, (j - 1) % n) for j in range(n)]
-        k_blk = jax.lax.ppermute(k_blk, axis, perm)
-        v_blk = jax.lax.ppermute(v_blk, axis, perm)
-        kb_blk = jax.lax.ppermute(kb_blk, axis, perm)
+        return m_new + jnp.log(denom), acc
+
+    def step(_i, carry):
+        k_blk, v_blk, kb_blk, lse, acc = carry
+        k_blk, v_blk, kb_blk = _rotate(axis, n, k_blk, v_blk, kb_blk)
+        lse, acc = compute(k_blk, v_blk, kb_blk, lse, acc)
         return k_blk, v_blk, kb_blk, lse, acc
 
-    init = (
+    lse0, acc0 = compute(
         k, v, kbias,
         jnp.full((b, h, s_loc), _NEG_BIG, jnp.float32),
         jnp.zeros((b, h, s_loc, d), jnp.float32),
     )
-    *_, lse, acc = jax.lax.fori_loop(0, n, step, init)
+    *_, lse, acc = jax.lax.fori_loop(1, n, step, (k, v, kbias, lse0, acc0))
     qvalid = (kbias == 0.0)
     out = acc * qvalid[:, None, :, None]
     return out.astype(q.dtype)
