@@ -115,3 +115,35 @@ def test_trainable_flash_grad_parity_tpu():
     for a, b in zip(gt, gr):
         rel = float(jnp.max(jnp.abs(a - b))) / (float(jnp.max(jnp.abs(b))) + 1e-9)
         assert rel < 1e-2
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_train_kernel_fuzz_shapes(seed):
+    """Property fuzz: random (GQA, seq, head-dim, mask, causal) draws must
+    match the oracle for values AND gradients (interpret mode)."""
+    rng = np.random.default_rng(100 + seed)
+    hkv = int(rng.choice([1, 2, 3]))
+    hq = hkv * int(rng.choice([1, 2, 4]))
+    s = int(rng.integers(17, 150))
+    d = int(rng.choice([8, 16, 24]))
+    causal = bool(rng.integers(0, 2))
+    n_valid = int(rng.integers(1, s + 1))
+    q, k, v = _rand_qkv(rng, b=1, hq=hq, hkv=hkv, s=s, d=d)
+    valid = jnp.asarray(np.arange(s) < n_valid)[None]
+    m = valid[:, None, :, None]
+
+    def loss_t(q, k, v):
+        out = flash_mha_train(q, k, v, valid=valid, causal=causal,
+                              block_q=64, block_k=64, interpret=True)
+        return jnp.sum((out * m) ** 2)
+
+    def loss_r(q, k, v):
+        from videoitg_tpu.ops.attention import mha_reference
+
+        return jnp.sum((mha_reference(q, k, v, valid=valid, causal=causal) * m) ** 2)
+
+    gt = jax.grad(loss_t, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", gt, gr):
+        rel = float(jnp.max(jnp.abs(a - b))) / (float(jnp.max(jnp.abs(b))) + 1e-9)
+        assert rel < 2e-3, (name, rel, (hq, hkv, s, d, causal, n_valid))
