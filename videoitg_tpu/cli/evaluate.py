@@ -114,14 +114,28 @@ def main(argv=None) -> int:
             limit=args.limit, log_samples=args.log_samples,
             predict_only=args.predict_only,
         )
+        # Multi-rank merge: jax.distributed fleets synchronize with device
+        # collectives (no shared FS needed); separately-launched rank fleets
+        # fall back to shared-FS sentinels polled by rank 0.
+        import jax as _jax
+
+        collective = (args.world_size > 1
+                      and _jax.process_count() == args.world_size)
+        if collective:
+            from videoitg_tpu.eval.harness import collective_merge_and_aggregate
+
+            # Collective: EVERY rank participates in the gather.
+            report = collective_merge_and_aggregate(
+                task, out_dir, args.rank, predict_only=args.predict_only)
         if args.rank == 0:
-            if args.world_size > 1:
+            if args.world_size > 1 and not collective:
                 # Raises RankTimeoutError (nonzero exit, no report) on
                 # stragglers — partial benchmark numbers are never written.
                 wait_for_ranks(task, out_dir, args.world_size)
                 report = merge_and_aggregate(task, out_dir, args.world_size,
                                              predict_only=args.predict_only)
-            ResultsWriter(out_dir, args.rank, args.world_size).merge()
+            if not collective:
+                ResultsWriter(out_dir, args.rank, args.world_size).merge()
             report.metadata = run_metadata(
                 model=args.model, model_args=args.model_args,
                 world_size=args.world_size, limit=args.limit, seed=args.seed,

@@ -215,6 +215,39 @@ def wait_for_ranks(task: Task, output_dir: str, world_size: int,
         _time.sleep(poll_s)
 
 
+def collective_merge_and_aggregate(task: Task, output_dir: str, rank: int,
+                                   predict_only: bool = False) -> EvalReport:
+    """Collective alternative to wait_for_ranks + merge_and_aggregate for
+    jax.distributed fleets (no shared filesystem required): every rank
+    contributes its records AND its selection rows through one allgather
+    (the reference's gather_object + barrier, evaluator.py:553-573); rank 0
+    writes the merged results.jsonl. MUST be called by all ranks."""
+    from videoitg_tpu.eval import multihost
+
+    my_records: List[dict] = []
+    p = os.path.join(output_dir, f"records.rank{rank}.{task.name}.jsonl")
+    if os.path.exists(p):
+        with open(p) as f:
+            my_records = [json.loads(x) for x in f if x.strip()]
+    my_rows: List[dict] = []
+    shard = os.path.join(output_dir, f"results.rank{rank}.jsonl")
+    if os.path.exists(shard):
+        with open(shard) as f:
+            my_rows = [json.loads(x) for x in f if x.strip()]
+
+    gathered = multihost.gather_objects({"records": my_records, "rows": my_rows})
+    records = [r for g in gathered for r in g["records"]]
+    if rank == 0:
+        rows = {row["doc_id"]: row for g in gathered for row in g["rows"]}
+        if rows:
+            merged = os.path.join(output_dir, "results.jsonl")
+            with open(merged, "w", encoding="utf-8") as f:
+                for key in sorted(rows, key=lambda x: (str(type(x)), x)):
+                    f.write(json.dumps(rows[key], ensure_ascii=False) + "\n")
+    metrics = {} if predict_only else task.aggregate(records)
+    return EvalReport(task=task.name, metrics=metrics, num_docs=len(records))
+
+
 def merge_and_aggregate(task: Task, output_dir: str, world_size: int,
                         predict_only: bool = False) -> EvalReport:
     """Aggregate the union of all ranks' records (rank-0 step)."""
