@@ -85,7 +85,55 @@ def _activation(cfg: VisionConfig):
     return gelu_tanh
 
 
+def _encoder_layer_fused(params, x: jax.Array, cfg: VisionConfig) -> jax.Array:
+    """act8 serving path: the whole non-attention part of the layer runs as
+    three fused Pallas kernels (ops/fused_encoder.py) so the LN output, the
+    int8 activation copies, and the [*, intermediate] MLP tensor never hit
+    HBM. Numerics: same int8 dynamic-quant contract as ops/quant.py, with
+    activations quantized from fp32 instead of a bf16 round-trip."""
+    from videoitg_tpu.ops.fused_encoder import (
+        fused_ln_mlp_int8,
+        fused_ln_qkv_int8,
+        fused_proj_residual_int8,
+    )
+
+    t, p, h = x.shape
+    interpret = jax.default_backend() == "cpu"
+    xf = x.reshape(t * p, h)
+    q, k, v = fused_ln_qkv_int8(
+        xf, params["ln1"], params["q"], params["k"], params["v"],
+        cfg.layer_norm_eps, interpret=interpret)
+
+    def heads(a):
+        return a.reshape(t, p, cfg.num_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+
+    attn = mha(heads(q), heads(k), heads(v), valid=None, causal=False,
+               use_flash=not interpret)
+    attn = attn.transpose(0, 2, 1, 3).reshape(t * p, cfg.num_heads * cfg.head_dim)
+    x1 = fused_proj_residual_int8(attn, xf, params["o"], interpret=interpret)
+    act = "quick_gelu" if cfg.arch == "clip" else "gelu_tanh"
+    out = fused_ln_mlp_int8(x1, params["ln2"], params["fc1"], params["fc2"],
+                            cfg.layer_norm_eps, act=act, interpret=interpret)
+    return out.reshape(t, p, h)
+
+
 def _encoder_layer(params, x: jax.Array, cfg: VisionConfig, use_flash: bool) -> jax.Array:
+    if use_flash is True:
+        import os
+
+        from videoitg_tpu.ops.fused_encoder import can_fuse_encoder_layer
+        from videoitg_tpu.parallel.context import current_attention_mesh
+
+        # Measured-and-rejected as a DEFAULT (docs/PERF.md round 2+): the
+        # fused kernels win in isolation but lose in situ — XLA already
+        # fuses the act8 quantize/LN passes into its GEMMs, and the Pallas
+        # call boundaries force q/k/v layout materializations the einsum
+        # path avoids (tower 2419 -> 2802 ms). Kept behind VIDEOITG_FUSED=1
+        # for A/B on future compilers (scripts/bench_tower.py).
+        if (os.environ.get("VIDEOITG_FUSED") == "1"
+                and can_fuse_encoder_layer(params)
+                and current_attention_mesh() is None):
+            return _encoder_layer_fused(params, x, cfg)
     t, p, h = x.shape
     residual = x
     y = layer_norm(params["ln1"], x, cfg.layer_norm_eps)
