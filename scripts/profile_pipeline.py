@@ -130,6 +130,9 @@ def main():
     p.add_argument("--pipeline-videos", type=int, default=0,
                    help="N>0: measure decode_ahead overlap on N synthesized "
                         "videos instead of the per-stage profile")
+    p.add_argument("--act-int8", action="store_true",
+                   help="full-int8 (dynamic activation quant) — the bench.py "
+                        "headline tier; default here is weight-only int8")
     args = p.parse_args()
 
     if args.pipeline_videos:
@@ -163,6 +166,12 @@ def main():
         cfg = {"videoitg-2b": GroundingConfig.videoitg_2b,
                "videoitg-8b": GroundingConfig.videoitg_8b}[args.model]()
         params = init_grounding(jax.random.PRNGKey(0), cfg, dtype=dtype)
+
+    if args.act_int8:
+        from videoitg_tpu.ops.quant import apply_full_int8
+
+        params = apply_full_int8(params)
+        print("tier: full int8 (weights + dynamic activations)")
 
     t = args.num_frames
     hw = inference_hw(cfg.projector, t, cfg.vision.num_patches_per_side)

@@ -41,3 +41,24 @@ def test_short_kernel_odd_unaligned_dims():
         want = mha_reference(q, q, q)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-5, rtol=1e-4)
+
+
+def test_softmax_impl_parity_and_fast_exp2():
+    """The alternative softmax arithmetics (recip / fast2) track the exact
+    form to float-noise; the linear probe is experiment-only and excluded."""
+    from videoitg_tpu.ops.flash_attention_short import _fast_exp2
+
+    x = jnp.linspace(-119.0, 0.0, 50001, dtype=jnp.float32)
+    rel = np.abs(np.asarray(_fast_exp2(x)) - np.asarray(jnp.exp2(x)))
+    rel = rel / np.asarray(jnp.exp2(x))
+    assert rel.max() < 5e-6
+
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((2, 4, 96, 24)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((2, 4, 96, 24)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((2, 4, 96, 24)).astype(np.float32))
+    base = flash_mha_short(q, k, v, interpret=True, impl="exact")
+    for impl in ("recip", "fast2"):
+        got = flash_mha_short(q, k, v, interpret=True, impl=impl)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                                   atol=3e-6, rtol=1e-5)

@@ -25,6 +25,7 @@ ordering hinges on (BASELINE "hard parts" #1).
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional
 
 import jax
@@ -60,13 +61,16 @@ def _flash_kernel(
     @pl.when(run)
     def _compute():
         q = q_ref[0, 0]  # [BQ, D]
-        k = k_ref[0, 0]  # [BK, D]
+        kt = k_ref[0, 0]  # [D, BK] — pre-transposed by the caller so the QK
+        # contraction is (1, 0): MXU-natural, no in-kernel K relayout per
+        # grid step (the [S,D]->[D,S] flip folds into the caller's existing
+        # head-layout permutation; measured win on the short kernel).
         # UNSCALED scores: sm_scale folds into the fused exp((s-m)*scale)
         # chains below (exact — max commutes with positive scaling), saving
         # one full [BQ, BK] VPU pass per K step. The caller pre-divides
         # kbias by sm_scale so masking stays an additive bias.
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q, kt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )  # [BQ, BK] fp32
         s = s + kbias_ref[0, 0]  # -BIG/scale on invalid keys, 0 on valid
         if causal:
@@ -81,8 +85,11 @@ def _flash_kernel(
         # exp of a hugely negative value underflows to exactly 0, so masked
         # columns vanish; when the whole row is masked m_new stays -1e30 and
         # the row is finite garbage, zeroed at finalize by qvalid.
-        p = jnp.exp((s - m_new) * sm_scale)  # [BQ, BK]
-        alpha = jnp.exp((m_prev - m_new) * sm_scale)  # [BQ, 1]
+        # exp2 with log2(e) folded into sm_scale: one fused multiply chain
+        # instead of exp's internal x*log2e rescale — a full [BQ, BK] VPU
+        # pass saved per K step (exp2 is the VPU-native transcendental).
+        p = jnp.exp2((s - m_new) * sm_scale)  # [BQ, BK]
+        alpha = jnp.exp2((m_prev - m_new) * sm_scale)  # [BQ, 1]
         l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
 
         v = v_ref[0, 0]  # [BK, D]
@@ -129,8 +136,6 @@ def flash_mha(
     Returns [B, Hq, S, D] in q.dtype. S is padded internally to the block
     size; padding keys are masked, padding query rows return 0.
     """
-    import math
-
     b, hq, s, d = q.shape
     hkv = k.shape[1]
     assert hq % hkv == 0, (hq, hkv)
@@ -147,7 +152,8 @@ def flash_mha(
     if valid is None:
         valid = jnp.ones((b, s), dtype=bool)
     qp = _pad_to(_pad_to(q, s_pad, axis=2), d_pad, axis=3)
-    kp = _pad_to(_pad_to(k, s_pad, axis=2), d_pad, axis=3)
+    # K rides as [B, Hkv, D, S] (see the kernel's kt note).
+    kp = _pad_to(_pad_to(k, s_pad, axis=2), d_pad, axis=3).transpose(0, 1, 3, 2)
     vp = _pad_to(_pad_to(v, s_pad, axis=2), d_pad, axis=3)
     validp = _pad_to(valid, s_pad, axis=1)
     # Shaped [B, 1, S] so the (1, block) VMEM blocks satisfy Mosaic's
@@ -162,7 +168,9 @@ def flash_mha(
 
     kernel = functools.partial(
         _flash_kernel,
-        sm_scale=d ** -0.5,  # scale by the TRUE head dim, not the padded one
+        # scale by the TRUE head dim, not the padded one; log2(e) folded so
+        # the kernel's exp2 computes exp((s-m)*d^-0.5) exactly (one rounding).
+        sm_scale=d ** -0.5 * math.log2(math.e),
         causal=causal,
         block_q=block_q,
         block_k=block_k,
@@ -177,7 +185,7 @@ def flash_mha(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, block_k, d_pad), lambda b_, h, iq, ik: (b_, h // group, ik, 0),
+                (1, 1, d_pad, block_k), lambda b_, h, iq, ik: (b_, h // group, 0, ik),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
