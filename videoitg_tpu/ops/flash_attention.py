@@ -44,6 +44,7 @@ _NEG_BIG = -1e30
 def _flash_kernel(
     q_ref, k_ref, v_ref, kbias_ref, qvalid_ref, o_ref, acc_ref, m_ref, l_ref,
     *, sm_scale: float, causal: bool, block_q: int, block_k: int,
+    probe: bool = False,
 ):
     iq = pl.program_id(2)
     ik = pl.program_id(3)
@@ -72,6 +73,14 @@ def _flash_kernel(
         s = jax.lax.dot_general(
             q, kt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )  # [BQ, BK] fp32
+        if probe:  # perf probe ONLY (VIDEOITG_LM_SOFTMAX=probe0): skips the
+            # bias add, max/sum reductions and exp — bounds the VPU share.
+            pv = jax.lax.dot_general(
+                (s * sm_scale).astype(v_ref.dtype), v_ref[0, 0],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            acc_ref[:] = acc_ref[:] + pv
+            l_ref[:] = jnp.ones_like(l_ref)
+            return
         s = s + kbias_ref[0, 0]  # -BIG/scale on invalid keys, 0 on valid
         if causal:
             qpos = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
@@ -166,6 +175,8 @@ def flash_mha(
     nq = s_pad // block_q
     nk = s_pad // block_k
 
+    import os
+
     kernel = functools.partial(
         _flash_kernel,
         # scale by the TRUE head dim, not the padded one; log2(e) folded so
@@ -174,6 +185,7 @@ def flash_mha(
         causal=causal,
         block_q=block_q,
         block_k=block_k,
+        probe=os.environ.get("VIDEOITG_LM_SOFTMAX") == "probe0",
     )
 
     out = pl.pallas_call(

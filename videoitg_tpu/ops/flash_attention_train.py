@@ -56,9 +56,12 @@ def _fwd_kernel(
     @pl.when(run)
     def _compute():
         q = q_ref[0, 0]
-        k = k_ref[0, 0]
+        kt = k_ref[0, 0]  # [D, BK]: pre-transposed by _fwd so the QK
+        # contraction is (1, 0) — MXU-natural, no in-kernel K relayout
+        # (same layout win as ops/flash_attention.py; residuals and the
+        # backward kernels keep the original [S, D] layout).
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q, kt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         ) * sm_scale
         s = s + kbias_ref[0, 0]
         if causal:
@@ -235,8 +238,8 @@ def _fwd(q, k, v, kbias, qvalid, causal, block_q, block_k, interpret):
         grid=(b, hq, nq, nk),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d_pad), lambda b_, h, iq, ik: (b_, h, iq, 0)),
-            pl.BlockSpec((1, 1, block_k, d_pad),
-                         lambda b_, h, iq, ik, g=group: (b_, h // g, ik, 0)),
+            pl.BlockSpec((1, 1, d_pad, block_k),
+                         lambda b_, h, iq, ik, g=group: (b_, h // g, 0, ik)),
             pl.BlockSpec((1, 1, block_k, d_pad),
                          lambda b_, h, iq, ik, g=group: (b_, h // g, ik, 0)),
             pl.BlockSpec((1, 1, block_k), lambda b_, h, iq, ik: (b_, 0, ik)),
@@ -256,7 +259,7 @@ def _fwd(q, k, v, kbias, qvalid, causal, block_q, block_k, interpret):
             pltpu.VMEM((block_q, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(qp, kp, vp, kbias_p, qvalid_p)
+    )(qp, kp.transpose(0, 1, 3, 2), vp, kbias_p, qvalid_p)
     return o, lse
 
 
