@@ -28,3 +28,158 @@ def bootstrap_stderr(
     mean = sum(stats) / len(stats)
     var = sum((s - mean) ** 2 for s in stats) / (len(stats) - 1)
     return var ** 0.5
+
+
+# ---------------------------------------------------------------------------
+# Standard metric / aggregation library (reference lmms_eval/api/metrics.py).
+# Pure-python (no sklearn/sacrebleu in the TPU image); each function keeps
+# the reference's semantics at the call sites our tasks (and ported tasks)
+# use. Higher is better unless noted.
+# ---------------------------------------------------------------------------
+
+
+def mean(items: Sequence[float]) -> float:
+    return sum(items) / len(items) if items else 0.0
+
+
+def median(items: Sequence[float]) -> float:
+    s = sorted(items)
+    n = len(s)
+    if n == 0:
+        return 0.0
+    mid = n // 2
+    return s[mid] if n % 2 else (s[mid - 1] + s[mid]) / 2.0
+
+
+def perplexity(logprobs: Sequence[float]) -> float:
+    """exp(-mean loglikelihood) (reference metrics.py:30-37)."""
+    import math
+
+    return math.exp(-mean(list(logprobs)))
+
+
+def weighted_perplexity(items: Sequence) -> float:
+    """items: (loglikelihood, num_tokens) pairs (reference metrics.py:40-42)."""
+    import math
+
+    total_ll = sum(ll for ll, _ in items)
+    total_n = sum(n for _, n in items)
+    return math.exp(-total_ll / max(1, total_n))
+
+
+def bits_per_byte(items: Sequence) -> float:
+    import math
+
+    total_ll = sum(ll for ll, _ in items)
+    total_n = sum(n for _, n in items)
+    return -total_ll / max(1, total_n) / math.log(2)
+
+
+def levenshtein_distance(s1: str, s2: str) -> int:
+    """Edit distance (reference metrics.py:278-291, same DP)."""
+    if len(s1) > len(s2):
+        s1, s2 = s2, s1
+    distances = list(range(len(s1) + 1))
+    for i2, c2 in enumerate(s2):
+        new = [i2 + 1]
+        for i1, c1 in enumerate(s1):
+            if c1 == c2:
+                new.append(distances[i1])
+            else:
+                new.append(1 + min(distances[i1], distances[i1 + 1], new[-1]))
+        distances = new
+    return distances[-1]
+
+
+def anls(references: Sequence[str], prediction: str,
+         threshold: float = 0.5) -> float:
+    """Average Normalized Levenshtein Similarity for one question
+    (reference metrics.py:294-321: best-matching reference, scores below
+    the threshold floor to 0)."""
+    values = []
+    det = " ".join(prediction.strip().lower().split())
+    for answer in references:
+        gt = " ".join(answer.strip().lower().split())
+        dist = levenshtein_distance(gt, det)
+        length = max(len(answer.upper()), len(prediction.upper()))
+        values.append(0.0 if length == 0 else float(dist) / float(length))
+    result = 1 - min(values) if values else 0.0
+    return 0.0 if result < threshold else result
+
+
+def exact_match(prediction: str, references: Sequence[str],
+                ignore_case: bool = True,
+                ignore_punctuation: bool = False) -> float:
+    """1.0 if the prediction string equals any reference (the reference
+    routes through HF evaluate's exact_match, metrics.py:190-231; these are
+    the two knobs our tasks use)."""
+    import string
+
+    def norm(s: str) -> str:
+        if ignore_case:
+            s = s.lower()
+        if ignore_punctuation:
+            s = s.translate(str.maketrans("", "", string.punctuation))
+        return s.strip()
+
+    p = norm(prediction)
+    return 1.0 if any(p == norm(r) for r in references) else 0.0
+
+
+def f1_binary(golds: Sequence[int], preds: Sequence[int]) -> float:
+    """Binary F1 over 0/1 labels (reference metrics.py:51-60 via sklearn)."""
+    tp = sum(1 for g, p in zip(golds, preds) if g == 1 and p == 1)
+    fp = sum(1 for g, p in zip(golds, preds) if g == 0 and p == 1)
+    fn = sum(1 for g, p in zip(golds, preds) if g == 1 and p == 0)
+    denom = 2 * tp + fp + fn
+    return 2 * tp / denom if denom else 0.0
+
+
+def matthews_corrcoef(golds: Sequence[int], preds: Sequence[int]) -> float:
+    """MCC over 0/1 labels (reference metrics.py:63-70 via sklearn)."""
+    tp = sum(1 for g, p in zip(golds, preds) if g == 1 and p == 1)
+    tn = sum(1 for g, p in zip(golds, preds) if g == 0 and p == 0)
+    fp = sum(1 for g, p in zip(golds, preds) if g == 0 and p == 1)
+    fn = sum(1 for g, p in zip(golds, preds) if g == 1 and p == 0)
+    denom = ((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)) ** 0.5
+    return (tp * tn - fp * fn) / denom if denom else 0.0
+
+
+def _ngrams(tokens: Sequence[str], n: int):
+    return [tuple(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
+
+
+def corpus_bleu(predictions: Sequence[str],
+                references: Sequence[Sequence[str]],
+                max_n: int = 4) -> float:
+    """Corpus BLEU-4 with brevity penalty, whitespace tokenization, and
+    smoothing-free clipped n-gram precision — a dependency-free stand-in
+    for sacrebleu.corpus_bleu (reference metrics.py:74-88). Scores are on
+    the 0-100 scale like sacrebleu; exact tokenizer differences (13a) are
+    documented rather than reproduced."""
+    import math
+    from collections import Counter
+
+    match = [0] * max_n
+    total = [0] * max_n
+    pred_len = 0
+    ref_len = 0
+    for pred, refs in zip(predictions, references):
+        p_tok = pred.split()
+        r_toks = [r.split() for r in refs]
+        pred_len += len(p_tok)
+        # closest reference length (sacrebleu convention)
+        ref_len += min((abs(len(r) - len(p_tok)), len(r)) for r in r_toks)[1]
+        for n in range(1, max_n + 1):
+            p_counts = Counter(_ngrams(p_tok, n))
+            max_ref = Counter()
+            for r in r_toks:
+                for gram, c in Counter(_ngrams(r, n)).items():
+                    max_ref[gram] = max(max_ref[gram], c)
+            match[n - 1] += sum(min(c, max_ref[g]) for g, c in p_counts.items())
+            total[n - 1] += max(0, len(p_tok) - n + 1)
+    if any(m == 0 for m in match):
+        return 0.0
+    log_prec = sum(math.log(m / t) for m, t in zip(match, total)) / max_n
+    bp = 1.0 if pred_len > ref_len else math.exp(1 - ref_len / max(1, pred_len))
+    return 100.0 * bp * math.exp(log_prec)
