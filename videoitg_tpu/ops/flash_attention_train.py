@@ -100,8 +100,8 @@ def _fwd_kernel(
 
 
 def _dq_kernel(
-    q_ref, k_ref, v_ref, kbias_ref, do_ref, lse_ref, delta_ref, dq_ref,
-    acc_ref,
+    q_ref, kt_ref, k_ref, vt_ref, kbias_ref, do_ref, lse_ref, delta_ref,
+    dq_ref, acc_ref,
     *, sm_scale: float, causal: bool, block_q: int, block_k: int,
 ):
     iq = pl.program_id(2)
@@ -116,10 +116,14 @@ def _dq_kernel(
 
     @pl.when(run)
     def _compute():
+        # kt/vt arrive pre-transposed [D, BK] so every contraction here is
+        # (1, 0) — MXU-natural, no in-kernel relayouts (same layout win as
+        # the inference kernels); k rides along [BK, D] for the ds @ k dot.
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q, kt_ref[0, 0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         ) * sm_scale + kbias_ref[0, 0]
         if causal:
             qpos = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
@@ -128,7 +132,7 @@ def _dq_kernel(
         p = jnp.exp(s - lse_ref[0, 0][:, 0:1])  # lse stored [BQ, 8]
         do = do_ref[0, 0]
         dp = jax.lax.dot_general(
-            do, v_ref[0, 0], (((1,), (1,)), ((), ())),
+            do, vt_ref[0, 0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [BQ, BK]
         ds = p * (dp - delta_ref[0, 0][:, 0:1])
@@ -143,8 +147,8 @@ def _dq_kernel(
 
 
 def _dkv_kernel(
-    q_ref, k_ref, v_ref, kbias_ref, do_ref, lse_ref, delta_ref,
-    dk_ref, dv_ref, dk_acc, dv_acc,
+    qt_ref, q_ref, k_ref, v_ref, kbias_ref, dot_ref, do_ref, lse_ref,
+    delta_ref, dk_ref, dv_ref, dk_acc, dv_acc,
     *, sm_scale: float, causal: bool, block_q: int, block_k: int, nq: int,
 ):
     ik = pl.program_id(2)
@@ -161,11 +165,15 @@ def _dkv_kernel(
 
     @pl.when(run)
     def _compute():
+        # qt/dot arrive pre-transposed [D, BQ] (MXU-natural (1,0)
+        # contractions, no in-kernel relayouts); q/do ride along [BQ, D]
+        # for the dst @ q and pt @ do accumulation dots.
         q = q_ref[0, 0]          # [BQ, D] (query head g of this KV group)
         k = k_ref[0, 0]          # [BK, D]
         # Transposed scores: sT[j, i] for key j, query i.
         st = jax.lax.dot_general(
-            k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            k, qt_ref[0, 0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         ) * sm_scale + kbias_ref[0, 0][:, 0:1]
         if causal:
             kpos = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
@@ -178,7 +186,7 @@ def _dkv_kernel(
             preferred_element_type=jnp.float32,
         )
         dpt = jax.lax.dot_general(
-            v_ref[0, 0], do, (((1,), (1,)), ((), ())),
+            v_ref[0, 0], dot_ref[0, 0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [BK, BQ]
         dst = pt * (dpt - delta_ref[0, 0][0:1, :])
@@ -296,16 +304,23 @@ def _bwd(q, k, v, kbias, qvalid, o, lse, do, causal, block_q, block_k, interpret
 
     nq, nk = s_pad // block_q, s_pad // block_k
 
+    # One XLA transpose each (amortized over the whole grid) buys
+    # relayout-free (1,0) contractions in every backward program.
+    kp_t = kp.transpose(0, 1, 3, 2)
+    vp_t = vp.transpose(0, 1, 3, 2)
+
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, sm_scale=d ** -0.5, causal=causal,
                           block_q=block_q, block_k=block_k),
         grid=(b, hq, nq, nk),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d_pad), lambda b_, h, iq, ik: (b_, h, iq, 0)),
+            pl.BlockSpec((1, 1, d_pad, block_k),
+                         lambda b_, h, iq, ik, g=group: (b_, h // g, 0, ik)),
             pl.BlockSpec((1, 1, block_k, d_pad),
                          lambda b_, h, iq, ik, g=group: (b_, h // g, ik, 0)),
-            pl.BlockSpec((1, 1, block_k, d_pad),
-                         lambda b_, h, iq, ik, g=group: (b_, h // g, ik, 0)),
+            pl.BlockSpec((1, 1, d_pad, block_k),
+                         lambda b_, h, iq, ik, g=group: (b_, h // g, 0, ik)),
             pl.BlockSpec((1, 1, block_k), lambda b_, h, iq, ik: (b_, 0, ik)),
             pl.BlockSpec((1, 1, block_q, d_pad), lambda b_, h, iq, ik: (b_, h, iq, 0)),
             pl.BlockSpec((1, 1, block_q, 8), lambda b_, h, iq, ik: (b_, h, iq, 0)),
@@ -316,20 +331,26 @@ def _bwd(q, k, v, kbias, qvalid, o, lse, do, causal, block_q, block_k, interpret
         out_shape=jax.ShapeDtypeStruct((b, hq, s_pad, d_pad), q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, d_pad), jnp.float32)],
         interpret=interpret,
-    )(qp, kp, vp, kbias_p, dop, lse_c, delta_c)
+    )(qp, kp_t, kp, vp_t, kbias_p, dop, lse_c, delta_c)
 
     nt = group * nq
+    qp_t = qp.transpose(0, 1, 3, 2)
+    dop_t = dop.transpose(0, 1, 3, 2)
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, sm_scale=d ** -0.5, causal=causal,
                           block_q=block_q, block_k=block_k, nq=nq),
         grid=(b, hkv, nk, nt),
         in_specs=[
             # query head for step t = h*group + t//nq; q block = t % nq
+            pl.BlockSpec((1, 1, d_pad, block_q),
+                         lambda b_, h, ik, t, g=group, n=nq: (b_, h * g + t // n, 0, t % n)),
             pl.BlockSpec((1, 1, block_q, d_pad),
                          lambda b_, h, ik, t, g=group, n=nq: (b_, h * g + t // n, t % n, 0)),
             pl.BlockSpec((1, 1, block_k, d_pad), lambda b_, h, ik, t: (b_, h, ik, 0)),
             pl.BlockSpec((1, 1, block_k, d_pad), lambda b_, h, ik, t: (b_, h, ik, 0)),
             pl.BlockSpec((1, 1, block_k, 8), lambda b_, h, ik, t: (b_, 0, ik, 0)),
+            pl.BlockSpec((1, 1, d_pad, block_q),
+                         lambda b_, h, ik, t, g=group, n=nq: (b_, h * g + t // n, 0, t % n)),
             pl.BlockSpec((1, 1, block_q, d_pad),
                          lambda b_, h, ik, t, g=group, n=nq: (b_, h * g + t // n, t % n, 0)),
             pl.BlockSpec((1, 1, 8, block_q),
@@ -350,7 +371,7 @@ def _bwd(q, k, v, kbias, qvalid, o, lse, do, causal, block_q, block_k, interpret
             pltpu.VMEM((block_k, d_pad), jnp.float32),
         ],
         interpret=interpret,
-    )(qp, kp, vp, kbias_c, dop, lse_r, delta_r)
+    )(qp_t, qp, kp, vp, kbias_c, dop_t, dop, lse_r, delta_r)
 
     return (dq[:, :, :s, :d], dk[:, :, :s, :d], dv[:, :, :s, :d])
 
