@@ -96,6 +96,52 @@ class NativeVLMAdapter(FrameSelectionConsumer):
         self.cfg = cfg
         self.hw = hw
 
+    def loglikelihood(self, items, task, writer=None):
+        """(loglikelihood, is_greedy) per doc for task.doc_to_target's
+        continuation — the harness's third request type (reference
+        lmms_eval/api/model.py:29-60). Teacher-forced through the same
+        packed [pre | img | post] layout as generation; only the
+        continuation tokens carry labels."""
+        import jax.numpy as jnp
+
+        from videoitg_tpu.constants import IGNORE_INDEX
+        from videoitg_tpu.eval.adapters.downstream import _call_with_root
+        from videoitg_tpu.models.projector import inference_hw
+        from videoitg_tpu.models.vlm import VLMBatch, vlm_loglikelihood
+        from videoitg_tpu.ops.preprocess import preprocess_frames
+
+        assert task.doc_to_target is not None, (
+            f"task {task.name} has output_type=loglikelihood but no doc_to_target")
+        out = []
+        for doc_id, doc in items:
+            video_path = _call_with_root(task.doc_to_visual, doc, self.data_root)
+            question = self.strip_inline_image_slots(
+                _call_with_root(task.doc_to_text, doc, self.data_root))
+            target = task.doc_to_target(doc)
+            frames, _ids = self.frames_for_doc(doc_id, video_path)
+            t = frames.shape[0]
+            hw = self.hw or inference_hw(self.cfg.projector, t,
+                                         self.cfg.vision.num_patches_per_side)
+            pix = preprocess_frames(frames, out_size=self.cfg.vision.image_size,
+                                    dtype=self.jdtype)[None]
+            pre, post_prompt = build_chatml_generation_ids(question, self.tokenizer)
+            cont = self.tokenizer(target).input_ids
+            post_ids = post_prompt + list(cont)
+            post_labels = [IGNORE_INDEX] * len(post_prompt) + list(cont)
+            batch = VLMBatch(
+                frames=pix,
+                frame_valid=jnp.ones((1, t), dtype=bool),
+                pre_ids=jnp.asarray([pre], dtype=jnp.int32),
+                pre_valid=jnp.ones((1, len(pre)), dtype=bool),
+                post_ids=jnp.asarray([post_ids], dtype=jnp.int32),
+                post_valid=jnp.ones((1, len(post_ids)), dtype=bool),
+                post_labels=jnp.asarray([post_labels], dtype=jnp.int32),
+            )
+            ll, greedy = vlm_loglikelihood(self.params, batch, self.cfg, hw=hw,
+                                           use_flash=self.use_flash)
+            out.append((float(ll[0]), bool(greedy[0])))
+        return out
+
     def answer(self, doc_id, doc, frames, frame_ids, question, task) -> str:
         import jax.numpy as jnp
 

@@ -43,6 +43,13 @@ class Task:
     # Metric used for group rollups; defaults to the first key the
     # aggregator returns.
     primary_metric: Optional[str] = None
+    # Request type the harness dispatches on (reference evaluator.py:441-457
+    # getattr(lm, reqtype)): "generate_until" (default),
+    # "generate_until_multi_round", or "loglikelihood". Loglikelihood tasks
+    # also set doc_to_target; process_results then receives an
+    # (ll, is_greedy) pair instead of a response string.
+    output_type: str = "generate_until"
+    doc_to_target: Optional[Callable[[dict], str]] = None
 
     def docs_with_ids(self, docs: Sequence[dict]) -> List[tuple]:
         return [
@@ -112,6 +119,14 @@ class ModelAdapter:
         """Multi-round chat request type; every reference wrapper on the
         VideoITG path delegates to generate_until (e.g. internvl2.py:403)."""
         return self.generate_until(items, task, writer=writer)
+
+    def loglikelihood(self, items: List[tuple], task: Task,
+                      writer=None) -> List[tuple]:
+        """(loglikelihood, is_greedy) per item for task.doc_to_target's
+        continuation (reference api/model.py:29-60). Optional — only
+        adapters that expose token logprobs implement it."""
+        raise NotImplementedError(
+            f"{type(self).__name__} does not support loglikelihood requests")
 
 
 def shard_items(items: Sequence, rank: int, world_size: int) -> List:

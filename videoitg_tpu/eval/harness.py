@@ -152,7 +152,10 @@ def evaluate_task(
     my_items = shard_items(items, rank, world_size)
 
     writer = ResultsWriter(output_dir, rank, world_size)
-    responses = adapter.generate_until(my_items, task, writer=writer)
+    # Request-type dispatch, reference evaluator.py:441-457
+    # (getattr(lm, reqtype)(cloned_reqs)).
+    request_fn = getattr(adapter, task.output_type or "generate_until")
+    responses = request_fn(my_items, task, writer=writer)
 
     records = []
     sample_log = []

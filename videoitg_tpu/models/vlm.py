@@ -85,21 +85,20 @@ def _pack_embeds(params, batch: VLMBatch, cfg: GroundingConfig, hw: int,
     return x, valid, positions, n_img
 
 
-def vlm_loss(
+def _post_token_logprobs(
     params: dict,
     batch: VLMBatch,
     cfg: GroundingConfig,
     hw: int,
-    use_flash: bool = False,
-    remat: bool = True,
-    freeze_vision: bool = True,
-) -> tuple[jax.Array, dict]:
-    """Next-token CE over post-text answer tokens (train_vlm.py semantics)."""
-    assert batch.post_labels is not None
+    use_flash,
+    remat: bool,
+    freeze_vision: bool,
+):
+    """Shared teacher-forced plumbing for vlm_loss / vlm_loglikelihood:
+    per-post-token label logprobs, greedy-prediction flags, and the label
+    mask. Returns (token_logp [B, L_post], greedy [B, L_post], mask)."""
     lm_cfg = cfg.lm
-    assert lm_cfg.causal, "vlm_loss requires a causal LMConfig"
-    if use_flash is True:  # training needs the vjp-capable kernel
-        use_flash = "train"
+    assert lm_cfg.causal, "teacher forcing requires a causal LMConfig"
     x, valid, positions, n_img = _pack_embeds(
         params, batch, cfg, hw, use_flash, remat, freeze_vision
     )
@@ -132,9 +131,53 @@ def vlm_loss(
     logp = jax.nn.log_softmax(pred_logits, axis=-1)
     safe_labels = jnp.maximum(labels, 0)
     token_logp = jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    greedy = jnp.argmax(pred_logits, axis=-1) == safe_labels
+    return token_logp, greedy, mask
+
+
+def vlm_loss(
+    params: dict,
+    batch: VLMBatch,
+    cfg: GroundingConfig,
+    hw: int,
+    use_flash: bool = False,
+    remat: bool = True,
+    freeze_vision: bool = True,
+) -> tuple[jax.Array, dict]:
+    """Next-token CE over post-text answer tokens (train_vlm.py semantics)."""
+    assert batch.post_labels is not None
+    if use_flash is True:  # training needs the vjp-capable kernel
+        use_flash = "train"
+    token_logp, _, mask = _post_token_logprobs(
+        params, batch, cfg, hw, use_flash, remat, freeze_vision
+    )
     denom = jnp.maximum(1.0, jnp.sum(mask))
     loss = -jnp.sum(token_logp * mask) / denom
     return loss, {"loss": loss, "num_label_tokens": jnp.sum(mask)}
+
+
+def vlm_loglikelihood(
+    params: dict,
+    batch: VLMBatch,
+    cfg: GroundingConfig,
+    hw: int,
+    use_flash: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Per-sample (loglikelihood, is_greedy) of the labeled continuation.
+
+    The reference harness's third request type (lmms_eval/api/model.py:29-60:
+    `loglikelihood` returns (float, bool) per request — the summed logprob of
+    the continuation tokens and whether they are the greedy decode). Labeled
+    positions are post_labels != IGNORE_INDEX; prompt tokens are ignored.
+    Returns (ll [B] fp32, is_greedy [B] bool).
+    """
+    assert batch.post_labels is not None
+    token_logp, greedy, mask = _post_token_logprobs(
+        params, batch, cfg, hw, use_flash, remat=False, freeze_vision=True
+    )
+    ll = jnp.sum(token_logp * mask, axis=1)
+    is_greedy = jnp.all(jnp.where(mask, greedy, True), axis=1)
+    return ll, is_greedy
 
 
 # ---- KV-cache generation -------------------------------------------------
