@@ -54,26 +54,47 @@ class CachingAdapter(ModelAdapter):
         self.cache = ResponseCache(cache_path)
         self.model_tag = model_tag or type(inner).__name__
 
-    def generate_until(self, items: List[tuple], task: Task, writer=None) -> List[str]:
+    def _cached_request(self, request: str, items: List[tuple], task: Task,
+                        writer, extra_key=None):
         data_root = getattr(self.inner, "data_root", "")
 
         def prompt_of(doc):
             try:
-                return task.doc_to_text(doc, data_root=data_root)
+                prompt = task.doc_to_text(doc, data_root=data_root)
             except TypeError:
-                return task.doc_to_text(doc)
+                prompt = task.doc_to_text(doc)
+            if extra_key is not None:
+                prompt = f"{prompt}\x00{extra_key(doc)}"
+            return prompt
 
         keys = [
-            _key(self.model_tag, task.name, doc_id, prompt_of(doc))
+            _key(f"{self.model_tag}|{request}", task.name, doc_id, prompt_of(doc))
             for doc_id, doc in items
         ]
         cached = [self.cache.get(k) for k in keys]
         missing = [(it, k) for it, k, c in zip(items, keys, cached) if c is None]
         if missing:
-            fresh = self.inner.generate_until([it for it, _ in missing], task,
-                                              writer=writer)
+            fn = getattr(self.inner, request)
+            fresh = fn([it for it, _ in missing], task, writer=writer)
             for (it, k), resp in zip(missing, fresh):
                 self.cache.put(k, resp)
             it_fresh = iter(fresh)
             cached = [c if c is not None else next(it_fresh) for c in cached]
         return cached
+
+    def generate_until(self, items: List[tuple], task: Task, writer=None) -> List[str]:
+        return self._cached_request("generate_until", items, task, writer)
+
+    def generate_until_multi_round(self, items: List[tuple], task: Task,
+                                   writer=None) -> List[str]:
+        return self._cached_request("generate_until_multi_round", items, task,
+                                    writer)
+
+    def loglikelihood(self, items: List[tuple], task: Task, writer=None):
+        """Cache (ll, is_greedy) pairs; the key also covers the continuation
+        (doc_to_target) so different candidates never collide. JSON stores
+        tuples as lists — normalize back on the way out."""
+        extra = task.doc_to_target if task.doc_to_target else None
+        out = self._cached_request("loglikelihood", items, task, writer,
+                                   extra_key=extra)
+        return [(float(r[0]), bool(r[1])) for r in out]

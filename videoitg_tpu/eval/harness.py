@@ -66,11 +66,17 @@ class ResultsWriter:
                     if line.strip():
                         row = json.loads(line)
                         rows[row["doc_id"]] = row
-        merged = os.path.join(self.output_dir, "results.jsonl")
-        with open(merged, "w", encoding="utf-8") as f:
-            for k in sorted(rows, key=lambda x: (str(type(x)), x)):
-                f.write(json.dumps(rows[k], ensure_ascii=False) + "\n")
-        return merged
+        return write_results_jsonl(rows, self.output_dir)
+
+
+def write_results_jsonl(rows: Dict[object, dict], output_dir: str) -> str:
+    """Write the merged results.jsonl, doc_id-ordered — the ONE place the
+    merge contract lives (used by both the shared-FS and collective paths)."""
+    merged = os.path.join(output_dir, "results.jsonl")
+    with open(merged, "w", encoding="utf-8") as f:
+        for k in sorted(rows, key=lambda x: (str(type(x)), x)):
+            f.write(json.dumps(rows[k], ensure_ascii=False) + "\n")
+    return merged
 
 
 @dataclass
@@ -243,11 +249,9 @@ def collective_merge_and_aggregate(task: Task, output_dir: str, rank: int,
     if rank == 0:
         rows = {row["doc_id"]: row for g in gathered for row in g["rows"]}
         if rows:
-            merged = os.path.join(output_dir, "results.jsonl")
-            with open(merged, "w", encoding="utf-8") as f:
-                for key in sorted(rows, key=lambda x: (str(type(x)), x)):
-                    f.write(json.dumps(rows[key], ensure_ascii=False) + "\n")
-    metrics = {} if predict_only else task.aggregate(records)
+            write_results_jsonl(rows, output_dir)
+    metrics = ({} if (predict_only or not records)
+               else task.aggregate(records))
     return EvalReport(task=task.name, metrics=metrics, num_docs=len(records))
 
 

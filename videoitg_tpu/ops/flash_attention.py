@@ -85,7 +85,11 @@ def _flash_kernel(
         if causal:
             qpos = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
             kpos = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(kpos <= qpos, s, _NEG_BIG)
+            # Fill must sit strictly BELOW m_ref's -1e30 init: with exactly
+            # _NEG_BIG, a query row whose causal prefix is all invalid keys
+            # keeps m_new at the init and exp2(0)=1 would give forbidden
+            # future keys full weight.
+            s = jnp.where(kpos <= qpos, s, 2.0 * _NEG_BIG)
 
         m_prev = m_ref[:, 0][:, None]  # [BQ, 1] (running max of UNSCALED s)
         l_prev = l_ref[:, 0][:, None]
@@ -127,9 +131,6 @@ def _pad_to(x: jax.Array, size: int, axis: int, value=0):
     return jnp.pad(x, widths, constant_values=value)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("causal", "block_q", "block_k", "interpret")
-)
 def flash_mha(
     q: jax.Array,
     k: jax.Array,
@@ -144,7 +145,35 @@ def flash_mha(
 
     Returns [B, Hq, S, D] in q.dtype. S is padded internally to the block
     size; padding keys are masked, padding query rows return 0.
+
+    VIDEOITG_LM_SOFTMAX=probe0 selects the perf PROBE arm (skips masking,
+    reductions, exp — NOT a softmax; benchmarking only). The env is read
+    here at CALL time and passed as a static jit key, so flipping it after
+    a trace takes effect (a trace-time read would silently pin the first
+    value per shape).
     """
+    import os
+
+    probe = os.environ.get("VIDEOITG_LM_SOFTMAX") == "probe0"
+    return _flash_mha_jit(q, k, v, valid, causal=causal, block_q=block_q,
+                          block_k=block_k, interpret=interpret, probe=probe)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "block_q", "block_k", "interpret", "probe"),
+)
+def _flash_mha_jit(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    valid: Optional[jax.Array] = None,
+    causal: bool = False,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: bool = False,
+    probe: bool = False,
+) -> jax.Array:
     b, hq, s, d = q.shape
     hkv = k.shape[1]
     assert hq % hkv == 0, (hq, hkv)
@@ -175,8 +204,6 @@ def flash_mha(
     nq = s_pad // block_q
     nk = s_pad // block_k
 
-    import os
-
     kernel = functools.partial(
         _flash_kernel,
         # scale by the TRUE head dim, not the padded one; log2(e) folded so
@@ -185,7 +212,7 @@ def flash_mha(
         causal=causal,
         block_q=block_q,
         block_k=block_k,
-        probe=os.environ.get("VIDEOITG_LM_SOFTMAX") == "probe0",
+        probe=probe,
     )
 
     out = pl.pallas_call(

@@ -119,7 +119,6 @@ def _short_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale: float, group: int,
         ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("group", "interpret", "impl"))
 def flash_mha_short(
     q: jax.Array,
     k: jax.Array,
@@ -127,6 +126,29 @@ def flash_mha_short(
     group: int = 4,
     interpret: bool = False,
     impl: str | None = None,
+) -> jax.Array:
+    """Env-resolving wrapper: VIDEOITG_VISION_SOFTMAX / VIDEOITG_VISION_KT
+    are read at CALL time and become static jit keys (a trace-time read
+    would silently pin the first value seen per shape)."""
+    import os
+
+    if impl is None:
+        impl = os.environ.get("VIDEOITG_VISION_SOFTMAX", "exact")
+    kt = os.environ.get("VIDEOITG_VISION_KT", "1") != "0"
+    return _flash_mha_short_jit(q, k, v, group=group, interpret=interpret,
+                                impl=impl, kt=kt)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group", "interpret", "impl", "kt"))
+def _flash_mha_short_jit(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    group: int = 4,
+    interpret: bool = False,
+    impl: str = "exact",
+    kt: bool = True,
 ) -> jax.Array:
     """Non-causal unmasked MHA for S <= ~1024 (full keys resident in VMEM).
 
@@ -139,15 +161,10 @@ def flash_mha_short(
     polynomial exp2 (<5e-6 rel err) + reciprocal; "linear" = perf probe ONLY
     (not a softmax — never in serving paths).
     """
-    import os
-
-    if impl is None:
-        impl = os.environ.get("VIDEOITG_VISION_SOFTMAX", "exact")
     # kt: feed K to the kernel as [B, H, D, S] so the QK contraction is
     # (1, 0) — MXU-natural, no in-kernel K relayout. The [S,D]->[D,S]
     # transpose happens in XLA where it folds into the producer's existing
     # head-layout permutation.
-    kt = os.environ.get("VIDEOITG_VISION_KT", "1") != "0"
     b, h, s, d = q.shape
     assert k.shape[1] == h, "short kernel expects MHA (no GQA)"
     if kt:

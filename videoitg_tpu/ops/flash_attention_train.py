@@ -67,7 +67,9 @@ def _fwd_kernel(
         if causal:
             qpos = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
             kpos = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(kpos <= qpos, s, _NEG_BIG)
+            # Strictly below m_ref's init (see ops/flash_attention.py): an
+            # all-invalid causal prefix must not give future keys exp(0)=1.
+            s = jnp.where(kpos <= qpos, s, 2.0 * _NEG_BIG)
 
         m_prev = m_ref[:, 0][:, None]
         l_prev = l_ref[:, 0][:, None]

@@ -175,10 +175,12 @@ def fused_ln_qkv_int8(
     """LN + dynamic-int8 quant + packed QKV GEMM.
 
     x: [N, H]. Returns (q [N, dq], k [N, dk], v [N, dv]) in x.dtype. All
-    three linears must be int8-quantized ({'w_q','scale','b'?}); the packed
-    weight concat happens in XLA (it folds into a constant per pallas_call
-    under jit when params are donated/static across calls — and is int8, so
-    the one-off copy is cheap relative to the removed activation passes).
+    three linears must be int8-quantized ({'w_q','scale','b'?}). NOTE: the
+    packed-weight concat is a real runtime op on every call — under the
+    tower's lax.scan the weights are scan-sliced tracers, so it cannot
+    constant-fold (an int8 [H, 3H] HBM copy per layer step, ~4 MB at the
+    SigLIP shape; pre-packing at quantization time would remove it if this
+    experiment path ever graduates to default).
     """
     n, h = x.shape
     dq = q_lin["w_q"].shape[-1]
