@@ -74,3 +74,78 @@ register_task(Task(
     load_docs=load_docs,
     generation_kwargs={"max_new_tokens": 16, "temperature": 0, "do_sample": False},
 ))
+
+
+# ---- loglikelihood variant ------------------------------------------------
+#
+# MCQ scored by candidate loglikelihood instead of letter generation (the
+# harness's loglikelihood output_type; reference api/model.py:29-60 +
+# evaluator request-type dispatch). Each source doc expands into one request
+# per option; the adapter scores the option text as the continuation and
+# aggregation argmaxes per question — both raw (acc) and length-normalized
+# (acc_norm, the lm-eval convention for unequal-length candidates).
+
+
+def ll_doc_to_text(doc, pre_prompt: str = "", post_prompt: str = "\nAnswer:"):
+    return f"{pre_prompt}{doc['question'].strip()}{post_prompt}"
+
+
+def ll_doc_to_target(doc) -> str:
+    return " " + doc[f"a{doc['_choice']}"].strip()
+
+
+def ll_expand_docs(docs: List[dict]) -> List[dict]:
+    out = []
+    for doc in docs:
+        qid = doc.get("qid", doc.get("video"))
+        for i in range(5):
+            out.append({**doc, "_choice": i, "_ll_id": f"{qid}::{i}"})
+    return out
+
+
+def ll_load_docs(data_root: str, split: str = "test") -> List[dict]:
+    return ll_expand_docs(load_docs(data_root, split))
+
+
+def ll_process_results(doc, resp) -> dict:
+    ll, greedy = float(resp[0]), bool(resp[1])
+    target = ll_doc_to_target(doc)
+    return {
+        "qid": str(doc.get("qid", doc.get("video"))),
+        "choice": doc["_choice"],
+        "is_answer": int(doc["_choice"]) == int(doc["answer"]),
+        "ll": ll,
+        "ll_norm": ll / max(1, len(target)),
+        "greedy": greedy,
+    }
+
+
+def ll_aggregate(records: List[dict]) -> Dict[str, float]:
+    by_q: Dict[str, List[dict]] = {}
+    for r in records:
+        by_q.setdefault(r["qid"], []).append(r)
+    acc = acc_norm = 0.0
+    complete = 0
+    for _qid, cands in by_q.items():
+        if len(cands) < 2:
+            continue  # partial question (e.g. --limit cut mid-expansion)
+        complete += 1
+        acc += float(max(cands, key=lambda r: r["ll"])["is_answer"])
+        acc_norm += float(max(cands, key=lambda r: r["ll_norm"])["is_answer"])
+    n = max(1, complete)
+    return {"nextqa_ll_acc": 100.0 * acc / n,
+            "nextqa_ll_acc_norm": 100.0 * acc_norm / n}
+
+
+register_task(Task(
+    name="nextqa_mc_ll",
+    doc_to_visual=doc_to_visual,
+    doc_to_text=ll_doc_to_text,
+    doc_to_target=ll_doc_to_target,
+    output_type="loglikelihood",
+    process_results=ll_process_results,
+    aggregate=ll_aggregate,
+    load_docs=ll_load_docs,
+    doc_id_key="_ll_id",
+    primary_metric="nextqa_ll_acc",
+))
