@@ -160,7 +160,7 @@ def test_grounding_loss_matches_torch_bce(oracle_and_params):
     neg = labels01.size - pos
     pos_weight = min(5.0, float(np.sqrt(neg / max(1.0, pos))))
     want = torch.nn.BCEWithLogitsLoss(pos_weight=torch.tensor(pos_weight))(
-        torch.from_numpy(logits), torch.from_numpy(labels01)
+        torch.from_numpy(logits.copy()), torch.from_numpy(labels01.copy())
     ).item()
 
     frames_p = np.zeros((1, t_bucket, 56, 56, 3), dtype=np.float32)

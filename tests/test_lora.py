@@ -119,3 +119,50 @@ def test_qlora_adapters_on_quantized_base():
             raise AssertionError("expected ValueError")
         except ValueError as e:
             assert "quantized" in str(e)
+
+
+def test_qlora_train_step_runs_and_freezes_base():
+    """The actual QLoRA training path: make_train_step on an int8 base —
+    int leaves get float0 grads (allow_int) and stay bit-identical, LoRA
+    leaves move, the loss is finite."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from videoitg_tpu.config import GroundingConfig
+    from videoitg_tpu.models.grounding import GroundingBatch, init_grounding
+    from videoitg_tpu.ops.quant import quantize_qwen2_int8
+    from videoitg_tpu.train.lora import add_lora, make_lora_optimizer
+
+    cfg = GroundingConfig.tiny()
+    params = init_grounding(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    params["lm"] = quantize_qwen2_int8(params["lm"])
+    params = add_lora(params, jax.random.PRNGKey(1), rank=2)
+    # constant schedule: the default cosine warmup makes step-0 lr == 0,
+    # which would mask the adapter-update assertion below
+    tx = make_lora_optimizer(params, learning_rate=1e-2, warmup_ratio=0.0,
+                             schedule="constant")
+    state = create_train_state(params, tx)
+    step_fn = make_train_step(cfg, tx, hw=2, use_flash=False, remat=False)
+
+    s = cfg.vision.image_size
+    rng = np.random.default_rng(0)
+    batch = GroundingBatch(
+        frames=jnp.asarray(rng.standard_normal((1, 2, s, s, 3)), jnp.float32),
+        frame_valid=jnp.ones((1, 2), bool),
+        text_ids=jnp.ones((1, 4), jnp.int32),
+        text_valid=jnp.ones((1, 4), bool),
+        labels=jnp.asarray([[1.0, 0.0]]),
+    )
+    w_q_before = np.asarray(state.params["lm"]["layers"]["q"]["w_q"]).copy()
+    b_before = np.asarray(state.params["lm"]["layers"]["q"]["lora_b"]).copy()
+    # two steps: every schedule warms up from lr=0 at step 0
+    new_state, metrics = step_fn(state, batch)
+    new_state, metrics = step_fn(new_state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["grad_norm"]))
+    np.testing.assert_array_equal(
+        np.asarray(new_state.params["lm"]["layers"]["q"]["w_q"]), w_q_before)
+    assert np.abs(np.asarray(new_state.params["lm"]["layers"]["q"]["lora_b"])
+                  - b_before).max() > 0

@@ -18,9 +18,23 @@ import optax
 
 
 def _label_tree(params) -> dict:
-    """Map each grounding-param leaf to its optimizer group."""
+    """Map each grounding-param leaf to its optimizer group.
+
+    Quantized base weights (w_q / w_q4 and their scales) are always frozen
+    regardless of their subtree — training updates int8 bytes makes no
+    sense, and with allow_int grads they arrive as float0 anyway; LoRA
+    leaves inside a quantized linear still train at the subtree's rate."""
 
     def subtree(tree, label):
+        if isinstance(tree, dict):
+            if "w_q" in tree or "w_q4" in tree:
+                # quantized linear: base weight + its scales frozen; any
+                # LoRA leaves riding in the same dict keep the group rate.
+                return {
+                    k: subtree(v, label if k.startswith("lora_") else "frozen")
+                    for k, v in tree.items()
+                }
+            return {k: subtree(v, label) for k, v in tree.items()}
         return jax.tree.map(lambda _: label, tree)
 
     labels = {}

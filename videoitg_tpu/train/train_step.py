@@ -56,13 +56,25 @@ def make_train_step(
 
     @jax.jit
     def step_fn(state: TrainState, batch: GroundingBatch):
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch
-        )
+        # allow_int: QLoRA trees carry int8/int4 base weights — those leaves
+        # get float0 gradients. float0 supports no arithmetic, so convert to
+        # param-dtype zeros; the optimizer labels every quantized-linear
+        # leaf "frozen" (set_to_zero), leaving the base bit-identical while
+        # adapters train.
+        from jax.dtypes import float0
+
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True, allow_int=True)(state.params, batch)
+        grads = jax.tree.map(
+            lambda g, p: jnp.zeros_like(p) if g.dtype == float0 else g,
+            grads, state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = dict(metrics)
-        metrics["grad_norm"] = optax.global_norm(grads)
+        grads_f = jax.tree.map(
+            lambda g: (jnp.zeros((), jnp.float32)
+                       if jnp.issubdtype(g.dtype, jnp.integer) else g), grads)
+        metrics["grad_norm"] = optax.global_norm(grads_f)
         return TrainState(state.step + 1, params, opt_state), metrics
 
     return step_fn
