@@ -353,3 +353,25 @@ def test_group_rollup_mean():
     assert out is not None and "_g_mean" in out
     assert group_rollup("_g", reports[:1]) is None  # missing member
     assert group_rollup("nope", reports) is None
+
+
+def test_check_integrity():
+    """The working counterpart of the reference's broken --check_integrity
+    (its pytest target was never vendored, lmms_eval/utils.py:555-572):
+    every shipped task passes; structural breakage is reported per task."""
+    from videoitg_tpu.eval.api import (
+        Task, check_registry_integrity, check_task_integrity,
+    )
+
+    assert check_registry_integrity() == []  # whole registry clean
+
+    broken = Task(
+        name="broken", doc_to_visual=None, doc_to_text=lambda d: "q",
+        process_results=lambda d, r: {},
+        aggregate=lambda recs: recs[0],  # crashes on []
+        output_type="loglikelihood",     # without doc_to_target
+    )
+    problems = check_task_integrity(broken)
+    assert any("doc_to_visual" in p for p in problems)
+    assert any("doc_to_target" in p for p in problems)
+    assert any("aggregate([])" in p for p in problems)

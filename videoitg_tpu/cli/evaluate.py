@@ -54,6 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="'jsonl' or 'jsonl,wandb' — eval-side W&B sink "
                         "(reference WandbLogger, logging_utils.py:70)")
     p.add_argument("--run_name", default=None)
+    p.add_argument("--check_integrity", action="store_true",
+                   help="validate the requested tasks' registry entries and "
+                        "exit (the reference flag routes to a missing file "
+                        "and crashes; this one works)")
     p.add_argument("--cpu", action="store_true")
     return p
 
@@ -69,6 +73,18 @@ def main(argv=None) -> int:
     from videoitg_tpu.eval.api import (
         expand_task_names, get_adapter, get_task, parse_model_args,
     )
+
+    if args.check_integrity:
+        from videoitg_tpu.eval.api import check_registry_integrity
+
+        problems = check_registry_integrity(
+            [t.strip() for t in args.tasks.split(",")])
+        if problems:
+            for pr in problems:
+                print(f"INTEGRITY: {pr}", file=sys.stderr)
+            return 1
+        print("task integrity OK")
+        return 0
     from videoitg_tpu.eval.harness import (
         ResultsWriter, evaluate_task, make_table, merge_and_aggregate,
         run_metadata, save_report, wait_for_ranks,

@@ -58,6 +58,61 @@ class Task:
         ]
 
 
+VALID_OUTPUT_TYPES = ("generate_until", "generate_until_multi_round",
+                      "loglikelihood")
+
+
+def check_task_integrity(task: Task) -> List[str]:
+    """Structural validity of a registered task; returns problem strings
+    (empty = OK). The reference's --check_integrity routes to a pytest file
+    that was never vendored and would crash (lmms_eval/utils.py:555-572) —
+    this is the working counterpart."""
+    problems = []
+    for field_name in ("doc_to_visual", "doc_to_text", "process_results",
+                       "aggregate"):
+        if not callable(getattr(task, field_name)):
+            problems.append(f"{task.name}: {field_name} is not callable")
+    if task.output_type not in VALID_OUTPUT_TYPES:
+        problems.append(
+            f"{task.name}: unknown output_type {task.output_type!r}")
+    if task.output_type == "loglikelihood" and not callable(task.doc_to_target):
+        problems.append(
+            f"{task.name}: loglikelihood tasks need a callable doc_to_target")
+    if task.load_docs is not None and not callable(task.load_docs):
+        problems.append(f"{task.name}: load_docs is not callable")
+    try:
+        agg = task.aggregate([])
+        if not isinstance(agg, dict):
+            problems.append(f"{task.name}: aggregate([]) returned "
+                            f"{type(agg).__name__}, expected dict")
+        elif task.primary_metric and task.primary_metric not in agg:
+            problems.append(f"{task.name}: primary_metric "
+                            f"{task.primary_metric!r} not in aggregate() keys")
+    except Exception as e:  # empty-record aggregation must never crash
+        problems.append(f"{task.name}: aggregate([]) raised "
+                        f"{type(e).__name__}: {e}")
+    return problems
+
+
+def check_registry_integrity(names: Optional[List[str]] = None) -> List[str]:
+    """Validate tasks (all registered, or the given names incl. groups) and
+    that every group member resolves."""
+    import videoitg_tpu.eval.tasks  # noqa: F401
+
+    problems = []
+    for gname, members in GROUP_REGISTRY.items():
+        for m in members:
+            if m not in TASK_REGISTRY:
+                problems.append(f"group {gname}: unknown member {m!r}")
+    targets = (expand_task_names(names) if names else sorted(TASK_REGISTRY))
+    for name in targets:
+        if name not in TASK_REGISTRY:
+            problems.append(f"unknown task {name!r}")
+            continue
+        problems.extend(check_task_integrity(TASK_REGISTRY[name]))
+    return problems
+
+
 def register_task(task: Task) -> Task:
     TASK_REGISTRY[task.name] = task
     return task
