@@ -77,7 +77,8 @@ def mha_reference(
     denom = jnp.sum(p, axis=-1, keepdims=True)
     p = p / jnp.where(denom == 0.0, 1.0, denom)
 
-    out = jnp.einsum("bhgqk,bhkd->bhgqd", p.astype(v.dtype), v)
+    out = jnp.einsum("bhgqk,bhkd->bhgqd", p.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
     return out.reshape(b, hq, s, d).astype(q.dtype)
 
 
