@@ -92,9 +92,9 @@ def main(argv=None) -> int:
 
     # Multihost default: each JAX process evaluates its doc shard (the
     # accelerate-DDP equivalent, SURVEY §2.7).
-    if args.rank is None or args.world_size is None:
-        import jax
+    import jax
 
+    if args.rank is None or args.world_size is None:
         args.rank = jax.process_index() if args.rank is None else args.rank
         args.world_size = (jax.process_count() if args.world_size is None
                            else args.world_size)
@@ -133,10 +133,8 @@ def main(argv=None) -> int:
         # Multi-rank merge: jax.distributed fleets synchronize with device
         # collectives (no shared FS needed); separately-launched rank fleets
         # fall back to shared-FS sentinels polled by rank 0.
-        import jax as _jax
-
         collective = (args.world_size > 1
-                      and _jax.process_count() == args.world_size)
+                      and jax.process_count() == args.world_size)
         if collective:
             from videoitg_tpu.eval.harness import collective_merge_and_aggregate
 

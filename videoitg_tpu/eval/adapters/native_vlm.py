@@ -14,7 +14,8 @@ from typing import Optional
 
 import numpy as np
 
-from videoitg_tpu.constants import DEFAULT_IMAGE_TOKEN, IMAGE_TOKEN_INDEX
+from videoitg_tpu.constants import (DEFAULT_IMAGE_TOKEN, IGNORE_INDEX,
+                                    IMAGE_TOKEN_INDEX)
 from videoitg_tpu.data.conversation import CHATML_SYSTEM
 from videoitg_tpu.data.tokenizer import tokenizer_image_token
 from videoitg_tpu.eval.api import register_adapter
@@ -96,19 +97,46 @@ class NativeVLMAdapter(FrameSelectionConsumer):
         self.cfg = cfg
         self.hw = hw
 
+    def _packed_batch(self, frames, question: str, post_extra=(),
+                      post_labels=None):
+        """(VLMBatch, hw) for the ChatML [pre | img | post] layout — the
+        shared assembly for generation and loglikelihood requests.
+        post_extra tokens append after the assistant header; post_labels
+        (when given) aligns with the full post section."""
+        import jax.numpy as jnp
+
+        from videoitg_tpu.models.projector import inference_hw
+        from videoitg_tpu.models.vlm import VLMBatch
+        from videoitg_tpu.ops.preprocess import preprocess_frames
+
+        t = frames.shape[0]
+        hw = self.hw or inference_hw(self.cfg.projector, t,
+                                     self.cfg.vision.num_patches_per_side)
+        pix = preprocess_frames(frames, out_size=self.cfg.vision.image_size,
+                                dtype=self.jdtype)[None]
+        pre, post_prompt = build_chatml_generation_ids(question, self.tokenizer)
+        post_ids = post_prompt + list(post_extra)
+        batch = VLMBatch(
+            frames=pix,
+            frame_valid=jnp.ones((1, t), dtype=bool),
+            pre_ids=jnp.asarray([pre], dtype=jnp.int32),
+            pre_valid=jnp.ones((1, len(pre)), dtype=bool),
+            post_ids=jnp.asarray([post_ids], dtype=jnp.int32),
+            post_valid=jnp.ones((1, len(post_ids)), dtype=bool),
+            post_labels=(None if post_labels is None else
+                         jnp.asarray([[*([IGNORE_INDEX] * len(post_prompt)),
+                                       *post_labels]], dtype=jnp.int32)),
+        )
+        return batch, hw
+
     def loglikelihood(self, items, task, writer=None):
         """(loglikelihood, is_greedy) per doc for task.doc_to_target's
         continuation — the harness's third request type (reference
         lmms_eval/api/model.py:29-60). Teacher-forced through the same
         packed [pre | img | post] layout as generation; only the
         continuation tokens carry labels."""
-        import jax.numpy as jnp
-
-        from videoitg_tpu.constants import IGNORE_INDEX
         from videoitg_tpu.eval.adapters.downstream import _call_with_root
-        from videoitg_tpu.models.projector import inference_hw
-        from videoitg_tpu.models.vlm import VLMBatch, vlm_loglikelihood
-        from videoitg_tpu.ops.preprocess import preprocess_frames
+        from videoitg_tpu.models.vlm import vlm_loglikelihood
 
         assert task.doc_to_target is not None, (
             f"task {task.name} has output_type=loglikelihood but no doc_to_target")
@@ -117,52 +145,19 @@ class NativeVLMAdapter(FrameSelectionConsumer):
             video_path = _call_with_root(task.doc_to_visual, doc, self.data_root)
             question = self.strip_inline_image_slots(
                 _call_with_root(task.doc_to_text, doc, self.data_root))
-            target = task.doc_to_target(doc)
+            cont = self.tokenizer(task.doc_to_target(doc)).input_ids
             frames, _ids = self.frames_for_doc(doc_id, video_path)
-            t = frames.shape[0]
-            hw = self.hw or inference_hw(self.cfg.projector, t,
-                                         self.cfg.vision.num_patches_per_side)
-            pix = preprocess_frames(frames, out_size=self.cfg.vision.image_size,
-                                    dtype=self.jdtype)[None]
-            pre, post_prompt = build_chatml_generation_ids(question, self.tokenizer)
-            cont = self.tokenizer(target).input_ids
-            post_ids = post_prompt + list(cont)
-            post_labels = [IGNORE_INDEX] * len(post_prompt) + list(cont)
-            batch = VLMBatch(
-                frames=pix,
-                frame_valid=jnp.ones((1, t), dtype=bool),
-                pre_ids=jnp.asarray([pre], dtype=jnp.int32),
-                pre_valid=jnp.ones((1, len(pre)), dtype=bool),
-                post_ids=jnp.asarray([post_ids], dtype=jnp.int32),
-                post_valid=jnp.ones((1, len(post_ids)), dtype=bool),
-                post_labels=jnp.asarray([post_labels], dtype=jnp.int32),
-            )
+            batch, hw = self._packed_batch(frames, question, post_extra=cont,
+                                           post_labels=cont)
             ll, greedy = vlm_loglikelihood(self.params, batch, self.cfg, hw=hw,
                                            use_flash=self.use_flash)
             out.append((float(ll[0]), bool(greedy[0])))
         return out
 
     def answer(self, doc_id, doc, frames, frame_ids, question, task) -> str:
-        import jax.numpy as jnp
+        from videoitg_tpu.models.vlm import vlm_generate
 
-        from videoitg_tpu.models.projector import inference_hw
-        from videoitg_tpu.models.vlm import VLMBatch, vlm_generate
-        from videoitg_tpu.ops.preprocess import preprocess_frames
-
-        t = frames.shape[0]
-        hw = self.hw or inference_hw(self.cfg.projector, t,
-                                     self.cfg.vision.num_patches_per_side)
-        pix = preprocess_frames(frames, out_size=self.cfg.vision.image_size,
-                                dtype=self.jdtype)[None]
-        pre, post = build_chatml_generation_ids(question, self.tokenizer)
-        batch = VLMBatch(
-            frames=pix,
-            frame_valid=jnp.ones((1, t), dtype=bool),
-            pre_ids=jnp.asarray([pre], dtype=jnp.int32),
-            pre_valid=jnp.ones((1, len(pre)), dtype=bool),
-            post_ids=jnp.asarray([post], dtype=jnp.int32),
-            post_valid=jnp.ones((1, len(post)), dtype=bool),
-        )
+        batch, hw = self._packed_batch(frames, question)
         out = vlm_generate(self.params, batch, self.cfg, hw=hw,
                            max_new_tokens=self.max_new_tokens,
                            eos_token_id=self.eos_id, use_flash=self.use_flash)

@@ -6,6 +6,7 @@ Parity: the reference attaches bootstrap stderr to aggregated metrics
 
 from __future__ import annotations
 
+import math
 import random
 from typing import Callable, List, Sequence
 
@@ -53,23 +54,17 @@ def median(items: Sequence[float]) -> float:
 
 def perplexity(logprobs: Sequence[float]) -> float:
     """exp(-mean loglikelihood) (reference metrics.py:30-37)."""
-    import math
-
     return math.exp(-mean(list(logprobs)))
 
 
 def weighted_perplexity(items: Sequence) -> float:
     """items: (loglikelihood, num_tokens) pairs (reference metrics.py:40-42)."""
-    import math
-
     total_ll = sum(ll for ll, _ in items)
     total_n = sum(n for _, n in items)
     return math.exp(-total_ll / max(1, total_n))
 
 
 def bits_per_byte(items: Sequence) -> float:
-    import math
-
     total_ll = sum(ll for ll, _ in items)
     total_n = sum(n for _, n in items)
     return -total_ll / max(1, total_n) / math.log(2)
@@ -157,7 +152,6 @@ def corpus_bleu(predictions: Sequence[str],
     for sacrebleu.corpus_bleu (reference metrics.py:74-88). Scores are on
     the 0-100 scale like sacrebleu; exact tokenizer differences (13a) are
     documented rather than reproduced."""
-    import math
     from collections import Counter
 
     match = [0] * max_n

@@ -42,14 +42,11 @@ enter here (models/siglip.py gates on w_q+act_q).
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-
-_LOG2E = math.log2(math.e)
 
 
 def _layer_norm_f32(x, scale, bias, eps):

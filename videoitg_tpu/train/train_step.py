@@ -14,6 +14,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 import optax
+from jax.dtypes import float0
 
 from videoitg_tpu.config import GroundingConfig
 from videoitg_tpu.models.grounding import GroundingBatch, grounding_loss
@@ -61,8 +62,6 @@ def make_train_step(
         # param-dtype zeros; the optimizer labels every quantized-linear
         # leaf "frozen" (set_to_zero), leaving the base bit-identical while
         # adapters train.
-        from jax.dtypes import float0
-
         (loss, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True, allow_int=True)(state.params, batch)
         grads = jax.tree.map(
