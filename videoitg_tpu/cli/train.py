@@ -64,6 +64,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--logging-steps", type=int, default=1)
     p.add_argument("--dp", type=int, default=None)
     p.add_argument("--tp", type=int, default=None)
+    p.add_argument("--sp", type=int, default=1,
+                   help="sequence-parallel axis size: the grounding LM's "
+                        "long sequence trains as custom-VJP ring attention "
+                        "over this many chips (no reference counterpart)")
     p.add_argument("--offload-optimizer", action="store_true",
                    help="park optimizer state in pinned host memory between "
                         "steps (ZeRO-3-offload equivalent; TPU only)")
@@ -159,7 +163,7 @@ def main(argv=None) -> int:
     n_devices = len(jax.devices())
     mesh = None
     if n_devices > 1:
-        mesh = make_mesh(dp=args.dp, tp=args.tp)
+        mesh = make_mesh(dp=args.dp, tp=args.tp, sp=args.sp)
         dp = mesh.shape["dp"]
         batch_size = batch_size * dp
         params = shard_params(params, grounding_param_specs(), mesh)

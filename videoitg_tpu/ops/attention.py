@@ -170,7 +170,19 @@ def mha(
         import jax as _jax
         from jax.sharding import PartitionSpec as P
 
-        mesh, dp, tp, _sp = ctx
+        mesh, dp, tp, sp = ctx
+        # Sequence-parallel TRAINING: the LM's long masked sequence trains
+        # as custom-VJP ring attention (backward = second ring pass); same
+        # dispatch shape as the inference ring below. Non-causal only (the
+        # grounding objective); causal VLM-SFT keeps dp x tp.
+        if (sp is not None and valid is not None and not causal
+                and use_flash == "train"
+                and q.shape[2] % mesh.shape[sp] == 0):
+            from videoitg_tpu.parallel.ring_attention import ring_attention_train
+
+            return ring_attention_train(
+                q, k, v, valid=valid, mesh=mesh, axis=sp, dp_axis=dp,
+                tp_axis=tp, interpret=jax.default_backend() == "cpu")
         if valid is None:
             valid = jnp.ones((q.shape[0], q.shape[2]), dtype=bool)
         spec_q = P(dp, tp, None, None)

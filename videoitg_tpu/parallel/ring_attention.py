@@ -13,8 +13,10 @@ Communication per layer: (ring_size - 1) neighbor sends of the local KV
 shard (2 * S/n * D bytes) — bandwidth-optimal and overlappable with the
 per-step compute by XLA's async collective scheduling.
 
-Forward-only (serving). q/k/v enter as GLOBAL [B, H, S, D] arrays; the
-sequence axis is sharded over `axis` via shard_map.
+q/k/v enter as GLOBAL [B, H, S, D] arrays; the sequence axis is sharded
+over `axis` via shard_map. `ring_attention` serves (einsum or flash
+blocks); `ring_attention_train` adds a custom VJP whose backward runs a
+second ring pass with dK/dV accumulators riding the rotating blocks.
 """
 
 from __future__ import annotations
@@ -102,17 +104,13 @@ def _ring_shard_fn(q, k, v, kbias, axis: str, sm_scale: float, causal: bool):
     return out.astype(q.dtype)
 
 
-def _ring_shard_fn_flash(q, k, v, kbias, axis: str, sm_scale: float,
-                         causal: bool, interpret: bool):
-    """Flash-kernel ring: each KV block runs the streaming Pallas forward
-    (O(block) memory instead of the einsum ring's O(s_loc^2) scores) and
-    blocks merge via their logsumexp residuals:
-        o = sum_blk exp(lse_blk - lse_tot) * o_blk.
-    Non-causal only (the grounding LM's mode — block-level causal offsets
-    are not plumbed into the kernel's mask)."""
+def _ring_flash_state(q, k, v, kbias, axis: str, interpret: bool):
+    """Flash-kernel ring forward core: returns the merged normalized
+    output (fp32, invalid query rows NOT yet zeroed) and the GLOBAL
+    logsumexp per row (scaled-score domain; -BIG for rows with no valid
+    key anywhere). Shared by serving and the training VJP."""
     from videoitg_tpu.ops.flash_attention_train import _fwd
 
-    assert not causal, "flash-block ring supports the non-causal LM path"
     n = jax.lax.psum(1, axis)
     b, h, s_loc, d = q.shape
 
@@ -147,9 +145,93 @@ def _ring_shard_fn_flash(q, k, v, kbias, axis: str, sm_scale: float,
         jnp.zeros((b, h, s_loc, d), jnp.float32),
     )
     *_, lse, acc = jax.lax.fori_loop(1, n, step, (k, v, kbias, lse0, acc0))
+    return acc, lse
+
+
+def _ring_shard_fn_flash(q, k, v, kbias, axis: str, sm_scale: float,
+                         causal: bool, interpret: bool):
+    """Flash-kernel ring: each KV block runs the streaming Pallas forward
+    (O(block) memory instead of the einsum ring's O(s_loc^2) scores) and
+    blocks merge via their logsumexp residuals:
+        o = sum_blk exp(lse_blk - lse_tot) * o_blk.
+    Non-causal only (the grounding LM's mode — block-level causal offsets
+    are not plumbed into the kernel's mask)."""
+    assert not causal, "flash-block ring supports the non-causal LM path"
+    acc, _lse = _ring_flash_state(q, k, v, kbias, axis, interpret)
     qvalid = (kbias == 0.0)
     out = acc * qvalid[:, None, :, None]
     return out.astype(q.dtype)
+
+
+def _ring_train_shard(q, k, v, kbias, axis: str, interpret: bool):
+    """Per-shard custom-VJP ring attention (non-causal, flash blocks).
+
+    Forward = _ring_flash_state; residuals are all LOCAL (q/k/v shard, o,
+    global lse) — the point of sequence parallelism. Backward is a second
+    ring pass: the softmax backward decomposes exactly per KV block given
+    the GLOBAL lse (p = exp(s_blk - lse) are the true probabilities of
+    that block's columns, and delta = rowsum(dO*O) uses the complete local
+    O), so each step is one flash_attention_train._bwd call on the
+    visiting block; dK/dV accumulators travel WITH the block and arrive
+    home after the full cycle (n rotations). The ring fori_loop is not
+    reverse-differentiable, so this VJP is the only training path.
+    """
+    from videoitg_tpu.ops.flash_attention_train import _bwd
+
+    @jax.custom_vjp
+    def core(q, k, v, kbias):
+        acc, _ = _ring_flash_state(q, k, v, kbias, axis, interpret)
+        return (acc * (kbias == 0.0)[:, None, :, None]).astype(q.dtype)
+
+    def core_fwd(q, k, v, kbias):
+        acc, lse = _ring_flash_state(q, k, v, kbias, axis, interpret)
+        out = (acc * (kbias == 0.0)[:, None, :, None]).astype(q.dtype)
+        return out, (q, k, v, kbias, out, lse)
+
+    def core_bwd(res, do):
+        from videoitg_tpu.ops.flash_attention_train import _shapes
+
+        q, k, v, kbias, o, lse = res
+        n = jax.lax.psum(1, axis)
+        b, h, s_loc, d = q.shape
+        qvalid = (kbias == 0.0).astype(jnp.float32)[:, None, :]
+        # rows with no valid key anywhere carry lse=-BIG from the merge;
+        # _bwd's dead-row convention is +BIG (exp(s - lse) underflows to 0).
+        lse_bwd = jnp.where(lse <= _NEG_BIG / 2, -_NEG_BIG, lse)
+        # _bwd consumes lse at ITS padded length (the _fwd residual shape);
+        # padded rows are dead (+BIG).
+        *_, s_pad, _bq, _bk = _shapes(q, k, 512, 512)
+        lse_bwd = jnp.pad(lse_bwd, ((0, 0), (0, 0), (0, s_pad - s_loc)),
+                          constant_values=-_NEG_BIG)
+        lse8 = jnp.broadcast_to(lse_bwd[..., None], lse_bwd.shape + (8,))
+
+        def block_bwd(k_blk, v_blk, kb_blk):
+            return _bwd(q, k_blk, v_blk, kb_blk[:, None, :], qvalid, o, lse8,
+                        do, False, 512, 512, interpret)
+
+        dq0, dk0, dv0 = block_bwd(k, v, kbias)
+
+        def step(_i, carry):
+            k_blk, v_blk, kb_blk, dk_acc, dv_acc, dq = carry
+            k_blk, v_blk, kb_blk, dk_acc, dv_acc = _rotate(
+                axis, n, k_blk, v_blk, kb_blk, dk_acc, dv_acc)
+            dq_i, dk_i, dv_i = block_bwd(k_blk, v_blk, kb_blk)
+            return (k_blk, v_blk, kb_blk,
+                    dk_acc + dk_i.astype(jnp.float32),
+                    dv_acc + dv_i.astype(jnp.float32),
+                    dq + dq_i.astype(jnp.float32))
+
+        *_, dk_acc, dv_acc, dq = jax.lax.fori_loop(
+            1, n, step,
+            (k, v, kbias, dk0.astype(jnp.float32), dv0.astype(jnp.float32),
+             dq0.astype(jnp.float32)))
+        # n-1 rotations so far: one more brings each accumulator home.
+        dk_acc, dv_acc = _rotate(axis, n, dk_acc, dv_acc)
+        return (dq.astype(q.dtype), dk_acc.astype(k.dtype),
+                dv_acc.astype(v.dtype), jnp.zeros_like(kbias))
+
+    core.defvjp(core_fwd, core_bwd)
+    return core(q, k, v, kbias)
 
 
 def ring_attention(
@@ -193,6 +275,43 @@ def ring_attention(
     else:
         fn = functools.partial(_ring_shard_fn, axis=axis, sm_scale=d ** -0.5,
                                causal=causal)
+    return jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(spec_qkv, spec_qkv, spec_qkv, spec_bias),
+        out_specs=spec_qkv,
+        check_vma=False,
+    )(q, k, v, kbias)
+
+
+def ring_attention_train(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    valid: Optional[jax.Array] = None,
+    *,
+    mesh: Mesh,
+    axis: str = "sp",
+    dp_axis: Optional[str] = None,
+    tp_axis: Optional[str] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Differentiable ring attention (custom VJP, non-causal, flash blocks).
+
+    Same contract as ring_attention(block_impl="flash"); gradients flow to
+    q/k/v with a second ring pass in the backward (dK/dV accumulators ride
+    the rotating KV blocks — residual memory stays O(S/n) per chip). The
+    reference has no sequence parallelism at all, trained or otherwise
+    (SURVEY §5.7)."""
+    b, h, s, d = q.shape
+    n = mesh.shape[axis]
+    assert s % n == 0, f"seq {s} must divide the {axis}={n} ring"
+    if valid is None:
+        valid = jnp.ones((b, s), dtype=bool)
+    kbias = jnp.where(valid, 0.0, _NEG_BIG).astype(jnp.float32)
+
+    spec_qkv = P(dp_axis, tp_axis, axis, None)
+    spec_bias = P(dp_axis, axis)
+    fn = functools.partial(_ring_train_shard, axis=axis, interpret=interpret)
     return jax.shard_map(
         fn, mesh=mesh,
         in_specs=(spec_qkv, spec_qkv, spec_qkv, spec_bias),
