@@ -97,15 +97,22 @@ def _hf_lm_config(cfg, **kwargs):
     )
 
 
-def build_torch_stack(sd, cfg):
-    """(vision_model, qwen2_model) HF modules loaded from the checkpoint."""
+def build_torch_stack(sd, cfg, attn: str = "eager"):
+    """(vision_model, qwen2_model) HF modules loaded from the checkpoint.
+
+    attn="eager" materializes [H, S, S] weights — exact but O(S^2) memory;
+    attn="sdpa" runs torch's flash CPU kernel non-causally (O(S) memory),
+    the same semantic the reference gets from flash-attn with
+    is_causal=False (grounding_qwen2.py:45-48) — required for the 8B
+    geometry's ~16k-token sequence on a 125 GB host.
+    """
     import torch
     from transformers import Qwen2Model, SiglipVisionModel
 
     # attn_implementation must go through the constructor: transformers
     # reads _attn_implementation, and a post-hoc attribute set is ignored.
     vision = SiglipVisionModel(
-        _hf_vision_config(cfg, attn_implementation="eager")).eval()
+        _hf_vision_config(cfg, attn_implementation=attn)).eval()
     vsd = _torch_tensors(sd, "model.vision_tower.vision_tower.")
     missing, unexpected = vision.load_state_dict(vsd, strict=False)
     # The grounding checkpoint selects hidden_states[-2]: the attention-pool
@@ -113,7 +120,7 @@ def build_torch_stack(sd, cfg):
     real_missing = [k for k in missing if ".head." not in k and "post_layernorm" not in k]
     assert not real_missing and not unexpected, (real_missing, unexpected)
 
-    lm = Qwen2Model(_hf_lm_config(cfg, attn_implementation="eager",
+    lm = Qwen2Model(_hf_lm_config(cfg, attn_implementation=attn,
                                   use_cache=False)).eval()
     lsd = {
         k[len("model."):]: torch.as_tensor(np.asarray(v)).float()
@@ -123,6 +130,11 @@ def build_torch_stack(sd, cfg):
         and not k.startswith("model.mm_projector.")
     }
     lm.load_state_dict(lsd, strict=True)
+    if attn == "sdpa":
+        # Bidirectional attention, the flash way: no mask tensor at all plus
+        # a non-causal flag per layer (verified == eager + zero mask).
+        for layer in lm.layers:
+            layer.self_attn.is_causal = False
     return vision, lm
 
 
@@ -146,15 +158,31 @@ def torch_seq_mlp(sd, feats, hw: int):
     return F.linear(F.gelu(F.linear(x, w1, b1)), w2, b2)
 
 
-def torch_grounding_scores(sd, cfg, frames_u8: np.ndarray, text_ids: list) -> np.ndarray:
+def torch_grounding_scores(sd, cfg, frames_u8: np.ndarray, text_ids: list,
+                           attn: str = "eager") -> np.ndarray:
     """Reference-semantics sigmoid scores [T] for one video (fp32 CPU)."""
+    import contextlib
+
     import torch
 
     from videoitg_tpu.ops.preprocess import preprocess_frames_reference
 
-    vision, lm = build_torch_stack(sd, cfg)
+    vision, lm = build_torch_stack(sd, cfg, attn=attn)
     pixels = preprocess_frames_reference(frames_u8, out_size=cfg.vision.image_size)
     pixels = torch.from_numpy(pixels.transpose(0, 3, 1, 2))  # NCHW
+
+    @contextlib.contextmanager
+    def no_causal_mask():
+        # sdpa path: stop Qwen2Model from synthesizing a causal mask so SDPA
+        # receives mask=None + is_causal=False -> torch's flash CPU kernel.
+        import transformers.models.qwen2.modeling_qwen2 as qm
+
+        orig = qm.create_causal_mask
+        qm.create_causal_mask = lambda **kw: None
+        try:
+            yield
+        finally:
+            qm.create_causal_mask = orig
 
     with torch.no_grad():
         feats = vision(pixels, output_hidden_states=True).hidden_states[-2]
@@ -168,11 +196,16 @@ def torch_grounding_scores(sd, cfg, frames_u8: np.ndarray, text_ids: list) -> np
         txt = embed_w[torch.as_tensor(text_ids, dtype=torch.long)][None]
         x = torch.cat([img, txt], dim=1)                   # image-first splice
         s = x.shape[1]
-        full_mask = torch.zeros((1, 1, s, s))               # bidirectional
         positions = torch.arange(s, dtype=torch.long)[None]
-        hidden = lm(
-            inputs_embeds=x, attention_mask=full_mask, position_ids=positions
-        ).last_hidden_state
+        if attn == "sdpa":
+            with no_causal_mask():
+                hidden = lm(inputs_embeds=x, attention_mask=None,
+                            position_ids=positions).last_hidden_state
+        else:
+            full_mask = torch.zeros((1, 1, s, s))           # bidirectional
+            hidden = lm(
+                inputs_embeds=x, attention_mask=full_mask, position_ids=positions
+            ).last_hidden_state
         frame_hidden = hidden[:, : t * hw * hw, :].reshape(1, t, hw * hw, -1).mean(2)
         w = torch.as_tensor(np.asarray(sd["out_proj.weight"])).float()
         b = torch.as_tensor(np.asarray(sd["out_proj.bias"])).float()
@@ -191,7 +224,8 @@ def topk_contract(index_desc: list, k: int) -> list:
 
 
 def run_parity(checkpoint: str, video: str, prompt: str, num_frames: int,
-               target_fps: float, topks, out_json: str | None = None) -> dict:
+               target_fps: float, topks, out_json: str | None = None,
+               use_flash: bool = False, oracle_attn: str = "eager") -> dict:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -219,13 +253,13 @@ def run_parity(checkpoint: str, video: str, prompt: str, num_frames: int,
     text_ids = grounding_text_ids(prompt, tokenizer, cfg.max_text_len)
 
     print(f"[parity] {len(sampled)} frames, {len(text_ids)} text tokens, "
-          f"video={video}")
+          f"video={video}, use_flash={use_flash}, oracle={oracle_attn}")
 
-    scores_t = torch_grounding_scores(sd, cfg, frames, text_ids)
+    scores_t = torch_grounding_scores(sd, cfg, frames, text_ids, attn=oracle_attn)
 
     params = convert_grounding_checkpoint(sd, cfg, dtype=jnp.float32)
     engine = SelectionEngine(
-        params, cfg, tokenizer, dtype=jnp.float32, use_flash=False,
+        params, cfg, tokenizer, dtype=jnp.float32, use_flash=use_flash,
         num_frames=num_frames, target_fps=target_fps,
         buckets=(len(sampled),),
     )
@@ -333,6 +367,50 @@ def selftest(tmp_dir: str) -> dict:
     return report
 
 
+def selftest_8b(tmp_dir: str, frames: int = 64, budget: int = 16384,
+                flash_budget: int = 1024) -> dict:
+    """Parity selftest at the REAL VideoITG-8B geometry (VERDICT r2 #1).
+
+    Two arms, both at flagship widths (hidden 3584, GQA 28q/4kv, head_dim
+    128, vision 1152/16h/729 patches) with 2 LM + 2 effective vision layers:
+
+    * oracle arm — seq_mlp budget 16384 at `frames` frames, so the packed
+      splice is >= the flagship's 12.9k tokens (at 64 frames HW=16 ->
+      16384+text tokens); JAX runs the XLA oracle path, torch runs its
+      flash CPU SDPA kernel non-causally.
+    * flash arm — the in-tree Pallas kernels (interpret mode on CPU) through
+      the FULL model vs the same torch oracle, at a reduced token budget
+      (interpret-mode cost), covering flash_mha (LM, native GQA at 28q/4kv,
+      D=128) and flash_mha_short (vision, S=729, D=72).
+    """
+    from videoitg_tpu.config import GroundingConfig
+    from videoitg_tpu.data.video import write_test_video
+
+    video = write_test_video(os.path.join(tmp_dir, "vid8b.mp4"),
+                             96, 64, 2 * frames, 10, 12)
+    prompt = "find the frames where the rocket launches"
+    reports = {}
+    ckpt = synthesize_checkpoint(
+        os.path.join(tmp_dir, "ckpt8b"), cfg=GroundingConfig.videoitg_8b_shallow())
+    for arm, arm_budget, use_flash in (("oracle", budget, False),
+                                       ("flash", flash_budget, True)):
+        # Same weights, different seq_mlp budget: only the config differs.
+        cfg = GroundingConfig.videoitg_8b_shallow(vision_token_num=arm_budget)
+        with open(os.path.join(ckpt, "videoitg_tpu_config.json"), "w") as f:
+            f.write(cfg.to_json())
+        report = run_parity(
+            ckpt, video, prompt, num_frames=frames, target_fps=4.0,
+            topks=(8, 32), use_flash=use_flash, oracle_attn="sdpa",
+            out_json=os.path.join(tmp_dir, f"parity_8b_{arm}.json"),
+        )
+        if not report["pass"]:
+            raise SystemExit(f"selftest-8b {arm} arm FAILED")
+        print(f"[parity] selftest-8b {arm} arm PASS "
+              f"(max_abs_score_diff={report['max_abs_score_diff']:.2e})")
+        reports[arm] = report
+    return reports
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
@@ -347,13 +425,23 @@ def main(argv=None) -> int:
     p.add_argument("--out-json", default=None)
     p.add_argument("--selftest", action="store_true",
                    help="synthesize a tiny checkpoint + video and verify")
+    p.add_argument("--selftest-geometry", choices=["tiny", "8b"], default="tiny",
+                   help="8b = flagship widths/heads with few layers "
+                        "(heavy: ~15 min CPU for the 16k-token oracle arm)")
+    p.add_argument("--selftest-frames", type=int, default=64)
+    p.add_argument("--selftest-budget", type=int, default=16384,
+                   help="seq_mlp vision_token_num for the 8b oracle arm")
     args = p.parse_args(argv)
 
     if args.selftest:
         import tempfile
 
         with tempfile.TemporaryDirectory() as d:
-            selftest(d)
+            if args.selftest_geometry == "8b":
+                selftest_8b(d, frames=args.selftest_frames,
+                            budget=args.selftest_budget)
+            else:
+                selftest(d)
         return 0
 
     if not args.checkpoint or not args.video:

@@ -25,6 +25,26 @@ def test_parity_harness_selftest(tmp_path):
     assert (tmp_path / "parity.json").exists()
 
 
+def test_parity_harness_selftest_8b_geometry(tmp_path):
+    """Both selftest-8b arms (XLA oracle + interpret flash kernels) at the
+    FLAGSHIP widths (hidden 3584, GQA 28q/4kv, head_dim 128, vision
+    1152/16h/729 patches, 2 LM layers) vs the torch SDPA oracle — VERDICT
+    round-2 item 1. CI-sized: few frames / small budget; the full 16k-token
+    splice runs via `parity_vs_torch.py --selftest-geometry 8b` (results
+    recorded in docs/PERF.md)."""
+    sys.path.insert(0, "scripts")
+    try:
+        import parity_vs_torch
+    finally:
+        sys.path.pop(0)
+
+    reports = parity_vs_torch.selftest_8b(
+        str(tmp_path), frames=6, budget=768, flash_budget=768)
+    for arm in ("oracle", "flash"):
+        assert reports[arm]["pass"], arm
+        assert reports[arm]["max_abs_score_diff"] < 1e-4, arm
+
+
 def test_synthesized_checkpoint_loads_both_stacks(tmp_path):
     """The synthesized checkpoint must be a faithful reference layout: the
     JAX converter consumes it without fallback paths."""

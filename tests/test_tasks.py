@@ -232,3 +232,41 @@ def test_videomme_subtitle_variant(tmp_path):
         '<font color="white" size=".72c">hello subs</font>\n\n')
     text = task.doc_to_text(doc, data_root=str(tmp_path))
     assert "hello subs" in text and "font" not in text
+
+
+def test_prompt_overrides_resolution():
+    """Per-model prompt variants (reference lmms_eval_specific_kwargs,
+    videomme.yaml:26-41): exact model name wins, else default, else {}."""
+    task = get_task("videomme")
+    doc = {"videoID": "v", "question": "Q?", "options": ["A. x", "B. y"],
+           "answer": "A", "duration": "short"}
+
+    default = task.doc_text(doc)
+    assert default.endswith("Please respond with only the letter of the correct answer.")
+    # unknown model falls back to default
+    assert task.doc_text(doc, model_name="videoitg") == default
+    # reference's llava_vid / gpt4v styles
+    assert task.doc_text(doc, model_name="llava_vid").endswith("The best answer is:")
+    assert task.doc_text(doc, model_name="gpt4v").endswith(
+        "Answer the question with A, B, C, or D.")
+
+
+def test_prompt_overrides_unknown_key_rejected():
+    """Override keys the task's doc_to_text does not accept are an error,
+    not silently dropped (stricter than the reference)."""
+    import pytest
+
+    from videoitg_tpu.eval.api import Task
+
+    t = Task(name="t", doc_to_visual=lambda d: "", doc_to_text=lambda d: "x",
+             process_results=lambda d, r: {}, aggregate=lambda rs: {},
+             prompt_overrides={"default": {"post_prompt": "p"}})
+    with pytest.raises(TypeError, match="post_prompt"):
+        t.doc_text({})
+
+
+def test_adapter_model_name_stamped():
+    from videoitg_tpu.eval.api import get_adapter
+
+    assert get_adapter("echo-answer").model_name == "echo-answer"
+    assert get_adapter("videoitg").model_name == "videoitg"

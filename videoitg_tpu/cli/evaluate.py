@@ -58,6 +58,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="validate the requested tasks' registry entries and "
                         "exit (the reference flag routes to a missing file "
                         "and crashes; this one works)")
+    p.add_argument("--hub_repo", default=None,
+                   help="push aggregated results + sample logs to a dataset "
+                        "repo and regenerate its metadata card (reference "
+                        "EvaluationTracker push-to-hub). 'local:DIR' or a "
+                        "directory path uses that dir as the repo (air-"
+                        "gapped dry run); anything else is an HF dataset id")
+    p.add_argument("--hub_model_name", default=None,
+                   help="model name used in repo paths (default: --model "
+                        "plus the pretrained= arg when present)")
     p.add_argument("--cpu", action="store_true")
     return p
 
@@ -181,6 +190,17 @@ def main(argv=None) -> int:
         for i, rep in enumerate(reports):
             mlog.log(i, {f"{rep.task}/{k}": v for k, v in rep.metrics.items()})
         mlog.close()
+        if args.hub_repo:
+            from videoitg_tpu.eval.tracker import EvaluationTracker
+
+            hub_model = args.hub_model_name or "__".join(
+                x for x in (args.model,
+                            model_kwargs.get("pretrained") or "") if x)
+            tracker = EvaluationTracker(args.hub_repo, hub_model)
+            written = tracker.push(reports, args.output_path)
+            tracker.recreate_metadata_card()
+            print(f"pushed {len(written)} file(s) + metadata card to "
+                  f"{args.hub_repo}")
         engine = (getattr(adapter, "engine", None)
                   or getattr(getattr(adapter, "inner", None), "engine", None))
         if engine is not None and engine.timer.totals:

@@ -192,6 +192,34 @@ class GroundingConfig:
         )
 
     @classmethod
+    def videoitg_8b_shallow(
+        cls,
+        lm_layers: int = 2,
+        vision_layers: int = 3,
+        vocab_size: int = 8192,
+        vision_token_num: int = 16384,
+        max_text_len: int = 32,
+    ) -> "GroundingConfig":
+        """Flagship widths and head geometry with few layers.
+
+        Every width the converter and engine must survive is the released
+        checkpoint's (hidden 3584, GQA 28q/4kv, head_dim 128, vision
+        1152/16h, 27x27 patch grid, seq_mlp budget 16384) but layer counts
+        are cut so the whole model meets a torch oracle on CPU — the parity
+        selftest geometry (scripts/parity_vs_torch.py --selftest-geometry 8b).
+        Vocab is shrunk: the embedding is a gather, not a geometry risk.
+        """
+        base = cls.videoitg_8b()
+        return cls(
+            vision=dataclasses.replace(base.vision, num_layers=vision_layers),
+            projector=dataclasses.replace(
+                base.projector, vision_token_num=vision_token_num),
+            lm=dataclasses.replace(
+                base.lm, num_layers=lm_layers, vocab_size=vocab_size),
+            max_text_len=max_text_len,
+        )
+
+    @classmethod
     def dryrun(cls) -> "GroundingConfig":
         """Structure-preserving miniature for multi-chip dryruns: every
         sharded axis divisible by tp=4, trivial FLOPs, full real pipeline."""
@@ -272,6 +300,7 @@ def preset(name: str) -> GroundingConfig:
     presets = {
         "videoitg-8b": GroundingConfig.videoitg_8b,
         "videoitg-2b": GroundingConfig.videoitg_2b,
+        "videoitg-8b-shallow": GroundingConfig.videoitg_8b_shallow,
         "dryrun": GroundingConfig.dryrun,
         "dryrun-serve": GroundingConfig.dryrun_serve,
         "tiny": GroundingConfig.tiny,

@@ -111,7 +111,7 @@ class FrameSelectionConsumer(ModelAdapter):
         responses = []
         for doc_id, doc in items:
             video_path = _call_with_root(task.doc_to_visual, doc, self.data_root)
-            question = _call_with_root(task.doc_to_text, doc, self.data_root)
+            question = task.doc_text(doc, self.data_root, self.model_name)
             frames, ids = self.frames_for_doc(doc_id, video_path)
             responses.append(self.answer(doc_id, doc, frames, ids, question, task))
         return responses

@@ -144,7 +144,7 @@ class NativeVLMAdapter(FrameSelectionConsumer):
         for doc_id, doc in items:
             video_path = _call_with_root(task.doc_to_visual, doc, self.data_root)
             question = self.strip_inline_image_slots(
-                _call_with_root(task.doc_to_text, doc, self.data_root))
+                task.doc_text(doc, self.data_root, self.model_name))
             cont = self.tokenizer(task.doc_to_target(doc)).input_ids
             frames, _ids = self.frames_for_doc(doc_id, video_path)
             batch, hw = self._packed_batch(frames, question, post_extra=cont,

@@ -142,7 +142,7 @@ class VideoITGAdapter(ModelAdapter):
                 responses[doc_id] = json.dumps({"index": row["index"][:8]})
                 continue
             video_path = _call_with_root(task.doc_to_visual, doc, self.data_root)
-            contexts = _call_with_root(task.doc_to_text, doc, self.data_root)
+            contexts = task.doc_text(doc, self.data_root, self.model_name)
             work.append((doc_id, video_path,
                          {"contexts": contexts, "video_path": video_path}))
 

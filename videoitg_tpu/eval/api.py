@@ -50,12 +50,49 @@ class Task:
     # (ll, is_greedy) pair instead of a response string.
     output_type: str = "generate_until"
     doc_to_target: Optional[Callable[[dict], str]] = None
+    # Per-model prompt variants (reference lmms_eval_specific_kwargs,
+    # videomme.yaml:26-41 + api/task.py:790-797): maps a model/adapter name
+    # (or "default") to kwargs for doc_to_text, e.g. {"post_prompt": ...}.
+    # Resolution: exact model name, else "default", else {}.
+    prompt_overrides: Dict[str, Dict[str, Any]] = field(default_factory=dict)
 
     def docs_with_ids(self, docs: Sequence[dict]) -> List[tuple]:
         return [
             (doc[self.doc_id_key] if self.doc_id_key else i, doc)
             for i, doc in enumerate(docs)
         ]
+
+    def resolve_prompt_kwargs(self, model_name: Optional[str]) -> Dict[str, Any]:
+        """Per-model doc_to_text kwargs (reference api/task.py:790-797)."""
+        if model_name is not None and model_name in self.prompt_overrides:
+            return dict(self.prompt_overrides[model_name])
+        return dict(self.prompt_overrides.get("default", {}))
+
+    def doc_text(self, doc: dict, data_root: str = "",
+                 model_name: Optional[str] = None) -> str:
+        """doc_to_text with data_root + per-model overrides applied.
+
+        Unlike the reference (which passes the whole kwargs dict positionally,
+        task.py:1282), overrides are matched against the callable's accepted
+        keyword parameters so tasks only declare the knobs they honor —
+        unknown override keys are an error, not silently dropped.
+        """
+        import inspect
+
+        kwargs = self.resolve_prompt_kwargs(model_name)
+        sig = inspect.signature(self.doc_to_text)
+        params = sig.parameters
+        has_varkw = any(p.kind == inspect.Parameter.VAR_KEYWORD
+                        for p in params.values())
+        if not has_varkw:
+            unknown = [k for k in kwargs if k not in params]
+            if unknown:
+                raise TypeError(
+                    f"task {self.name}: prompt_overrides keys {unknown} not "
+                    f"accepted by doc_to_text{sig}")
+        if "data_root" in params or has_varkw:
+            kwargs.setdefault("data_root", data_root)
+        return self.doc_to_text(doc, **kwargs)
 
 
 VALID_OUTPUT_TYPES = ("generate_until", "generate_until_multi_round",
@@ -145,6 +182,10 @@ def expand_task_names(names: List[str]) -> List[str]:
 def register_adapter(name: str):
     def deco(cls):
         ADAPTER_REGISTRY[name] = cls
+        # Registry name doubles as the prompt-override key
+        # (Task.resolve_prompt_kwargs), like the reference's model_name
+        # selection in api/task.py:790-797.
+        cls.model_name = name
         return cls
 
     return deco
@@ -165,6 +206,9 @@ class ModelAdapter:
     response string per item; grounding adapters may additionally write
     selection rows through the provided ResultsWriter.
     """
+
+    # Set by @register_adapter; keys per-model prompt overrides.
+    model_name: Optional[str] = None
 
     def generate_until(self, items: List[tuple], task: Task, writer=None) -> List[str]:
         raise NotImplementedError

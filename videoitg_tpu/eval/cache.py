@@ -59,10 +59,10 @@ class CachingAdapter(ModelAdapter):
         data_root = getattr(self.inner, "data_root", "")
 
         def prompt_of(doc):
-            try:
-                prompt = task.doc_to_text(doc, data_root=data_root)
-            except TypeError:
-                prompt = task.doc_to_text(doc)
+            # Key on the model's RESOLVED prompt (per-model overrides apply),
+            # so an override change invalidates stale cached responses.
+            prompt = task.doc_text(
+                doc, data_root, getattr(self.inner, "model_name", None))
             if extra_key is not None:
                 prompt = f"{prompt}\x00{extra_key(doc)}"
             return prompt

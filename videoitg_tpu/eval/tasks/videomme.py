@@ -116,6 +116,15 @@ def doc_to_text_subtitle(doc, data_root: str = "", frame_num: int = 32,
             + option_prompt + "\n" + question + "\n" + "The best answer is:")
 
 
+# Per-model prompt variants (reference videomme.yaml:26-41
+# lmms_eval_specific_kwargs): the default post_prompt plus the gpt4v /
+# llava_vid styles; adapters pick theirs by registry name.
+PROMPT_OVERRIDES = {
+    "default": {"post_prompt": "Please respond with only the letter of the correct answer."},
+    "gpt4v": {"post_prompt": "Answer the question with A, B, C, or D."},
+    "llava_vid": {"post_prompt": "The best answer is:"},
+}
+
 register_task(Task(
     name="videomme",
     doc_to_visual=doc_to_visual,
@@ -125,6 +134,7 @@ register_task(Task(
     load_docs=load_docs,
     doc_id_key=None,
     generation_kwargs={"max_new_tokens": 16, "temperature": 0, "do_sample": False},
+    prompt_overrides=PROMPT_OVERRIDES,
 ))
 
 register_task(Task(

@@ -220,7 +220,10 @@ def mha(
         return mha_reference(q, k, v, valid=valid, causal=causal)
 
     # Short unmasked MHA (the vision tower's shape) gets the direct-softmax
-    # multi-head-per-program kernel; everything else streams.
+    # multi-head-per-program kernel; everything else streams. On CPU the
+    # kernels run in Pallas interpret mode (the 8B-geometry parity selftest
+    # pushes flash numerics through the full model without a TPU).
+    interpret = jax.default_backend() == "cpu"
     use_short = (
         valid is None and not causal and q.shape[2] <= 1024
         and q.shape[1] == k.shape[1]
@@ -228,12 +231,13 @@ def mha(
     if use_short:
         from videoitg_tpu.ops.flash_attention_short import flash_mha_short
 
-        kernel = lambda q_, k_, v_, vd: flash_mha_short(q_, k_, v_)  # noqa: E731
+        kernel = lambda q_, k_, v_, vd: flash_mha_short(  # noqa: E731
+            q_, k_, v_, interpret=interpret)
     else:
         from videoitg_tpu.ops.flash_attention import flash_mha
 
         kernel = lambda q_, k_, v_, vd: flash_mha(  # noqa: E731
-            q_, k_, v_, valid=vd, causal=causal)
+            q_, k_, v_, valid=vd, causal=causal, interpret=interpret)
 
     if ctx is None:
         return kernel(q, k, v, valid)
