@@ -26,12 +26,10 @@ import time
 BASELINE_FRAMES_PER_SEC = 2000.0
 
 
-def run_bench(model: str, num_frames: int, iters: int, text_len: int,
-              act_int8: bool = False, batch: int = 1) -> dict:
+def _enable_compile_cache():
     import os
 
     import jax
-    import jax.numpy as jnp
 
     # Persistent compilation cache: the 8B program takes minutes to compile
     # through this sandbox's remote-compile tunnel; cache across runs.
@@ -43,13 +41,14 @@ def run_bench(model: str, num_frames: int, iters: int, text_len: int,
     except Exception:
         pass
 
-    from videoitg_tpu.config import GroundingConfig
-    from videoitg_tpu.models.grounding import GroundingBatch, grounding_logits, init_grounding
-    from videoitg_tpu.models.projector import inference_hw
 
-    on_cpu = jax.default_backend() == "cpu"
-    dtype = jnp.float32 if on_cpu else jnp.bfloat16
-    use_flash = not on_cpu
+def _build_params(model: str, dtype, act_int8: bool):
+    """(cfg, params, model_tag) for a bench tier."""
+    import jax
+    import jax.numpy as jnp
+
+    from videoitg_tpu.config import GroundingConfig
+    from videoitg_tpu.models.grounding import init_grounding
 
     if model in ("videoitg-8b-int8", "videoitg-8b-int4"):
         from videoitg_tpu.models.projector import init_projector
@@ -80,6 +79,24 @@ def run_bench(model: str, num_frames: int, iters: int, text_len: int,
 
         params = apply_full_int8(params)
         model = model + "+act8"
+    return cfg, params, model
+
+
+def run_bench(model: str, num_frames: int, iters: int, text_len: int,
+              act_int8: bool = False, batch: int = 1) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    _enable_compile_cache()
+
+    from videoitg_tpu.models.grounding import GroundingBatch, grounding_logits
+    from videoitg_tpu.models.projector import inference_hw
+
+    on_cpu = jax.default_backend() == "cpu"
+    dtype = jnp.float32 if on_cpu else jnp.bfloat16
+    use_flash = not on_cpu
+
+    cfg, params, model = _build_params(model, dtype, act_int8)
 
     hw = inference_hw(cfg.projector, num_frames, cfg.vision.num_patches_per_side)
     s = cfg.vision.image_size
@@ -138,6 +155,101 @@ def run_bench(model: str, num_frames: int, iters: int, text_len: int,
     }
 
 
+class _ByteTok:
+    """Deterministic stand-in tokenizer (bench has no checkpoint/vocab)."""
+
+    bos_token_id = None
+
+    def __call__(self, text):
+        class R:
+            pass
+
+        r = R()
+        r.input_ids = [ord(c) % 255 + 1 for c in text]
+        return r
+
+
+def run_engine_bench(model: str, num_frames: int, n_videos: int,
+                     act_int8: bool = False, width: int = 480,
+                     height: int = 360) -> dict:
+    """Sustained end-to-end engine throughput + per-video selection latency.
+
+    BASELINE.json's metric is "frames scored/sec/chip ...; p50 per-video
+    selection latency" — the program-only number above excludes host decode,
+    preprocess upload, and readback. This phase runs >= n_videos real video
+    files through the full SelectionEngine pipeline (libav decode with
+    decode-ahead prefetch -> device resize/normalize -> compiled scoring ->
+    ranked result) and reports sustained frames/s plus p50/p95 per-video
+    latency. Caveats recorded in docs/PERF.md: synthetic solid-color videos
+    decode cheaper than real footage, and this sandbox reaches the TPU via a
+    tunnel whose host->device path is far slower than a real host's PCIe.
+    """
+    import os
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from videoitg_tpu.data.prefetch import decode_ahead
+    from videoitg_tpu.data.video import write_test_video
+    from videoitg_tpu.engine import SelectionEngine
+
+    _enable_compile_cache()
+    on_cpu = jax.default_backend() == "cpu"
+    dtype = jnp.float32 if on_cpu else jnp.bfloat16
+    cfg, params, model_tag = _build_params(model, dtype, act_int8)
+
+    engine = SelectionEngine(
+        params, cfg, _ByteTok(), dtype=dtype, use_flash=not on_cpu,
+        num_frames=num_frames, target_fps=10.0, buckets=(num_frames,))
+
+    prompt = "Find the frames where the key action happens."
+    with tempfile.TemporaryDirectory() as d:
+        paths = [
+            write_test_video(os.path.join(d, f"v{i}.mp4"), width, height,
+                             num_frames, 10, 24)
+            for i in range(n_videos)
+        ]
+        # Warmup: first video triggers the (bucket, hw, 1) compile.
+        t0 = time.time()
+        engine.select_from_file(paths[0], prompt)
+        compile_s = time.time() - t0
+        engine.timer.totals.clear()  # drop warmup/compile from stage stats
+        engine.timer.counts.clear()
+
+        lat = []
+        t_start = t_prev = time.time()
+        items = [(i, p, None) for i, p in enumerate(paths)]
+        for dec in decode_ahead(items, num_frames=num_frames, target_fps=10.0,
+                                sampling="eval", workers=2, ahead=3):
+            if dec.error is not None:
+                raise dec.error
+            res = engine.select(dec.frames, dec.sampled, prompt)
+            assert len(res.index) == num_frames
+            t_now = time.time()
+            lat.append(t_now - t_prev)
+            t_prev = t_now
+        total = time.time() - t_start
+
+    # Stage decomposition (decode is mostly hidden by the prefetch threads;
+    # "preprocess" includes the host->device pixel upload, "score" the
+    # compiled program + readback).
+    stages = {name: round(1e3 * engine.timer.totals[name] /
+                          max(1, engine.timer.counts[name]), 1)
+              for name in sorted(engine.timer.totals)}
+    return {
+        "sustained_fps": round(num_frames * n_videos / total, 1),
+        "video_p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 1),
+        "video_p95_ms": round(float(np.percentile(lat, 95)) * 1e3, 1),
+        "engine_videos": n_videos,
+        "engine_video_shape": f"{num_frames}x{height}x{width}",
+        "engine_compile_s": round(compile_s, 1),
+        "engine_stage_mean_ms": stages,
+        "engine_model": model_tag,
+    }
+
+
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--model", default=None,
@@ -153,6 +265,8 @@ def main() -> int:
                    help="dynamic int8 activation quant (default for the 8B tier)")
     p.add_argument("--no-act-int8", action="store_true",
                    help="weight-only int8 (bf16 activations)")
+    p.add_argument("--engine-videos", type=int, default=8,
+                   help="videos for the sustained engine phase (0 = skip)")
     args = p.parse_args()
 
     import jax
@@ -188,6 +302,20 @@ def main() -> int:
             result["fallback_reason"] = f"8b-int8 failed: {type(e).__name__}: {e}"[:200]
         else:
             raise
+
+    # Sustained engine phase (decode -> preprocess -> score, decode-ahead on):
+    # the e2e counterpart of the program-only headline (VERDICT r2 item 3).
+    if args.engine_videos > 0:
+        try:
+            n_vid = args.engine_videos
+            ew, eh = (480, 360)
+            if jax.default_backend() == "cpu":
+                n_vid, (ew, eh) = min(n_vid, 3), (96, 64)
+            result.update(run_engine_bench(
+                model, args.num_frames, n_vid,
+                act_int8=act_int8, width=ew, height=eh))
+        except Exception as e:
+            result["engine_bench_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(result))
     return 0
 

@@ -109,6 +109,9 @@ def adapt_specs_to_params(specs: Any, params: Any) -> Any:
                     out["b"] = spec.get("b", scale_spec)
                 if "act_q" in param:
                     out["act_q"] = None
+                for k in ("lora_a", "lora_b", "lora_scale"):
+                    if k in param:  # QLoRA: adapters over a quantized base
+                        out[k] = P()
                 return out
             out = {}
             for k, v in param.items():
