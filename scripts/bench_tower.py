@@ -23,6 +23,9 @@ def main():
                    help="enable the (rejected-by-default) fused encoder path")
     p.add_argument("--attn-identity", action="store_true",
                    help="replace attention with identity (GEMM floor)")
+    p.add_argument("--pad128", action="store_true",
+                   help="lane-pad head_dim 72->128 in the QKV/O weights "
+                        "(models/siglip.pad_attention_heads; VERDICT r2 #2)")
     args = p.parse_args()
     if args.fused:
         os.environ["VIDEOITG_FUSED"] = "1"
@@ -51,6 +54,8 @@ def main():
     params = enable_act_quant(
         quantize_siglip_int8(sig.init_siglip(jax.random.PRNGKey(0), cfg, dtype=dtype)),
         keys=_SIGLIP_LINEAR_KEYS)
+    if args.pad128:
+        params = sig.pad_attention_heads(params, cfg)
     frames = jax.random.normal(
         jax.random.PRNGKey(1), (args.frames, cfg.image_size, cfg.image_size, 3), dtype)
 
@@ -74,6 +79,8 @@ def main():
     tag = "fused" if args.fused else "xla"
     if args.attn_identity:
         tag += "+attn-id"
+    if args.pad128:
+        tag += "+pad128"
     print(f"tower[{tag}] {args.frames}f: {min(ts)*1e3:.0f} ms")
 
 

@@ -61,6 +61,68 @@ def init_siglip(key, cfg: VisionConfig, dtype=jnp.float32) -> dict:
     }
 
 
+def pad_attention_heads(vision_params: dict, cfg: VisionConfig,
+                        lane: int = 128) -> dict:
+    """Zero-pad attention head_dim to the MXU lane width IN THE WEIGHTS.
+
+    SigLIP-SO400M's head_dim is 72 — every attention matmul runs at K=72 /
+    N=72, off the 128-lane MXU grain, and the round-1 fix (padding q/k/v in
+    HBM) cost more in copies than it saved (ops/flash_attention_short.py
+    header). This transform instead emits the padding from the QKV GEMMs
+    themselves: q/k/v weights gain zero OUTPUT columns per head (72 -> lane)
+    and o gains matching zero INPUT rows, so projections produce/consume the
+    padded [T, H, S, lane] layout directly with no separate pad pass.
+
+    Exact numerics: padded q/k lanes are 0 (+ zero bias), so QK contraction
+    over `lane` dims equals the 72-dim contraction; padded v lanes are 0 so
+    PV's extra output columns are 0 and o's zero rows absorb them. Callers
+    must keep sm_scale = real_head_dim**-0.5 (the layer reads it from cfg).
+
+    Handles dense ("w") and int8 ("w_q" + per-output-column "scale")
+    layer stacks; biases pad with zeros, scales with ones (their columns
+    dequantize exact zeros regardless).
+    """
+    h = cfg.num_heads
+    d = cfg.head_dim
+    assert d <= lane
+
+    def pad_out(a, fill=0.0):
+        # [..., out] -> [..., H, d] -> [..., H, lane] -> [..., H*lane]
+        lead = a.shape[:-1]
+        x = a.reshape(lead + (h, d))
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, lane - d)]
+        x = jnp.pad(x, pad, constant_values=fill)
+        return x.reshape(lead + (h * lane,))
+
+    def pad_in(a):
+        # [..., in, out] -> in-dim padded per head (zero rows).
+        lead, out = a.shape[:-2], a.shape[-1]
+        x = a.reshape(lead + (h, d, out))
+        pad = [(0, 0)] * (x.ndim - 2) + [(0, lane - d), (0, 0)]
+        x = jnp.pad(x, pad)
+        return x.reshape(lead + (h * lane, out))
+
+    layers = dict(vision_params["layers"])
+    for key in ("q", "k", "v"):
+        lin = dict(layers[key])
+        for wk in ("w", "w_q"):
+            if wk in lin:
+                lin[wk] = pad_out(lin[wk])
+        if "scale" in lin:
+            lin["scale"] = pad_out(lin["scale"], fill=1.0)
+        if "b" in lin:
+            lin["b"] = pad_out(lin["b"])
+        layers[key] = lin
+    o = dict(layers["o"])
+    for wk in ("w", "w_q"):
+        if wk in o:
+            o[wk] = pad_in(o[wk])
+    layers["o"] = o
+    out = dict(vision_params)
+    out["layers"] = layers
+    return out
+
+
 def _patchify(images: jax.Array, patch: int) -> jax.Array:
     """NHWC [T, H, W, C] -> [T, (H//p)*(W//p), p*p*C].
 
@@ -130,20 +192,26 @@ def _encoder_layer(params, x: jax.Array, cfg: VisionConfig, use_flash: bool) -> 
         # call boundaries force q/k/v layout materializations the einsum
         # path avoids (tower 2419 -> 2802 ms). Kept behind VIDEOITG_FUSED=1
         # for A/B on future compilers (scripts/bench_tower.py).
+        qw = params["q"].get("w", params["q"].get("w_q"))
         if (os.environ.get("VIDEOITG_FUSED") == "1"
                 and can_fuse_encoder_layer(params)
-                and current_attention_mesh() is None):
+                and current_attention_mesh() is None
+                and qw.shape[-1] == x.shape[-1]):  # not lane-padded
             return _encoder_layer_fused(params, x, cfg)
     t, p, h = x.shape
     residual = x
     y = layer_norm(params["ln1"], x, cfg.layer_norm_eps)
     q, k, v = fused_qkv(params["q"], params["k"], params["v"], y)
-    q = q.reshape(t, p, cfg.num_heads, cfg.head_dim)
-    k = k.reshape(t, p, cfg.num_heads, cfg.head_dim)
-    v = v.reshape(t, p, cfg.num_heads, cfg.head_dim)
+    # pad_attention_heads emits a lane-padded [*, H*lane] QKV layout (zero
+    # columns per head); the attention scale stays the REAL head_dim's.
+    d_eff = q.shape[-1] // cfg.num_heads
+    q = q.reshape(t, p, cfg.num_heads, d_eff)
+    k = k.reshape(t, p, cfg.num_heads, d_eff)
+    v = v.reshape(t, p, cfg.num_heads, d_eff)
     q, k, v = (a.transpose(0, 2, 1, 3) for a in (q, k, v))
-    attn = mha(q, k, v, valid=None, causal=False, use_flash=use_flash)
-    attn = attn.transpose(0, 2, 1, 3).reshape(t, p, h)
+    attn = mha(q, k, v, valid=None, causal=False, use_flash=use_flash,
+               sm_scale=cfg.head_dim ** -0.5)
+    attn = attn.transpose(0, 2, 1, 3).reshape(t, p, cfg.num_heads * d_eff)
     x = residual + linear(params["o"], attn)
 
     residual = x

@@ -21,6 +21,7 @@ TPU-idiomatic replacement for HF generate.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -156,6 +157,8 @@ def vlm_loss(
     return loss, {"loss": loss, "num_label_tokens": jnp.sum(mask)}
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "hw", "use_flash"))
 def vlm_loglikelihood(
     params: dict,
     batch: VLMBatch,
@@ -300,6 +303,9 @@ def vlm_decode_step(
                            next_pos=cache.next_pos + 1)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "hw", "max_new_tokens", "eos_token_id", "use_flash"))
 def vlm_generate(
     params: dict,
     batch: VLMBatch,
@@ -313,6 +319,13 @@ def vlm_generate(
 
     Mirrors EagleQwenForCausalLM.generate (eagle_qwen2.py:124-144): splice
     image embeddings, then decode.
+
+    Jitted at def-site: splice + prefill + the full while_loop decode are
+    ONE compiled program per (shape, hw, max_new_tokens) key — eager
+    execution would dispatch every op separately, which through this
+    sandbox's TPU tunnel costs ~100 ms per round trip (docs/PERF.md
+    round-3 reconciliation: the round-2 "8.1 s stage B" was eager-dispatch
+    overhead of exactly this kind, not loop re-dispatch).
     """
     lm_cfg = cfg.lm
     assert lm_cfg.causal

@@ -35,6 +35,7 @@ def mha_reference(
     v: jax.Array,
     valid: Optional[jax.Array] = None,
     causal: bool = False,
+    sm_scale: Optional[float] = None,
 ) -> jax.Array:
     """Grouped-query attention, fp32 softmax, XLA-only.
 
@@ -44,6 +45,9 @@ def mha_reference(
       valid: [B, S] bool key mask (True = real token), or None.
       causal: apply lower-triangular mask (the VLM path); the grounding LM
         runs with causal=False (reference grounding_qwen2.py:45-48).
+      sm_scale: score scale; default D**-0.5. Lane-padded callers (zero
+        head_dim padding, models/siglip.pad_attention_heads) pass the REAL
+        head_dim's scale.
 
     Returns [B, Hq, S, D] in q.dtype.
     """
@@ -53,7 +57,7 @@ def mha_reference(
     group = hq // hkv
 
     qf = q.reshape(b, hkv, group, s, d)
-    scale = d ** -0.5
+    scale = d ** -0.5 if sm_scale is None else sm_scale
     # fp32 logits.
     logits = jnp.einsum(
         "bhgqd,bhkd->bhgqk", qf, k, preferred_element_type=jnp.float32
@@ -139,6 +143,7 @@ def mha(
     valid: Optional[jax.Array] = None,
     causal: bool = False,
     use_flash=False,
+    sm_scale: Optional[float] = None,
 ) -> jax.Array:
     """Dispatch between attention implementations.
 
@@ -151,7 +156,10 @@ def mha(
     shard_map island with batch over dp and heads over tp — both
     communication-free for attention.
     """
+    if sm_scale is not None and sm_scale == q.shape[-1] ** -0.5:
+        sm_scale = None  # explicit default — keep cache keys canonical
     if use_flash in ("train", "train-jax"):
+        assert sm_scale is None, "sm_scale override is a serving-path knob"
         if use_flash == "train-jax":
             train_fn = mha_trainable  # jax's stock kernel (KV repeat), kept
             # for A/B benchmarking only
@@ -217,7 +225,8 @@ def mha(
                               block_impl=impl)
 
     if not use_flash:
-        return mha_reference(q, k, v, valid=valid, causal=causal)
+        return mha_reference(q, k, v, valid=valid, causal=causal,
+                             sm_scale=sm_scale)
 
     # Short unmasked MHA (the vision tower's shape) gets the direct-softmax
     # multi-head-per-program kernel; everything else streams. On CPU the
@@ -232,8 +241,9 @@ def mha(
         from videoitg_tpu.ops.flash_attention_short import flash_mha_short
 
         kernel = lambda q_, k_, v_, vd: flash_mha_short(  # noqa: E731
-            q_, k_, v_, interpret=interpret)
+            q_, k_, v_, interpret=interpret, sm_scale=sm_scale)
     else:
+        assert sm_scale is None, "sm_scale override is vision(short)-only"
         from videoitg_tpu.ops.flash_attention import flash_mha
 
         kernel = lambda q_, k_, v_, vd: flash_mha(  # noqa: E731

@@ -34,7 +34,11 @@ Rejected alternatives, all measured: int8 QK scores (slower — in-kernel
 quantization passes cost more than the 2x MXU saves — and 3e-2 drift),
 post-PV normalization (crashes the Mosaic compiler at this shape; ledger
 round 1 hit the same wall), polynomial exp2 / reciprocal-multiply /
-exp-removal probes (docs/PERF.md — softmax arithmetic is ~free).
+exp-removal probes (docs/PERF.md — softmax arithmetic is ~free), and
+round 3's lane-padded heads (head_dim 72->128 as zero weight columns via
+models/siglip.pad_attention_heads — exact, no pad pass, but 2319->2757 ms:
+Mosaic already pads D=72 tiles to the 128 grain internally, so the extra
+QKV/O GEMM FLOPs buy nothing; docs/PERF.md round-3 table).
 """
 
 from __future__ import annotations
@@ -126,6 +130,7 @@ def flash_mha_short(
     group: int = 4,
     interpret: bool = False,
     impl: str | None = None,
+    sm_scale: float | None = None,
 ) -> jax.Array:
     """Env-resolving wrapper: VIDEOITG_VISION_SOFTMAX / VIDEOITG_VISION_KT
     are read at CALL time and become static jit keys (a trace-time read
@@ -136,11 +141,11 @@ def flash_mha_short(
         impl = os.environ.get("VIDEOITG_VISION_SOFTMAX", "exact")
     kt = os.environ.get("VIDEOITG_VISION_KT", "1") != "0"
     return _flash_mha_short_jit(q, k, v, group=group, interpret=interpret,
-                                impl=impl, kt=kt)
+                                impl=impl, kt=kt, sm_scale=sm_scale)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("group", "interpret", "impl", "kt"))
+    jax.jit, static_argnames=("group", "interpret", "impl", "kt", "sm_scale"))
 def _flash_mha_short_jit(
     q: jax.Array,
     k: jax.Array,
@@ -149,6 +154,7 @@ def _flash_mha_short_jit(
     interpret: bool = False,
     impl: str = "exact",
     kt: bool = True,
+    sm_scale: float | None = None,
 ) -> jax.Array:
     """Non-causal unmasked MHA for S <= ~1024 (full keys resident in VMEM).
 
@@ -180,8 +186,11 @@ def _flash_mha_short_jit(
     while group > 1 and (h % group != 0 or over_budget(group)):
         group //= 2
 
+    # sm_scale: lane-padded callers (zero-padded head_dim) pass the REAL
+    # head_dim's scale; exp2's log2(e) factor stays folded in either way.
+    base_scale = d ** -0.5 if sm_scale is None else sm_scale
     kernel = functools.partial(
-        _short_kernel, sm_scale=d ** -0.5 * math.log2(math.e), group=group,
+        _short_kernel, sm_scale=base_scale * math.log2(math.e), group=group,
         impl=impl, kt=kt)
     # Full-dim (S, D) blocks: legal for any S/D ("equal to the respective
     # dimensions" rule), so no HBM padding is ever materialized.
