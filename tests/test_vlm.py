@@ -138,6 +138,29 @@ def test_vlm_generate_shapes_and_determinism(vlm_setup):
     assert out1.dtype == np.int32
 
 
+def test_vlm_generate_live_stop_sequences(vlm_setup):
+    """A stop sequence halts generation INSIDE the decode loop (reference
+    KeywordsStoppingCriteria stops live, mm_utils.py:309-341): once the
+    trailing tokens match, every later slot is eos."""
+    from videoitg_tpu.models.vlm import truncate_at_stop_sequences
+
+    cfg, params = vlm_setup
+    rng = np.random.default_rng(2)
+    batch = _batch(cfg, rng)
+    free = np.asarray(vlm_generate(params, batch, cfg, hw=2, max_new_tokens=6,
+                                   eos_token_id=-1))
+    stop = (int(free[0, 1]), int(free[0, 2]))
+    out = np.asarray(vlm_generate(params, batch, cfg, hw=2, max_new_tokens=6,
+                                  eos_token_id=-1, stop_sequences=(stop,)))
+    # unchanged through the match, eos-padded after it
+    np.testing.assert_array_equal(out[0, :3], free[0, :3])
+    assert (out[0, 3:] == -1).all(), out
+    # host-side truncation removes the stop text itself
+    toks = truncate_at_stop_sequences(out, stop_sequences=[list(stop)],
+                                      eos_token_id=-1)[0]
+    assert toks == [int(free[0, 0])]
+
+
 def test_vlm_sft_loss_decreases(vlm_setup):
     import optax
 

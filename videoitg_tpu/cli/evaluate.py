@@ -103,6 +103,9 @@ def main(argv=None) -> int:
     # accelerate-DDP equivalent, SURVEY §2.7).
     import jax
 
+    from videoitg_tpu.utils.common import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     if args.rank is None or args.world_size is None:
         args.rank = jax.process_index() if args.rank is None else args.rank
         args.world_size = (jax.process_count() if args.world_size is None

@@ -55,6 +55,9 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
 
     from videoitg_tpu.engine import SelectionEngine
+    from videoitg_tpu.utils.common import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
 
     from videoitg_tpu.utils.common import CharTokenizer, resolve_dtype
 

@@ -39,6 +39,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--image-folder", required=True)
     p.add_argument("--video-frames", type=int, default=1024)
     p.add_argument("--fps", type=float, default=1.0)
+    p.add_argument("--vision-token-num", type=int, default=None,
+                   help="seq_mlp total vision-token budget override "
+                        "(reference --vision_token_num; the grounding "
+                        "recipe uses 16384)")
+    p.add_argument("--vision-min-num", type=int, default=None,
+                   help="lower bound of the training-time random HW draw "
+                        "(reference --vision_min_num)")
     # optimization (reference defaults)
     p.add_argument("--learning-rate", type=float, default=2e-5)
     p.add_argument("--out-proj-lr", type=float, default=2e-4)
@@ -100,8 +107,11 @@ def main(argv=None) -> int:
         TrainState, create_train_state, make_train_step, run_step,
     )
 
-    from videoitg_tpu.utils.common import CharTokenizer, resolve_dtype
+    from videoitg_tpu.utils.common import (
+        CharTokenizer, enable_persistent_compilation_cache, resolve_dtype,
+    )
 
+    enable_persistent_compilation_cache()
     on_cpu = jax.default_backend() == "cpu"
     dtype = resolve_dtype(args.dtype)
 
@@ -144,6 +154,20 @@ def main(argv=None) -> int:
     else:
         print("error: pass --model or --random-init", file=sys.stderr)
         return 2
+
+    if args.vision_token_num is not None or args.vision_min_num is not None:
+        # Training projector-budget overrides (reference train_itg.py
+        # ModelArguments: --vision_token_num 16384 --vision_min_num 1 in the
+        # grounding recipe); copied into the config so checkpoints stay
+        # self-describing, like the reference's model.config copy-in.
+        import dataclasses as _dc
+
+        proj = cfg.projector
+        if args.vision_token_num is not None:
+            proj = _dc.replace(proj, vision_token_num=args.vision_token_num)
+        if args.vision_min_num is not None:
+            proj = _dc.replace(proj, vision_min_num=args.vision_min_num)
+        cfg = _dc.replace(cfg, projector=proj)
 
     # ---- data ----
     if args.objective == "vlm":

@@ -155,11 +155,23 @@ class NativeVLMAdapter(FrameSelectionConsumer):
         return out
 
     def answer(self, doc_id, doc, frames, frame_ids, question, task) -> str:
-        from videoitg_tpu.models.vlm import vlm_generate
+        from videoitg_tpu.models.vlm import (
+            truncate_at_stop_sequences, vlm_generate,
+        )
+
+        # Task "until" strings stop generation LIVE inside the decode loop
+        # (reference KeywordsStoppingCriteria) and are cut from the text.
+        until = (task.generation_kwargs or {}).get("until") or []
+        stops = tuple(
+            tuple(self.tokenizer(u).input_ids) for u in until
+            if self.tokenizer(u).input_ids)
 
         batch, hw = self._packed_batch(frames, question)
         out = vlm_generate(self.params, batch, self.cfg, hw=hw,
                            max_new_tokens=self.max_new_tokens,
-                           eos_token_id=self.eos_id, use_flash=self.use_flash)
-        toks = [int(x) for x in np.asarray(out)[0] if int(x) != self.eos_id]
+                           eos_token_id=self.eos_id, use_flash=self.use_flash,
+                           stop_sequences=stops)
+        toks = truncate_at_stop_sequences(
+            np.asarray(out), stop_sequences=[list(s) for s in stops],
+            eos_token_id=self.eos_id)[0]
         return self.tokenizer.decode(toks, skip_special_tokens=True)

@@ -55,6 +55,10 @@ class Task:
     # (or "default") to kwargs for doc_to_text, e.g. {"post_prompt": ...}.
     # Resolution: exact model name, else "default", else {}.
     prompt_overrides: Dict[str, Dict[str, Any]] = field(default_factory=dict)
+    # Response filter pipeline applied before process_results: a list of
+    # (filter_name, kwargs_or_None) components (reference filter_list /
+    # build_filter_ensemble; see eval/filters.py).
+    filters: List[tuple] = field(default_factory=list)
 
     def docs_with_ids(self, docs: Sequence[dict]) -> List[tuple]:
         return [

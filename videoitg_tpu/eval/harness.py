@@ -163,6 +163,14 @@ def evaluate_task(
     request_fn = getattr(adapter, task.output_type or "generate_until")
     responses = request_fn(my_items, task, writer=writer)
 
+    if task.filters and task.output_type != "loglikelihood":
+        # Generic filter pipeline (reference task.apply_filters,
+        # evaluator.py:468) — see eval/filters.py.
+        from videoitg_tpu.eval.filters import apply_task_filters
+
+        responses = apply_task_filters(
+            task, responses, [doc for _id, doc in my_items])
+
     records = []
     sample_log = []
     for (doc_id, doc), resp in zip(my_items, responses):

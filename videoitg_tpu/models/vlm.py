@@ -305,7 +305,8 @@ def vlm_decode_step(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "hw", "max_new_tokens", "eos_token_id", "use_flash"))
+    static_argnames=("cfg", "hw", "max_new_tokens", "eos_token_id",
+                     "use_flash", "stop_sequences"))
 def vlm_generate(
     params: dict,
     batch: VLMBatch,
@@ -314,6 +315,7 @@ def vlm_generate(
     max_new_tokens: int = 16,
     eos_token_id: int = -1,
     use_flash: bool = False,
+    stop_sequences: tuple = (),
 ) -> jax.Array:
     """Greedy generation. Returns [B, max_new_tokens] token ids (eos-padded).
 
@@ -347,6 +349,22 @@ def vlm_generate(
         i, tok, cache, out, done = state
         out = out.at[:, i].set(jnp.where(done, eos_token_id, tok))
         done = jnp.logical_or(done, tok == eos_token_id)
+        # LIVE keyword stopping (reference KeywordsStoppingCriteria,
+        # mm_utils.py:309-341 — it halts generation, not just truncates):
+        # a sample whose trailing tokens match any stop sequence is done,
+        # and the while_loop exits once all samples are. stop_sequences is
+        # a static tuple of token-id tuples; host-side
+        # truncate_at_stop_sequences still cuts the text afterwards.
+        for seq in stop_sequences:
+            n = len(seq)
+            if n == 0 or n > max_new_tokens:
+                continue
+            window = jax.lax.dynamic_slice(
+                out, (0, jnp.maximum(i - n + 1, 0)), (b, n))
+            hit = jnp.logical_and(
+                i + 1 >= n,
+                jnp.all(window == jnp.asarray(seq, jnp.int32)[None], axis=1))
+            done = jnp.logical_or(done, hit)
         logits, cache = vlm_decode_step(params, tok, cache, lm_cfg)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return i + 1, nxt, cache, out, done

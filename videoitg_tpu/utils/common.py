@@ -16,6 +16,28 @@ def resolve_dtype(name: Optional[str]):
             "float16": jnp.float16}[name]
 
 
+def enable_persistent_compilation_cache():
+    """Point jax at the repo-local .jax_cache.
+
+    Remote compiles through this sandbox's TPU tunnel take minutes each;
+    every entry point (bench, train, evaluate, select) shares one on-disk
+    cache so restarts — notably train auto-resume after a kill — skip
+    recompilation. No-op if the config knob is unavailable.
+    """
+    import os
+
+    import jax
+
+    try:
+        cache_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
+
 def call_with_data_root(fn, doc, data_root: str):
     """Task doc functions optionally accept data_root."""
     try:
