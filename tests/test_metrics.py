@@ -8,6 +8,8 @@ zero n-gram overlap).
 
 import math
 
+import pytest
+
 from videoitg_tpu.eval.metrics import (
     anls,
     bits_per_byte,
@@ -68,12 +70,48 @@ def test_corpus_bleu():
     # perfect match -> 100
     assert abs(corpus_bleu(["the cat sat on the mat"],
                            [["the cat sat on the mat"]]) - 100.0) < 1e-9
-    # no 4-gram overlap -> 0
-    assert corpus_bleu(["a b c"], [["x y z"]]) == 0.0
     # brevity penalty: short exact prefix scores below 100
     score = corpus_bleu(["the cat sat on"], [["the cat sat on the mat"]])
     assert 0 < score < 100
     assert abs(score - 100 * math.exp(1 - 6 / 4)) < 1e-6
+
+
+def test_corpus_bleu_matches_sacrebleu():
+    """Exact parity with sacrebleu defaults (13a + exp smoothing) — the
+    reference's BLEU path IS sacrebleu (lmms_eval/api/metrics.py:74-88)."""
+    import random
+
+    sacrebleu = pytest.importorskip("sacrebleu")
+
+    rng = random.Random(0)
+    vocab = ("the cat dog sat ran on mat rug fast 3.5 100,000 & x-ray "
+             "hello, world! why? (brackets) \"quoted\"").split()
+
+    def sentence(n):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    cases = [
+        (["the cat sat on the mat"], [["the cat sat on the mat"]]),
+        (["a b c"], [["x y z"]]),                      # smoothed zero-match
+        (["the cat"], [["the cat sat on the mat"]]),   # short hyp (total[3]=0)
+        (["Punct, heavy! (case)? 3.5 vs 100,000 x-ray"],
+         [["punct, heavy! (case) 3.5 vs 100,000 ray"]]),
+    ]
+    for _ in range(12):  # random corpora, 1-2 refs per segment
+        n_seg = rng.randint(1, 4)
+        preds = [sentence(rng.randint(1, 12)) for _ in range(n_seg)]
+        refs = [[sentence(rng.randint(1, 12)) for _ in range(rng.randint(1, 2))]
+                for _ in range(n_seg)]
+        cases.append((preds, refs))
+
+    for preds, refs in cases:
+        # sacrebleu wants reference STREAMS: stream i holds each segment's
+        # i-th reference (None when a segment has fewer).
+        streams = [[r[i] if i < len(r) else None for r in refs]
+                   for i in range(max(len(r) for r in refs))]
+        want = sacrebleu.corpus_bleu(preds, streams).score
+        got = corpus_bleu(preds, refs)
+        assert abs(got - want) < 1e-6, (preds, refs, got, want)
 
 
 def test_aggregations():

@@ -144,14 +144,34 @@ def _ngrams(tokens: Sequence[str], n: int):
     return [tuple(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
 
 
+def _tokenize_13a(line: str) -> list:
+    """mteval-v13a tokenization (sacrebleu's default `13a` tokenizer):
+    normalize a few SGML entities, then split punctuation — periods/commas
+    stay attached between digits."""
+    import re
+
+    line = line.replace("<skipped>", "")
+    line = line.replace("-\n", "").replace("\n", " ")
+    if "&" in line:
+        line = (line.replace("&quot;", '"').replace("&amp;", "&")
+                .replace("&lt;", "<").replace("&gt;", ">"))
+    line = f" {line} "
+    line = re.sub(r"([\{-\~\[-\` -\&\(-\+\:-\@\/])", r" \1 ", line)
+    line = re.sub(r"([^0-9])([\.,])", r"\1 \2 ", line)
+    line = re.sub(r"([\.,])([^0-9])", r" \1 \2", line)
+    line = re.sub(r"([0-9])(-)", r"\1 \2 ", line)
+    return line.split()
+
+
 def corpus_bleu(predictions: Sequence[str],
                 references: Sequence[Sequence[str]],
                 max_n: int = 4) -> float:
-    """Corpus BLEU-4 with brevity penalty, whitespace tokenization, and
-    smoothing-free clipped n-gram precision — a dependency-free stand-in
-    for sacrebleu.corpus_bleu (reference metrics.py:74-88). Scores are on
-    the 0-100 scale like sacrebleu; exact tokenizer differences (13a) are
-    documented rather than reproduced."""
+    """Corpus BLEU-4, sacrebleu-compatible: 13a tokenization, clipped
+    n-gram precisions with `exp` smoothing (Chen & Cherry), closest-
+    reference-length brevity penalty, 0-100 scale. Dependency-free
+    reimplementation of sacrebleu.corpus_bleu's defaults (the reference
+    routes through sacrebleu, lmms_eval/api/metrics.py:74-88); exact-parity
+    fuzz-tested against sacrebleu in tests/test_metrics.py."""
     from collections import Counter
 
     match = [0] * max_n
@@ -159,10 +179,10 @@ def corpus_bleu(predictions: Sequence[str],
     pred_len = 0
     ref_len = 0
     for pred, refs in zip(predictions, references):
-        p_tok = pred.split()
-        r_toks = [r.split() for r in refs]
+        p_tok = _tokenize_13a(pred)
+        r_toks = [_tokenize_13a(r) for r in refs]
         pred_len += len(p_tok)
-        # closest reference length (sacrebleu convention)
+        # closest reference length, shorter wins ties (sacrebleu convention)
         ref_len += min((abs(len(r) - len(p_tok)), len(r)) for r in r_toks)[1]
         for n in range(1, max_n + 1):
             p_counts = Counter(_ngrams(p_tok, n))
@@ -172,8 +192,25 @@ def corpus_bleu(predictions: Sequence[str],
                     max_ref[gram] = max(max_ref[gram], c)
             match[n - 1] += sum(min(c, max_ref[g]) for g, c in p_counts.items())
             total[n - 1] += max(0, len(p_tok) - n + 1)
-    if any(m == 0 for m in match):
+
+    if not any(match):
+        return 0.0  # no n-gram matches at ANY order (sacrebleu early-out)
+
+    # Percent-scale precisions; zero-match orders get the mteval `exp`
+    # smoothing (1 / 2^k of a count), zero-total orders stay 0.
+    precisions = [0.0] * max_n
+    smooth = 1.0
+    for i in range(max_n):
+        if total[i] == 0:
+            continue
+        if match[i] == 0:
+            smooth *= 2.0
+            precisions[i] = 100.0 / (smooth * total[i])
+        else:
+            precisions[i] = 100.0 * match[i] / total[i]
+    if any(p == 0.0 for p in precisions):
         return 0.0
-    log_prec = sum(math.log(m / t) for m, t in zip(match, total)) / max_n
-    bp = 1.0 if pred_len > ref_len else math.exp(1 - ref_len / max(1, pred_len))
-    return 100.0 * bp * math.exp(log_prec)
+    log_prec = sum(math.log(p) for p in precisions) / max_n
+    bp = 1.0 if pred_len > ref_len else (
+        math.exp(1 - ref_len / pred_len) if pred_len > 0 else 0.0)
+    return bp * math.exp(log_prec)
