@@ -62,3 +62,26 @@ def test_softmax_impl_parity_and_fast_exp2():
         got = flash_mha_short(q, k, v, interpret=True, impl=impl)
         np.testing.assert_allclose(np.asarray(got), np.asarray(base),
                                    atol=3e-6, rtol=1e-5)
+
+
+def test_short_kernel_multi_frame_blocks():
+    """frames>1 packs consecutive frames into one program (grid amortize);
+    measured flat on v5e at the tower shape (docs/PERF.md round-3) but the
+    knob stays — its numerics must match the single-frame kernel."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from videoitg_tpu.ops.attention import mha_reference
+    from videoitg_tpu.ops.flash_attention_short import _flash_mha_short_jit
+
+    rng = np.random.default_rng(5)
+    b, h, s, d = 4, 4, 37, 8
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    ref = np.asarray(mha_reference(q, k, v))
+    for f in (2, 4, 3):  # 3 does not divide b=4 -> falls back to smaller
+        out = np.asarray(
+            _flash_mha_short_jit(q, k, v, group=2, interpret=True, frames=f))
+        np.testing.assert_allclose(out, ref, atol=5e-6, rtol=1e-5)

@@ -77,24 +77,31 @@ def _fast_exp2(x: jax.Array) -> jax.Array:
 
 
 def _short_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale: float, group: int,
-                  impl: str, kt: bool):
-    def qk(g):
+                  impl: str, kt: bool, frames: int = 1):
+    """frames > 1: one program handles `frames` consecutive frames' heads
+    (frames x group inner iterations), amortizing grid/DMA overhead over a
+    bigger block — the (frame, head) loop is flattened so the software
+    pipeline crosses frame boundaries too."""
+    def qk(i):
+        f, g = divmod(i, group)
         if kt:  # K block arrives [D, S]: contraction is MXU-natural, no
             # in-kernel relayout of K.
             return jax.lax.dot_general(
-                q_ref[0, g], k_ref[0, g], (((1,), (0,)), ((), ())),
+                q_ref[f, g], k_ref[f, g], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [S, S] fp32
         return jax.lax.dot_general(
-            q_ref[0, g], k_ref[0, g], (((1,), (1,)), ((), ())),
+            q_ref[f, g], k_ref[f, g], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [S, S] fp32
 
+    n_iter = frames * group
     s = qk(0)
-    for g in range(group):  # static unroll; next head's QK issued early
+    for i in range(n_iter):  # static unroll; next head's QK issued early
+        f, g = divmod(i, group)
         cur = s
-        if g + 1 < group:
-            s = qk(g + 1)
+        if i + 1 < n_iter:
+            s = qk(i + 1)
         if impl == "probe0":  # perf probe ONLY: no reductions, no exp
             p = cur * sm_scale + 1.0
         else:
@@ -116,8 +123,8 @@ def _short_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale: float, group: int,
                 # one reciprocal per ROW + an [S, S] multiply, instead of
                 # S^2 fp32 divides (divide is multi-cycle on the VPU).
                 p = p * (1.0 / denom)
-        v = v_ref[0, g]
-        o_ref[0, g] = jax.lax.dot_general(
+        v = v_ref[f, g]
+        o_ref[f, g] = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(o_ref.dtype)
@@ -140,12 +147,15 @@ def flash_mha_short(
     if impl is None:
         impl = os.environ.get("VIDEOITG_VISION_SOFTMAX", "exact")
     kt = os.environ.get("VIDEOITG_VISION_KT", "1") != "0"
+    frames = int(os.environ.get("VIDEOITG_VISION_FRAMES", "1"))
     return _flash_mha_short_jit(q, k, v, group=group, interpret=interpret,
-                                impl=impl, kt=kt, sm_scale=sm_scale)
+                                impl=impl, kt=kt, sm_scale=sm_scale,
+                                frames=frames)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("group", "interpret", "impl", "kt", "sm_scale"))
+    jax.jit, static_argnames=("group", "interpret", "impl", "kt", "sm_scale",
+                              "frames"))
 def _flash_mha_short_jit(
     q: jax.Array,
     k: jax.Array,
@@ -155,6 +165,7 @@ def _flash_mha_short_jit(
     impl: str = "exact",
     kt: bool = True,
     sm_scale: float | None = None,
+    frames: int = 1,
 ) -> jax.Array:
     """Non-causal unmasked MHA for S <= ~1024 (full keys resident in VMEM).
 
@@ -179,28 +190,32 @@ def _flash_mha_short_jit(
 
     # Fit the per-program working set in VMEM: q/k/v/o blocks plus two live
     # fp32 score buffers (pipelining), against a conservative ~12MB budget.
-    def over_budget(g):
-        return (4 * g * s * d * bytes_per + 2 * s * s * 4
+    def over_budget(g, f=1):
+        return (4 * f * g * s * d * bytes_per + 2 * s * s * 4
                 > 12 * 1024 * 1024)
 
     while group > 1 and (h % group != 0 or over_budget(group)):
         group //= 2
+    while frames > 1 and (b % frames != 0 or over_budget(group, frames)):
+        frames //= 2
 
     # sm_scale: lane-padded callers (zero-padded head_dim) pass the REAL
     # head_dim's scale; exp2's log2(e) factor stays folded in either way.
     base_scale = d ** -0.5 if sm_scale is None else sm_scale
     kernel = functools.partial(
         _short_kernel, sm_scale=base_scale * math.log2(math.e), group=group,
-        impl=impl, kt=kt)
+        impl=impl, kt=kt, frames=frames)
     # Full-dim (S, D) blocks: legal for any S/D ("equal to the respective
-    # dimensions" rule), so no HBM padding is ever materialized.
-    spec = pl.BlockSpec((1, group, s, d), lambda b_, hg: (b_, hg, 0, 0),
+    # dimensions" rule), so no HBM padding is ever materialized. frames > 1
+    # blocks that many consecutive frames per program (grid shrinks to
+    # match), amortizing grid/DMA overhead over a bigger working set.
+    spec = pl.BlockSpec((frames, group, s, d), lambda b_, hg: (b_, hg, 0, 0),
                         memory_space=pltpu.VMEM)
-    k_spec = (pl.BlockSpec((1, group, d, s), lambda b_, hg: (b_, hg, 0, 0),
+    k_spec = (pl.BlockSpec((frames, group, d, s), lambda b_, hg: (b_, hg, 0, 0),
                            memory_space=pltpu.VMEM) if kt else spec)
     return pl.pallas_call(
         kernel,
-        grid=(b, h // group),
+        grid=(b // frames, h // group),
         in_specs=[spec, k_spec, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
