@@ -53,7 +53,8 @@ def build_data(workdir: str, n_videos: int, targets: int) -> str:
 
 
 def train_cmd(workdir: str, data: str, out_dir: str, steps: int, lr: float,
-              save_steps: int) -> list:
+              save_steps: int, batch: int = 2, lora: int = 0) -> list:
+    extra = ["--lora", str(lora)] if lora else []
     return [
         sys.executable, "-m", "videoitg_tpu.cli.train",
         "--preset", "videoitg-2b", "--random-init",
@@ -63,10 +64,10 @@ def train_cmd(workdir: str, data: str, out_dir: str, steps: int, lr: float,
         "--learning-rate", str(lr), "--out-proj-lr", str(lr * 10),
         "--warmup-ratio", "0.03", "--lr-scheduler-type", "cosine",
         "--total-steps", str(steps), "--save-steps", str(save_steps),
-        "--per-device-train-batch-size", "4",
+        "--per-device-train-batch-size", str(batch),
         "--num-train-epochs", "1000",  # cycle the 32 videos until total-steps
         "--output-dir", out_dir, "--logging-steps", "5", "--seed", "7",
-    ]
+    ] + extra
 
 
 def run_phase1_with_kill(cmd, out_dir: str, save_steps: int,
@@ -100,7 +101,7 @@ def run_phase1_with_kill(cmd, out_dir: str, save_steps: int,
 
 
 def evaluate(workdir: str, out_dir: str, n_videos: int, targets: int,
-             steps: int, lr: float) -> float:
+             steps: int, lr: float, lora: int = 0) -> float:
     """Restore the final orbax state and measure training-set Top-1."""
     import jax
     import jax.numpy as jnp
@@ -125,9 +126,17 @@ def evaluate(workdir: str, out_dir: str, n_videos: int, targets: int,
     dtype = jnp.float32 if on_cpu else jnp.bfloat16
     # Template must mirror cli/train's construction (same seed/tx labels).
     params = init_grounding(jax.random.PRNGKey(7), cfg, dtype=dtype)
-    tx = make_grounding_optimizer(
-        params, learning_rate=lr, out_proj_lr=lr * 10, total_steps=steps,
-        warmup_ratio=0.03, schedule="cosine")
+    if lora:
+        from videoitg_tpu.train.lora import add_lora, make_lora_optimizer
+
+        params = add_lora(params, jax.random.PRNGKey(8), rank=lora)
+        tx = make_lora_optimizer(
+            params, learning_rate=lr, out_proj_lr=lr * 10, total_steps=steps,
+            warmup_ratio=0.03, schedule="cosine")
+    else:
+        tx = make_grounding_optimizer(
+            params, learning_rate=lr, out_proj_lr=lr * 10, total_steps=steps,
+            warmup_ratio=0.03, schedule="cosine")
     state = create_train_state(params, tx)
     ckpt = TrainCheckpointer(out_dir)
     step, restored = ckpt.restore_latest(state)
@@ -154,6 +163,13 @@ def main() -> int:
     p.add_argument("--targets", type=int, default=8)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--save-steps", type=int, default=25)
+    p.add_argument("--batch", type=int, default=2,
+                   help="per-step videos (2B FULL finetune at batch 4 OOMs "
+                        "a 16 GB v5e; 8B training is mesh-only, PERF.md)")
+    p.add_argument("--lora", type=int, default=0,
+                   help="train rank-N adapters + head instead of full "
+                        "weights (the single-chip fallback when the full "
+                        "2B optimizer state does not fit)")
     p.add_argument("--workdir", default="/tmp/videoitg_overfit")
     p.add_argument("--threshold", type=float, default=0.9)
     args = p.parse_args()
@@ -162,7 +178,7 @@ def main() -> int:
     out_dir = os.path.join(args.workdir, "run")
     data = build_data(args.workdir, args.videos, args.targets)
     cmd = train_cmd(args.workdir, data, out_dir, args.steps, args.lr,
-                    args.save_steps)
+                    args.save_steps, batch=args.batch, lora=args.lora)
 
     killed_at = run_phase1_with_kill(
         cmd, out_dir, args.save_steps, os.path.join(args.workdir, "phase1.log"))
@@ -178,7 +194,7 @@ def main() -> int:
     print("[overfit] phase 2 auto-resumed and completed")
 
     acc = evaluate(args.workdir, out_dir, args.videos, args.targets,
-                   args.steps, args.lr)
+                   args.steps, args.lr, lora=args.lora)
     print(json.dumps({"top1_train_accuracy": acc, "steps": args.steps,
                       "videos": args.videos, "killed_at_step": killed_at,
                       "pass": acc >= args.threshold}))

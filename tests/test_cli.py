@@ -110,6 +110,19 @@ def test_cli_evaluate_use_cache_and_metadata(workdir):
     assert n2 == n
 
 
+def test_cli_train_qlora(workdir):
+    """--lora RANK + --quantize-base int8: QLoRA via the CLI (reference
+    --lora_enable + bitsandbytes bits=8, train_itg.py:192-197,1252-1268)."""
+    _run([sys.executable, "-m", "videoitg_tpu.cli.train", "--cpu",
+          "--preset", "tiny", "--random-init",
+          "--data-path", "ground.json", "--image-folder", ".",
+          "--video-frames", "4", "--fps", "1", "--total-steps", "1",
+          "--per-device-train-batch-size", "2",
+          "--lora", "4", "--quantize-base", "int8",
+          "--output-dir", "trainL"], cwd=workdir)
+    assert (workdir / "trainL" / "metrics.jsonl").exists()
+
+
 def test_cli_train_grounding(workdir):
     _run([sys.executable, "-m", "videoitg_tpu.cli.train", "--cpu",
           "--preset", "tiny", "--random-init",

@@ -53,6 +53,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tune-projector-only", action="store_true",
                    help="stage-1 adapter pretrain: train only the projector "
                         "(reference --tune_mm_mlp_adapter True)")
+    p.add_argument("--lora", type=int, default=0, metavar="RANK",
+                   help="train LoRA adapters of this rank (+ the scoring "
+                        "head) instead of full weights (reference "
+                        "--lora_enable/--lora_r, train_itg.py:192-197)")
+    p.add_argument("--lora-alpha", type=float, default=32.0)
+    p.add_argument("--quantize-base", choices=["int8", "int4"], default=None,
+                   help="with --lora: freeze the LM base in this quantized "
+                        "form (QLoRA; reference bits=8/4 + peft)")
     p.add_argument("--weight-decay", type=float, default=0.0)
     p.add_argument("--warmup-ratio", type=float, default=0.05)
     p.add_argument("--lr-scheduler-type", default="cosine")
@@ -183,33 +191,68 @@ def main(argv=None) -> int:
             args.data_path, args.image_folder, tokenizer, cfg,
             video_frames=args.video_frames, fps=args.fps, seed=args.seed,
         )
+    if args.lora:
+        # LoRA / QLoRA (reference train_itg.py:1252-1268 peft wrap, with
+        # bitsandbytes 8/4-bit base when --quantize-base is set). The base
+        # stays frozen (quantized leaves get float0 grads -> set_to_zero);
+        # adapters + the scoring head train.
+        from videoitg_tpu.train.lora import add_lora
+
+        if args.quantize_base == "int8":
+            from videoitg_tpu.ops.quant import quantize_grounding_int8
+
+            params = quantize_grounding_int8(params)
+        elif args.quantize_base == "int4":
+            from videoitg_tpu.ops.quant import quantize_qwen2_int4
+
+            params = dict(params, lm=quantize_qwen2_int4(params["lm"]))
+        params = add_lora(params, jax.random.PRNGKey(args.seed + 1),
+                          rank=args.lora, alpha=args.lora_alpha)
+
     batch_size = args.per_device_train_batch_size
     n_devices = len(jax.devices())
     mesh = None
     if n_devices > 1:
+        from videoitg_tpu.parallel.sharding import adapt_specs_to_params
+
         mesh = make_mesh(dp=args.dp, tp=args.tp, sp=args.sp)
         dp = mesh.shape["dp"]
         batch_size = batch_size * dp
-        params = shard_params(params, grounding_param_specs(), mesh)
+        params = shard_params(
+            params, adapt_specs_to_params(grounding_param_specs(), params),
+            mesh)
 
     total_steps = args.total_steps or max(
         1, args.num_train_epochs * len(dataset) // batch_size
     )
 
     # ---- optimizer / state ----
-    tx = make_grounding_optimizer(
-        params,
-        learning_rate=args.learning_rate,
-        out_proj_lr=args.out_proj_lr,
-        projector_lr=args.mm_projector_lr,
-        weight_decay=args.weight_decay,
-        total_steps=total_steps,
-        warmup_ratio=args.warmup_ratio,
-        schedule=args.lr_scheduler_type,
-        max_grad_norm=args.max_grad_norm,
-        accum_steps=args.gradient_accumulation_steps,
-        tune_projector_only=args.tune_projector_only,
-    )
+    if args.lora:
+        from videoitg_tpu.train.lora import make_lora_optimizer
+
+        tx = make_lora_optimizer(
+            params,
+            learning_rate=args.learning_rate,
+            out_proj_lr=args.out_proj_lr,
+            total_steps=total_steps,
+            warmup_ratio=args.warmup_ratio,
+            schedule=args.lr_scheduler_type,
+            weight_decay=args.weight_decay,
+        )
+    else:
+        tx = make_grounding_optimizer(
+            params,
+            learning_rate=args.learning_rate,
+            out_proj_lr=args.out_proj_lr,
+            projector_lr=args.mm_projector_lr,
+            weight_decay=args.weight_decay,
+            total_steps=total_steps,
+            warmup_ratio=args.warmup_ratio,
+            schedule=args.lr_scheduler_type,
+            max_grad_norm=args.max_grad_norm,
+            accum_steps=args.gradient_accumulation_steps,
+            tune_projector_only=args.tune_projector_only,
+        )
     state = create_train_state(params, tx)
 
     offload_wrap = None
