@@ -27,19 +27,9 @@ BASELINE_FRAMES_PER_SEC = 2000.0
 
 
 def _enable_compile_cache():
-    import os
+    from videoitg_tpu.utils.common import enable_persistent_compilation_cache
 
-    import jax
-
-    # Persistent compilation cache: the 8B program takes minutes to compile
-    # through this sandbox's remote-compile tunnel; cache across runs.
-    try:
-        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 ".jax_cache")
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
-    except Exception:
-        pass
+    enable_persistent_compilation_cache()
 
 
 def _build_params(model: str, dtype, act_int8: bool):
@@ -311,9 +301,13 @@ def main() -> int:
             ew, eh = (480, 360)
             if jax.default_backend() == "cpu":
                 n_vid, (ew, eh) = min(n_vid, 3), (96, 64)
+            # Benchmark the tier that actually produced the headline (the
+            # 8b -> 2b fallback may have swapped it).
+            eng_model = result["model"].replace("+act8", "")
+            eng_act8 = result["model"].endswith("+act8")
             result.update(run_engine_bench(
-                model, args.num_frames, n_vid,
-                act_int8=act_int8, width=ew, height=eh))
+                eng_model, args.num_frames, n_vid,
+                act_int8=eng_act8, width=ew, height=eh))
         except Exception as e:
             result["engine_bench_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(result))

@@ -106,8 +106,9 @@ def evaluate(workdir: str, out_dir: str, n_videos: int, targets: int,
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(REPO, ".jax_cache"))
+    from videoitg_tpu.utils.common import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
 
     from videoitg_tpu.config import preset
     from videoitg_tpu.engine import SelectionEngine

@@ -30,9 +30,11 @@ def test_regex_filter_reference_default():
 
 def test_multi_choice_regex_content_fallback():
     f = MultiChoiceRegexFilter(ignore_case=True)
-    docs = [{"options": ["A. red panda", "B. blue whale"]}] * 2
-    out = f.apply([["the answer is (B)"], ["it is clearly the blue whale"]], docs)
-    assert out == [["B"], ["B"]]
+    docs = [{"options": ["A. red panda", "B. blue whale"]}] * 3
+    out = f.apply([["the answer is (B)"], ["it is clearly the blue whale"],
+                   ["The answer is B"]], docs)
+    # case 3: the capital 'T' of "The" must NOT win over the standalone 'B'
+    assert out == [["B"], ["B"], ["B"]]
 
 
 def test_ensemble_chains_in_order():

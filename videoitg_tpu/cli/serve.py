@@ -1,0 +1,248 @@
+"""videoitg-serve: long-running frame-selection service.
+
+The reference's serving story stops at per-process batch eval
+(lmms_eval/models/videoitg.py — one accelerate rank per GPU, restart per
+run); production selection wants a persistent process: the engine compiles
+once per (bucket, HW) and then serves every request at steady-state
+latency. This daemon is that surface, TPU-native:
+
+* one SelectionEngine held hot (params resident, programs cached),
+* a request queue drained by a scoring worker that decodes ahead on host
+  threads (data/prefetch.decode_ahead) while the chip scores,
+* plain-stdlib HTTP (ThreadingHTTPServer) so air-gapped deployments carry
+  no extra dependencies.
+
+API:
+  POST /select   {"video_path": ..., "prompt": ..., "topk": 32,
+                  "doc_id": ..., "sampling": "eval"|"infer"}
+              -> the results.jsonl record (index/logits/contexts/...) plus
+                 "selected": the Top-K downstream contract (first k
+                 score-descending, ascending sort; internvl2.py:114-123).
+  GET /healthz -> {"ok": true, "pending": N, "served": M}
+  GET /stats   -> per-stage timing summary (decode/preprocess/score).
+
+Start:  videoitg-serve --model /ckpts/VideoITG-8B --quantize act8 \
+            --num-frames 512 --target-fps 1 --port 8080
+Smoke:  videoitg-serve --preset tiny --random-init --cpu --port 8080
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import queue
+import sys
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("videoitg-serve", description=__doc__)
+    p.add_argument("--model", help="HF-format VideoITG checkpoint directory")
+    p.add_argument("--preset", default="videoitg-8b")
+    p.add_argument("--random-init", action="store_true")
+    p.add_argument("--num-frames", type=int, default=512)
+    p.add_argument("--target-fps", type=float, default=1.0)
+    p.add_argument("--dtype", default=None, choices=[None, "bfloat16", "float32"])
+    p.add_argument("--quantize", default=None,
+                   choices=[None, "int8", "int4", "act8"])
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--decode-workers", type=int, default=2)
+    p.add_argument("--decode-ahead", type=int, default=4)
+    p.add_argument("--warmup", action="store_true",
+                   help="compile the default bucket at startup (a synthetic "
+                        "video) so the first request is steady-state")
+    p.add_argument("--cpu", action="store_true")
+    return p
+
+
+class SelectionServer:
+    """Queue + scoring worker around a hot SelectionEngine."""
+
+    def __init__(self, engine, decode_workers: int = 2, decode_ahead: int = 4):
+        self.engine = engine
+        self.decode_workers = decode_workers
+        self.decode_ahead = decode_ahead
+        self.requests: queue.Queue = queue.Queue()
+        self.served = 0
+        self._lock = threading.Lock()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def submit(self, req: dict) -> dict:
+        """Blocking submit: returns the response dict (or {"error": ...})."""
+        done = threading.Event()
+        box: dict = {}
+        self.requests.put((req, box, done))
+        done.wait()
+        return box
+
+    def _drain(self):
+        """One item (blocking) plus everything else already queued."""
+        first = self.requests.get()
+        batch = [first]
+        while True:
+            try:
+                batch.append(self.requests.get_nowait())
+            except queue.Empty:
+                return batch
+
+    def _run(self):
+        from videoitg_tpu.data.prefetch import decode_ahead
+
+        while True:
+            batch = self._drain()
+            # decode_ahead takes one sampling mode per call: group the burst.
+            by_sampling: dict = {}
+            for entry in batch:
+                by_sampling.setdefault(
+                    entry[0].get("sampling", "eval"), []).append(entry)
+            for sampling, group in by_sampling.items():
+                self._score_group(sampling, group, decode_ahead)
+
+    def _score_group(self, sampling: str, group, decode_ahead):
+        items = [(i, req.get("video_path", ""), (req, box, done))
+                 for i, (req, box, done) in enumerate(group)]
+        # Decode ahead across the whole queued burst: host decode of
+        # request i+1 overlaps the chip scoring request i.
+        for dec in decode_ahead(
+                items, num_frames=self.engine.num_frames,
+                target_fps=self.engine.target_fps,
+                sampling=sampling,
+                workers=self.decode_workers, ahead=self.decode_ahead):
+            req, box, done = dec.meta
+            try:
+                if dec.error is not None:
+                    raise dec.error
+                res = self.engine.select(
+                    dec.frames, dec.sampled, req["prompt"],
+                    video_path=req.get("video_path", ""),
+                    doc_id=req.get("doc_id"))
+                out = res.to_reference_json()
+                out["selected"] = res.topk(int(req.get("topk", 32)))
+                box.update(out)
+                with self._lock:
+                    self.served += 1
+            except Exception as e:  # per-request isolation
+                box["error"] = f"{type(e).__name__}: {e}"
+            finally:
+                done.set()
+
+
+def make_handler(server: SelectionServer):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _reply(self, code: int, payload: dict):
+            body = json.dumps(payload, ensure_ascii=False).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {"ok": True,
+                                  "pending": server.requests.qsize(),
+                                  "served": server.served})
+            elif self.path == "/stats":
+                self._reply(200, server.engine.timer.summary())
+            else:
+                self._reply(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/select":
+                return self._reply(404, {"error": "unknown path"})
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                assert "video_path" in req and "prompt" in req, (
+                    "need video_path and prompt")
+            except Exception as e:
+                return self._reply(400, {"error": f"bad request: {e}"})
+            out = server.submit(req)
+            self._reply(200 if "error" not in out else 500, out)
+
+    return Handler
+
+
+def build_engine(args):
+    import jax
+
+    from videoitg_tpu.engine import SelectionEngine
+    from videoitg_tpu.utils.common import (
+        CharTokenizer, enable_persistent_compilation_cache, resolve_dtype,
+    )
+
+    enable_persistent_compilation_cache()
+    dtype = resolve_dtype(args.dtype)
+    if args.model:
+        from transformers import AutoTokenizer
+
+        from videoitg_tpu.checkpoint import load_grounding_model
+
+        params, cfg = load_grounding_model(args.model, dtype=dtype)
+        tokenizer = AutoTokenizer.from_pretrained(args.model)
+    elif args.random_init:
+        from videoitg_tpu.config import preset as get_preset
+        from videoitg_tpu.models.grounding import init_grounding
+
+        cfg = get_preset(args.preset)
+        params = init_grounding(jax.random.PRNGKey(0), cfg, dtype=dtype)
+        tokenizer = CharTokenizer(cfg.lm.vocab_size)
+        print("[videoitg-serve] WARNING: random weights — scores are noise",
+              file=sys.stderr)
+    else:
+        raise SystemExit("error: pass --model DIR or --random-init")
+
+    if args.quantize:
+        from videoitg_tpu.ops.quant import apply_quantization_tier
+
+        params = apply_quantization_tier(params, args.quantize)
+    return SelectionEngine(params, cfg, tokenizer, dtype=dtype,
+                           num_frames=args.num_frames,
+                           target_fps=args.target_fps)
+
+
+def warmup(engine, num_frames: int) -> None:
+    """Compile the default bucket before accepting traffic."""
+    import tempfile
+
+    from videoitg_tpu.data.video import write_test_video
+
+    with tempfile.TemporaryDirectory() as d:
+        v = write_test_video(os.path.join(d, "warm.mp4"), 96, 64,
+                             max(num_frames, 8), 10, 12)
+        engine.select_from_file(v, "warmup", sampling="eval")
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    engine = build_engine(args)
+    if args.warmup:
+        print("[videoitg-serve] warming up (first compile)...", file=sys.stderr)
+        warmup(engine, args.num_frames)
+    server = SelectionServer(engine, decode_workers=args.decode_workers,
+                             decode_ahead=args.decode_ahead)
+    httpd = ThreadingHTTPServer((args.host, args.port), make_handler(server))
+    print(f"[videoitg-serve] listening on {args.host}:{httpd.server_address[1]}",
+          file=sys.stderr)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

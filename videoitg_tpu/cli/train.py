@@ -191,6 +191,11 @@ def main(argv=None) -> int:
             args.data_path, args.image_folder, tokenizer, cfg,
             video_frames=args.video_frames, fps=args.fps, seed=args.seed,
         )
+    if args.quantize_base and not args.lora:
+        print("error: --quantize-base requires --lora (a quantized base "
+              "cannot be trained directly; QLoRA trains adapters over it)",
+              file=sys.stderr)
+        return 2
     if args.lora:
         # LoRA / QLoRA (reference train_itg.py:1252-1268 peft wrap, with
         # bitsandbytes 8/4-bit base when --quantize-base is set). The base
@@ -238,6 +243,8 @@ def main(argv=None) -> int:
             warmup_ratio=args.warmup_ratio,
             schedule=args.lr_scheduler_type,
             weight_decay=args.weight_decay,
+            max_grad_norm=args.max_grad_norm,
+            accum_steps=args.gradient_accumulation_steps,
         )
     else:
         tx = make_grounding_optimizer(

@@ -116,16 +116,30 @@ class NativeVLMAdapter(FrameSelectionConsumer):
                                 dtype=self.jdtype)[None]
         pre, post_prompt = build_chatml_generation_ids(question, self.tokenizer)
         post_ids = post_prompt + list(post_extra)
+        # Pad text segments to 32-token buckets: vlm_generate/loglikelihood
+        # are jitted per shape, and without bucketing every distinct
+        # question length costs a fresh compile (minutes each through a
+        # remote-compile tunnel). The packed layout masks pad slots (the
+        # model reads pre_valid/post_valid; prefill returns the LAST VALID
+        # slot's hidden state), so numerics are unchanged.
+        def bucket(n):
+            return max(32, -(-n // 32) * 32)
+
+        n_pre, n_post = len(pre), len(post_ids)
+        pre_pad = bucket(n_pre) - n_pre
+        post_pad = bucket(n_post) - n_post
         batch = VLMBatch(
             frames=pix,
             frame_valid=jnp.ones((1, t), dtype=bool),
-            pre_ids=jnp.asarray([pre], dtype=jnp.int32),
-            pre_valid=jnp.ones((1, len(pre)), dtype=bool),
-            post_ids=jnp.asarray([post_ids], dtype=jnp.int32),
-            post_valid=jnp.ones((1, len(post_ids)), dtype=bool),
+            pre_ids=jnp.asarray([pre + [0] * pre_pad], dtype=jnp.int32),
+            pre_valid=jnp.asarray([[True] * n_pre + [False] * pre_pad]),
+            post_ids=jnp.asarray([post_ids + [0] * post_pad], dtype=jnp.int32),
+            post_valid=jnp.asarray([[True] * n_post + [False] * post_pad]),
             post_labels=(None if post_labels is None else
                          jnp.asarray([[*([IGNORE_INDEX] * len(post_prompt)),
-                                       *post_labels]], dtype=jnp.int32)),
+                                       *post_labels,
+                                       *([IGNORE_INDEX] * post_pad)]],
+                                     dtype=jnp.int32)),
         )
         return batch, hw
 

@@ -107,7 +107,10 @@ class MultiChoiceRegexFilter(RegexFilter):
     doc's choice texts (doc["options"]-style "A. text" lines) and emit the
     letter; failing that, fallback."""
 
-    def __init__(self, regex_pattern: str = r"\(?([A-Z])\)?",
+    # The letter must be a standalone token: "The answer is B" must not
+    # extract the 'T' of "The" (lookarounds reject letter-adjacent hits).
+    def __init__(self,
+                 regex_pattern: str = r"(?<![A-Za-z])\(?([A-Z])\)?(?![A-Za-z])",
                  group_select: int = 0, fallback: str = "[invalid]",
                  ignore_case: bool = False, ignore_punctuation: bool = False):
         super().__init__(regex_pattern, group_select, fallback)

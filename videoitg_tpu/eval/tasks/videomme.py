@@ -75,8 +75,7 @@ def load_docs(data_root: str, split: str = "test") -> List[dict]:
     return load_benchmark_docs("lmms-lab/Video-MME", data_root, split)
 
 
-def doc_to_text_subtitle(doc, data_root: str = "", frame_num: int = 32,
-                         **_) -> str:
+def doc_to_text_subtitle(doc, data_root: str = "", frame_num: int = 32) -> str:
     """Prompt variant with frame-aligned subtitle lines (parity:
     videomme/utils.py:174-229 — Video-MME SRTs wrap text in a
     <font color="white" size=".72c"> tag, extracted per overlapping line)."""

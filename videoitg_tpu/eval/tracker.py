@@ -148,7 +148,9 @@ class EvaluationTracker:
                 merged = []
                 for c in cands:
                     with open(c) as f:
-                        merged.extend(line for line in f if line.strip())
+                        merged.extend(
+                            line if line.endswith("\n") else line + "\n"
+                            for line in f if line.strip())
                 self.api.upload_text("".join(merged), repo_path)
             written.append(repo_path)
         return written

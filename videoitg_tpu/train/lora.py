@@ -90,8 +90,15 @@ def make_lora_optimizer(
     warmup_ratio: float = 0.05,
     schedule: str = "cosine",
     weight_decay: float = 0.0,
+    max_grad_norm: float | None = 1.0,
+    accum_steps: int = 1,
 ) -> optax.GradientTransformation:
-    """Train only lora_* leaves (+ the scoring head when out_proj_lr set)."""
+    """Train only lora_* leaves (+ the scoring head when out_proj_lr set).
+
+    Gradient clipping and accumulation compose exactly like
+    make_grounding_optimizer's — the CLI's --max-grad-norm /
+    --gradient-accumulation-steps apply to LoRA runs too.
+    """
     from videoitg_tpu.train.optimizer import make_schedule
 
     def label_leaf(path, _leaf) -> str:
@@ -105,10 +112,13 @@ def make_lora_optimizer(
     labels = jax.tree_util.tree_map_with_path(label_leaf, params)
 
     def adamw(lr):
-        return optax.adamw(make_schedule(lr, total_steps, warmup_ratio, schedule),
-                           weight_decay=weight_decay)
+        chain = [optax.adamw(make_schedule(lr, total_steps, warmup_ratio, schedule),
+                             weight_decay=weight_decay)]
+        if max_grad_norm is not None:
+            chain.insert(0, optax.clip_by_global_norm(max_grad_norm))
+        return optax.chain(*chain)
 
-    return optax.multi_transform(
+    tx = optax.multi_transform(
         {
             "lora": adamw(learning_rate),
             "out_proj": adamw(out_proj_lr if out_proj_lr is not None else learning_rate),
@@ -116,3 +126,6 @@ def make_lora_optimizer(
         },
         labels,
     )
+    if accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
+    return tx
