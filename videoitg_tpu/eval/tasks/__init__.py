@@ -8,6 +8,8 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     mlvu,
     mvbench,
     nextqa,
+    perceptiontest,
+    tempcompass,
     videomme,
 )
 
