@@ -89,3 +89,29 @@ def test_flash_siglip_shape_odd_dims():
     want = mha_reference(q, k, v)
     got = flash_mha(q, k, v, block_q=256, block_k=256, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
+
+
+def test_splash_lm_arm_matches_oracle():
+    """The env-gated splash A/B arm (ops/attention._splash_lm): batched,
+    GQA, padded seq, key-valid masking — measured flat in situ on v5e
+    (docs/PERF.md round 3) but kept for re-measurement; its numerics
+    contract stays under test."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from videoitg_tpu.ops.attention import _splash_lm, mha_reference
+
+    rng = np.random.default_rng(1)
+    b, hq, hkv, s, d = 2, 4, 2, 300, 16
+    q = jnp.asarray(rng.standard_normal((b, hq, s, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, hkv, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, hkv, s, d)), jnp.float32)
+    valid = np.ones((b, s), bool)
+    valid[0, 250:] = False
+    valid[1, 280:] = False
+    ref = np.asarray(mha_reference(q, k, v, valid=jnp.asarray(valid)))
+    out = np.asarray(_splash_lm(q, k, v, jnp.asarray(valid), interpret=True))
+    m = valid[:, None, :, None]
+    np.testing.assert_allclose(out * m, ref * m, atol=5e-6, rtol=1e-5)
+    np.testing.assert_array_equal(out * (1 - m), 0.0)
