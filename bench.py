@@ -26,12 +26,6 @@ import time
 BASELINE_FRAMES_PER_SEC = 2000.0
 
 
-def _enable_compile_cache():
-    from videoitg_tpu.utils.common import enable_persistent_compilation_cache
-
-    enable_persistent_compilation_cache()
-
-
 def _build_params(model: str, dtype, act_int8: bool):
     """(cfg, params, model_tag) for a bench tier."""
     import jax
@@ -77,7 +71,9 @@ def run_bench(model: str, num_frames: int, iters: int, text_len: int,
     import jax
     import jax.numpy as jnp
 
-    _enable_compile_cache()
+    from videoitg_tpu.utils.common import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
 
     from videoitg_tpu.models.grounding import GroundingBatch, grounding_logits
     from videoitg_tpu.models.projector import inference_hw
@@ -185,7 +181,9 @@ def run_engine_bench(model: str, num_frames: int, n_videos: int,
     from videoitg_tpu.data.video import write_test_video
     from videoitg_tpu.engine import SelectionEngine
 
-    _enable_compile_cache()
+    from videoitg_tpu.utils.common import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     on_cpu = jax.default_backend() == "cpu"
     dtype = jnp.float32 if on_cpu else jnp.bfloat16
     cfg, params, model_tag = _build_params(model, dtype, act_int8)

@@ -59,35 +59,19 @@ def main(argv=None) -> int:
 
     enable_persistent_compilation_cache()
 
-    from videoitg_tpu.utils.common import CharTokenizer, resolve_dtype
+    from videoitg_tpu.utils.common import resolve_dtype
 
     dtype = resolve_dtype(args.dtype)
 
-    if args.model:
-        from transformers import AutoTokenizer
+    from videoitg_tpu.cli._model_loading import load_grounding_components
 
-        from videoitg_tpu.checkpoint import load_grounding_model
-
-        params, cfg = load_grounding_model(args.model, dtype=dtype)
-        tokenizer = AutoTokenizer.from_pretrained(args.model)
-    elif args.random_init:
-        from videoitg_tpu.config import preset as get_preset
-        from videoitg_tpu.models.grounding import init_grounding
-
-        cfg = get_preset(args.preset)
-        params = init_grounding(jax.random.PRNGKey(0), cfg, dtype=dtype)
-
-        tokenizer = CharTokenizer(cfg.lm.vocab_size)
-        print("[videoitg-select] WARNING: random weights — scores are noise",
-              file=sys.stderr)
-    else:
-        print("error: pass --model DIR or --random-init", file=sys.stderr)
+    try:
+        params, cfg, tokenizer = load_grounding_components(
+            args.model, args.preset, args.random_init, dtype,
+            quantize=args.quantize, tool="videoitg-select")
+    except SystemExit as e:
+        print(e, file=sys.stderr)
         return 2
-
-    if args.quantize:
-        from videoitg_tpu.ops.quant import apply_quantization_tier
-
-        params = apply_quantization_tier(params, args.quantize)
 
     engine = SelectionEngine(
         params, cfg, tokenizer, dtype=dtype,

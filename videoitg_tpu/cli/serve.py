@@ -90,8 +90,6 @@ class SelectionServer:
                 return batch
 
     def _run(self):
-        from videoitg_tpu.data.prefetch import decode_ahead
-
         while True:
             batch = self._drain()
             # decode_ahead takes one sampling mode per call: group the burst.
@@ -100,9 +98,11 @@ class SelectionServer:
                 by_sampling.setdefault(
                     entry[0].get("sampling", "eval"), []).append(entry)
             for sampling, group in by_sampling.items():
-                self._score_group(sampling, group, decode_ahead)
+                self._score_group(sampling, group)
 
-    def _score_group(self, sampling: str, group, decode_ahead):
+    def _score_group(self, sampling: str, group):
+        from videoitg_tpu.data.prefetch import decode_ahead
+
         items = [(i, req.get("video_path", ""), (req, box, done))
                  for i, (req, box, done) in enumerate(group)]
         # Decode ahead across the whole queued burst: host decode of
@@ -171,38 +171,17 @@ def make_handler(server: SelectionServer):
 
 
 def build_engine(args):
-    import jax
-
+    from videoitg_tpu.cli._model_loading import load_grounding_components
     from videoitg_tpu.engine import SelectionEngine
     from videoitg_tpu.utils.common import (
-        CharTokenizer, enable_persistent_compilation_cache, resolve_dtype,
+        enable_persistent_compilation_cache, resolve_dtype,
     )
 
     enable_persistent_compilation_cache()
     dtype = resolve_dtype(args.dtype)
-    if args.model:
-        from transformers import AutoTokenizer
-
-        from videoitg_tpu.checkpoint import load_grounding_model
-
-        params, cfg = load_grounding_model(args.model, dtype=dtype)
-        tokenizer = AutoTokenizer.from_pretrained(args.model)
-    elif args.random_init:
-        from videoitg_tpu.config import preset as get_preset
-        from videoitg_tpu.models.grounding import init_grounding
-
-        cfg = get_preset(args.preset)
-        params = init_grounding(jax.random.PRNGKey(0), cfg, dtype=dtype)
-        tokenizer = CharTokenizer(cfg.lm.vocab_size)
-        print("[videoitg-serve] WARNING: random weights — scores are noise",
-              file=sys.stderr)
-    else:
-        raise SystemExit("error: pass --model DIR or --random-init")
-
-    if args.quantize:
-        from videoitg_tpu.ops.quant import apply_quantization_tier
-
-        params = apply_quantization_tier(params, args.quantize)
+    params, cfg, tokenizer = load_grounding_components(
+        args.model, args.preset, args.random_init, dtype,
+        quantize=args.quantize, tool="videoitg-serve")
     return SelectionEngine(params, cfg, tokenizer, dtype=dtype,
                            num_frames=args.num_frames,
                            target_fps=args.target_fps)

@@ -10,6 +10,7 @@ indirection: tasks are Python modules registering a Task object.
 
 from __future__ import annotations
 
+import functools
 import itertools
 from dataclasses import dataclass, field
 from typing import Any, Callable, Dict, List, Optional, Sequence
@@ -81,22 +82,30 @@ class Task:
         keyword parameters so tasks only declare the knobs they honor —
         unknown override keys are an error, not silently dropped.
         """
-        import inspect
-
         kwargs = self.resolve_prompt_kwargs(model_name)
-        sig = inspect.signature(self.doc_to_text)
-        params = sig.parameters
-        has_varkw = any(p.kind == inspect.Parameter.VAR_KEYWORD
-                        for p in params.values())
+        param_names, has_varkw = _accepted_params(self.doc_to_text)
         if not has_varkw:
-            unknown = [k for k in kwargs if k not in params]
+            unknown = [k for k in kwargs if k not in param_names]
             if unknown:
                 raise TypeError(
                     f"task {self.name}: prompt_overrides keys {unknown} not "
-                    f"accepted by doc_to_text{sig}")
-        if "data_root" in params or has_varkw:
+                    f"accepted by doc_to_text({', '.join(param_names)})")
+        if "data_root" in param_names or has_varkw:
             kwargs.setdefault("data_root", data_root)
         return self.doc_to_text(doc, **kwargs)
+
+
+@functools.lru_cache(maxsize=256)
+def _accepted_params(fn) -> tuple:
+    """(param_names, has_varkw) of a doc_to_text callable — cached: doc_text
+    runs once per doc per eval, and signature inspection is the only
+    non-trivial cost on that path."""
+    import inspect
+
+    params = inspect.signature(fn).parameters
+    has_varkw = any(p.kind == inspect.Parameter.VAR_KEYWORD
+                    for p in params.values())
+    return tuple(params), has_varkw
 
 
 VALID_OUTPUT_TYPES = ("generate_until", "generate_until_multi_round",
