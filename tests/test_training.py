@@ -198,3 +198,23 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
         np.asarray(restored.params["lm"]["layers"]["q"]["w"]),
         np.asarray(state.params["lm"]["layers"]["q"]["w"]),
     )
+
+
+def test_prefetch_batches_order_and_errors():
+    """Background batch prefetch: order preserved, exhaustion clean,
+    producer exceptions re-raised at the consumer."""
+    import pytest
+
+    from videoitg_tpu.train.dataset import prefetch_batches
+
+    assert list(prefetch_batches(iter(range(7)), depth=2)) == list(range(7))
+    assert list(prefetch_batches(iter([]), depth=2)) == []
+
+    def boom():
+        yield 1
+        raise RuntimeError("decode failed")
+
+    it = prefetch_batches(boom(), depth=2)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="decode failed"):
+        list(it)

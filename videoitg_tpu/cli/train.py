@@ -109,7 +109,9 @@ def main(argv=None) -> int:
     from videoitg_tpu.parallel.sharding import grounding_param_specs, shard_params
     from videoitg_tpu.train.checkpointing import TrainCheckpointer
     from videoitg_tpu.train.collate import collate_grounding
-    from videoitg_tpu.train.dataset import GroundingDataset, make_batches
+    from videoitg_tpu.train.dataset import (
+        GroundingDataset, make_batches, prefetch_batches,
+    )
     from videoitg_tpu.train.optimizer import make_grounding_optimizer
     from videoitg_tpu.train.train_step import (
         TrainState, create_train_state, make_train_step, run_step,
@@ -290,9 +292,12 @@ def main(argv=None) -> int:
     start = int(state.step)
     step = start
     t_start = time.time()
-    for epoch_batches in [make_batches(dataset, batch_size, cfg,
-                                       epochs=args.num_train_epochs,
-                                       seed=args.seed)]:
+    # Decode-ahead: a producer thread keeps 2 batches of decoded frames
+    # ready (libav releases the GIL, so decode overlaps the device step —
+    # the reference's dataloader_num_workers=6 counterpart).
+    for epoch_batches in [prefetch_batches(
+            make_batches(dataset, batch_size, cfg,
+                         epochs=args.num_train_epochs, seed=args.seed))]:
         for t_bucket, hw, samples in epoch_batches:
             if step >= total_steps:
                 break

@@ -16,14 +16,21 @@ import orbax.checkpoint as ocp
 
 
 class TrainCheckpointer:
-    def __init__(self, output_dir: str, max_to_keep: int = 2, save_interval: int = 500):
+    def __init__(self, output_dir: str, max_to_keep: int = 2,
+                 save_interval: int = 500, async_save: bool = True):
         self.directory = os.path.abspath(os.path.join(output_dir, "checkpoints"))
         os.makedirs(self.directory, exist_ok=True)
         self.save_interval = save_interval
+        # Async periodic saves: orbax serializes in background threads while
+        # training continues (the reference's HF Trainer blocks every save).
+        # Correctness: orbax snapshots device arrays before returning, and
+        # the optimizer's new state is a NEW pytree each step — the saved
+        # snapshot is never mutated. Forced (final) saves still block.
         self.manager = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep, create=True, enable_async_checkpointing=False
+                max_to_keep=max_to_keep, create=True,
+                enable_async_checkpointing=async_save,
             ),
         )
 
@@ -34,7 +41,8 @@ class TrainCheckpointer:
         if not force and (self.save_interval <= 0 or step % self.save_interval != 0):
             return False
         self.manager.save(step, args=ocp.args.StandardSave(state))
-        self.manager.wait_until_finished()
+        if force:
+            self.manager.wait_until_finished()
         return True
 
     def restore_latest(self, template):

@@ -106,6 +106,39 @@ class GroundingDataset:
         raise RuntimeError("exceeded max decode retries")
 
 
+def prefetch_batches(batches: Iterator[tuple], depth: int = 2) -> Iterator[tuple]:
+    """Run a batch iterator on a background thread, `depth` batches ahead.
+
+    The reference trains with 6 DataLoader workers per rank
+    (train_itg.py dataloader_num_workers); here ONE producer thread is
+    enough because the in-tree libav decoder releases the GIL — video
+    decode for step i+1 overlaps step i's device time. Exceptions in the
+    producer re-raise at the consumer's next pull.
+    """
+    import queue
+    import threading
+
+    q: queue.Queue = queue.Queue(maxsize=max(1, depth))
+    sentinel = object()
+
+    def fill():
+        try:
+            for item in batches:
+                q.put(item)
+            q.put(sentinel)
+        except BaseException as e:  # surfaced on the consumer side
+            q.put(e)
+
+    threading.Thread(target=fill, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def make_batches(
     dataset: GroundingDataset,
     batch_size: int,
