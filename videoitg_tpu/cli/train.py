@@ -290,8 +290,8 @@ def main(argv=None) -> int:
 
     step_fns = {}
     start = int(state.step)
-    step = start
-    t_start = time.time()
+    step = last_logged = start
+    t_window = time.time()
     # Decode-ahead: a producer thread keeps 2 batches of decoded frames
     # ready (libav releases the GIL, so decode overlaps the device step —
     # the reference's dataloader_num_workers=6 counterpart).
@@ -334,10 +334,15 @@ def main(argv=None) -> int:
                 mlog.log(step, m)
                 extras = " ".join(f"{k}={v:.3f}" for k, v in m.items()
                                   if k not in ("loss", "grad_norm"))
+                # Windowed step time (since the last log line): the first
+                # window absorbs compile; later windows are steady-state.
+                now = time.time()
+                s_per_step = (now - t_window) / max(1, step - last_logged)
+                t_window, last_logged = now, step
                 print(f"[train] step {step}/{total_steps} "
                       f"loss={m['loss']:.4f} grad_norm={m['grad_norm']:.3f} "
                       f"{extras} "
-                      f"({(time.time() - t_start) / max(1, step - start):.1f}s/step)")
+                      f"({s_per_step:.1f}s/step)")
             ckpt.maybe_save(step, state)
 
     ckpt.maybe_save(step, state, force=True)
