@@ -275,6 +275,20 @@ def test_native_vlm_downstream_end_to_end(videomme_data, tmp_path):
     for s in report.samples:
         assert isinstance(s["response"], str)
 
+    # Stage-B serving quantization: same tiers as stage A (8B bf16 does not
+    # fit one chip; single-chip stage B is int8 territory too).
+    adapter_q = get_adapter("videoitg-vlm")(
+        random_init=True, preset="tiny", frame_indices_jsonl=merged,
+        num_frame=2, data_root=videomme_data, dtype="float32",
+        max_new_tokens=3, quantize="act8",
+    )
+    import jax.numpy as jnp
+
+    assert adapter_q.params["lm"]["layers"]["q"]["w_q"].dtype == jnp.int8
+    report_q = evaluate_task(adapter_q, task, docs, str(tmp_path / "q"),
+                             log_samples=True)
+    assert report_q.num_docs == 2
+
 
 def test_adapter_batching_matches_single(videomme_data, tmp_path):
     task = get_task("videomme")

@@ -49,6 +49,7 @@ class NativeVLMAdapter(FrameSelectionConsumer):
         max_new_tokens: int = 16,
         dtype: Optional[str] = None,
         hw: Optional[int] = None,
+        quantize: Optional[str] = None,
         **kwargs,
     ):
         super().__init__(**kwargs)
@@ -94,6 +95,14 @@ class NativeVLMAdapter(FrameSelectionConsumer):
             print("[videoitg-vlm] WARNING: random weights", file=sys.stderr)
         else:
             raise ValueError("pass pretrained=DIR or random_init=True")
+        if quantize:
+            # Stage-B serving quantization (int8/int4/act8): the same tiers
+            # as stage A — an 8B bf16 VLM does not fit one 16 GB v5e, so
+            # single-chip stage B is int8 territory like stage A
+            # (model_args quantize=act8).
+            from videoitg_tpu.ops.quant import apply_quantization_tier
+
+            self.params = apply_quantization_tier(self.params, quantize)
         self.cfg = cfg
         self.hw = hw
 
