@@ -76,6 +76,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--run-name", default=None)
     p.add_argument("--save-steps", type=int, default=500)
     p.add_argument("--save-total-limit", type=int, default=2)
+    p.add_argument("--async-save", action="store_true",
+                   help="serialize periodic checkpoints in the background "
+                        "(pods: overlaps the disk write with training; a "
+                        "kill before finalization loses the newest save)")
     p.add_argument("--logging-steps", type=int, default=1)
     p.add_argument("--dp", type=int, default=None)
     p.add_argument("--tp", type=int, default=None)
@@ -282,7 +286,8 @@ def main(argv=None) -> int:
     mlog = MetricsLogger(args.output_dir, report_to=args.report_to,
                          run_name=args.run_name, config=vars(args))
     ckpt = TrainCheckpointer(args.output_dir, max_to_keep=args.save_total_limit,
-                             save_interval=args.save_steps)
+                             save_interval=args.save_steps,
+                             async_save=args.async_save)
     resume_step, restored = ckpt.restore_latest(state)
     if restored is not None:
         state = restored

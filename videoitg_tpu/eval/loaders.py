@@ -17,6 +17,14 @@ from typing import List
 def load_benchmark_docs(hf_dataset_id: str, data_root: str, split: str,
                         subset: str | None = None) -> List[dict]:
     if data_root:
+        # Subset-parameterized tasks (e.g. the three tempcompass subtasks)
+        # share one --data_root: a data_root/<subset>/ subdirectory
+        # disambiguates them; a flat data_root keeps working for tasks
+        # without subsets.
+        if subset and os.path.isdir(os.path.join(data_root, subset)):
+            local = _load_local(os.path.join(data_root, subset), split)
+            if local is not None:
+                return local
         local = _load_local(data_root, split)
         if local is not None:
             return local

@@ -86,55 +86,24 @@ register_task(Task(
 # (acc_norm, the lm-eval convention for unequal-length candidates).
 
 
+from videoitg_tpu.eval.mc_loglikelihood import make_mc_ll_suite
+
+ll_expand_docs, ll_doc_to_target, ll_process_results, ll_aggregate = (
+    make_mc_ll_suite(
+        qid_of=lambda d: d.get("qid", d.get("video")),
+        n_options_of=lambda d: 5,
+        option_text_of=lambda d, i: d[f"a{i}"],
+        answer_index_of=lambda d: d["answer"],
+        metric_prefix="nextqa_ll",
+    ))
+
+
 def ll_doc_to_text(doc, pre_prompt: str = "", post_prompt: str = "\nAnswer:"):
     return f"{pre_prompt}{doc['question'].strip()}{post_prompt}"
 
 
-def ll_doc_to_target(doc) -> str:
-    return " " + doc[f"a{doc['_choice']}"].strip()
-
-
-def ll_expand_docs(docs: List[dict]) -> List[dict]:
-    out = []
-    for doc in docs:
-        qid = doc.get("qid", doc.get("video"))
-        for i in range(5):
-            out.append({**doc, "_choice": i, "_ll_id": f"{qid}::{i}"})
-    return out
-
-
 def ll_load_docs(data_root: str, split: str = "test") -> List[dict]:
     return ll_expand_docs(load_docs(data_root, split))
-
-
-def ll_process_results(doc, resp) -> dict:
-    ll, greedy = float(resp[0]), bool(resp[1])
-    target = ll_doc_to_target(doc)
-    return {
-        "qid": str(doc.get("qid", doc.get("video"))),
-        "choice": doc["_choice"],
-        "is_answer": int(doc["_choice"]) == int(doc["answer"]),
-        "ll": ll,
-        "ll_norm": ll / max(1, len(target)),
-        "greedy": greedy,
-    }
-
-
-def ll_aggregate(records: List[dict]) -> Dict[str, float]:
-    by_q: Dict[str, List[dict]] = {}
-    for r in records:
-        by_q.setdefault(r["qid"], []).append(r)
-    acc = acc_norm = 0.0
-    complete = 0
-    for _qid, cands in by_q.items():
-        if len(cands) < 2:
-            continue  # partial question (e.g. --limit cut mid-expansion)
-        complete += 1
-        acc += float(max(cands, key=lambda r: r["ll"])["is_answer"])
-        acc_norm += float(max(cands, key=lambda r: r["ll_norm"])["is_answer"])
-    n = max(1, complete)
-    return {"nextqa_ll_acc": 100.0 * acc / n,
-            "nextqa_ll_acc_norm": 100.0 * acc_norm / n}
 
 
 register_task(Task(

@@ -71,7 +71,9 @@ def aggregate(records: List[dict]) -> Dict[str, float]:
 def load_docs(data_root: str, split: str = "validation") -> List[dict]:
     from videoitg_tpu.eval.loaders import load_benchmark_docs
 
-    return load_benchmark_docs("lmms-lab/PerceptionTest_Val", data_root, split)
+    # reference perceptiontest_mc.yaml names dataset_name "mc_question_val"
+    return load_benchmark_docs("lmms-lab/PerceptionTest_Val", data_root,
+                               split, subset="mc_question_val")
 
 
 register_task(Task(
@@ -88,57 +90,26 @@ register_task(Task(
 ))
 
 
-# ---- mcppl: per-option loglikelihood ------------------------------------
+# ---- mcppl: per-option loglikelihood (shared machinery) -----------------
+
+from videoitg_tpu.eval.mc_loglikelihood import make_mc_ll_suite
+
+ll_expand_docs, ll_doc_to_target, ll_process_results, ll_aggregate = (
+    make_mc_ll_suite(
+        qid_of=lambda d: d.get("question_id", d["video_name"]),
+        n_options_of=lambda d: len(d["options"]),
+        option_text_of=lambda d, i: d["options"][i],
+        answer_index_of=lambda d: d["answer_id"],
+        metric_prefix="perceptiontest_ll",
+    ))
 
 
 def ll_doc_to_text(doc, pre_prompt: str = "", post_prompt: str = "\nAnswer:") -> str:
     return f"{pre_prompt}{doc['question'].strip()}{post_prompt}"
 
 
-def ll_doc_to_target(doc) -> str:
-    return " " + doc["options"][doc["_choice"]].strip()
-
-
-def ll_expand_docs(docs: List[dict]) -> List[dict]:
-    out = []
-    for doc in docs:
-        qid = doc.get("question_id", doc["video_name"])
-        for i in range(len(doc["options"])):
-            out.append({**doc, "_choice": i, "_ll_id": f"{qid}::{i}"})
-    return out
-
-
 def ll_load_docs(data_root: str, split: str = "validation") -> List[dict]:
     return ll_expand_docs(load_docs(data_root, split))
-
-
-def ll_process_results(doc, resp) -> dict:
-    ll = float(resp[0])
-    target = ll_doc_to_target(doc)
-    return {
-        "qid": str(doc.get("question_id", doc["video_name"])),
-        "choice": doc["_choice"],
-        "is_answer": int(doc["_choice"]) == int(doc["answer_id"]),
-        "ll": ll,
-        "ll_norm": ll / max(1, len(target)),
-    }
-
-
-def ll_aggregate(records: List[dict]) -> Dict[str, float]:
-    by_q: Dict[str, List[dict]] = {}
-    for r in records:
-        by_q.setdefault(r["qid"], []).append(r)
-    acc = acc_norm = 0.0
-    complete = 0
-    for _qid, cands in by_q.items():
-        if len(cands) < 2:
-            continue
-        complete += 1
-        acc += float(max(cands, key=lambda r: r["ll"])["is_answer"])
-        acc_norm += float(max(cands, key=lambda r: r["ll_norm"])["is_answer"])
-    n = max(1, complete)
-    return {"perceptiontest_ll_acc": 100.0 * acc / n,
-            "perceptiontest_ll_acc_norm": 100.0 * acc_norm / n}
 
 
 register_task(Task(

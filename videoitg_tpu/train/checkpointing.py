@@ -17,15 +17,18 @@ import orbax.checkpoint as ocp
 
 class TrainCheckpointer:
     def __init__(self, output_dir: str, max_to_keep: int = 2,
-                 save_interval: int = 500, async_save: bool = True):
+                 save_interval: int = 500, async_save: bool = False):
         self.directory = os.path.abspath(os.path.join(output_dir, "checkpoints"))
         os.makedirs(self.directory, exist_ok=True)
         self.save_interval = save_interval
-        # Async periodic saves: orbax serializes in background threads while
-        # training continues (the reference's HF Trainer blocks every save).
-        # Correctness: orbax snapshots device arrays before returning, and
-        # the optimizer's new state is a NEW pytree each step — the saved
-        # snapshot is never mutated. Forced (final) saves still block.
+        # async_save=True lets orbax serialize in background threads while
+        # training continues (worth it on real pods where the device->host
+        # snapshot is PCIe-fast and only the disk write overlaps). It is
+        # OPT-IN because async periodic saves are not durable at return: a
+        # kill before background finalization silently loses the newest
+        # checkpoint, and a separately-opened manager does not see it —
+        # semantics the kill+resume flow must opt into knowingly. Forced
+        # (final) saves always block either way.
         self.manager = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(

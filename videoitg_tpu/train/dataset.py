@@ -120,23 +120,40 @@ def prefetch_batches(batches: Iterator[tuple], depth: int = 2) -> Iterator[tuple
 
     q: queue.Queue = queue.Queue(maxsize=max(1, depth))
     sentinel = object()
+    stop = threading.Event()
+
+    def put(item) -> bool:
+        # Bounded put that gives up when the consumer is gone — otherwise
+        # an early consumer exit (step limit hit) would leave the producer
+        # blocked forever holding decoded frame batches.
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def fill():
         try:
             for item in batches:
-                q.put(item)
-            q.put(sentinel)
+                if not put(item):
+                    return
+            put(sentinel)
         except BaseException as e:  # surfaced on the consumer side
-            q.put(e)
+            put(e)
 
     threading.Thread(target=fill, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()  # generator closed early: release the producer
 
 
 def make_batches(
