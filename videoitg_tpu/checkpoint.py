@@ -218,9 +218,19 @@ def load_hf_state_dict(model_dir: str) -> Dict[str, np.ndarray]:
 
 
 def load_grounding_model(model_dir: str, cfg: GroundingConfig | None = None, dtype=jnp.bfloat16):
-    """Load an HF-format VideoITG checkpoint directory -> (params, cfg)."""
+    """Load an HF-format VideoITG checkpoint directory -> (params, cfg).
+
+    Config resolution: explicit cfg arg > a videoitg_tpu_config.json in the
+    checkpoint dir (self-describing checkpoints, the convention every
+    in-tree exporter follows) > the videoitg-8b flagship default.
+    """
     if cfg is None:
-        cfg = GroundingConfig.videoitg_8b()
+        cfg_path = os.path.join(model_dir, "videoitg_tpu_config.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                cfg = GroundingConfig.from_json(f.read())
+        else:
+            cfg = GroundingConfig.videoitg_8b()
     sd = load_hf_state_dict(model_dir)
     return convert_grounding_checkpoint(sd, cfg, dtype=dtype), cfg
 
@@ -351,3 +361,62 @@ def restore_orbax(path: str, template):
 
     with ocp.StandardCheckpointer() as ckptr:
         return ckptr.restore(os.path.abspath(path), template)
+
+
+# ---- serving checkpoints (pre-quantized, fast cold start) ----------------
+
+
+SERVING_CONFIG_NAME = "serving_config.json"
+
+
+def save_serving_checkpoint(params: dict, cfg: GroundingConfig, out_dir: str,
+                            quantize: str | None = None,
+                            tokenizer_dir: str | None = None) -> str:
+    """Persist a ready-to-serve params tree (int8/int4 leaves included).
+
+    The HF->JAX->quantize path costs a full bf16 materialization plus the
+    quantization pass at every cold start; a serving checkpoint does that
+    once and stores the result (the reference has no counterpart — its
+    bitsandbytes quantization always re-runs at load, builder.py:48-57).
+    Layout: `serving_config.json` (model config + quantization tier) +
+    an orbax `params/` tree.
+    """
+    import json as _json
+
+    out_dir = os.path.abspath(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, SERVING_CONFIG_NAME), "w") as f:
+        _json.dump({"format": "videoitg-serving-v1",
+                    "quantize": quantize,
+                    "config": _json.loads(cfg.to_json())}, f, indent=2)
+    if tokenizer_dir:
+        # Carry the tokenizer so the serving dir is self-contained
+        # (AutoTokenizer.from_pretrained loads straight from it).
+        import glob as _glob
+        import shutil as _shutil
+
+        for pat in ("tokenizer*", "special_tokens_map.json", "vocab*",
+                    "merges.txt"):
+            for f in _glob.glob(os.path.join(tokenizer_dir, pat)):
+                _shutil.copy(f, out_dir)
+    save_orbax(out_dir, params)
+    return out_dir
+
+
+def is_serving_checkpoint(model_dir: str) -> bool:
+    return os.path.exists(os.path.join(model_dir, SERVING_CONFIG_NAME))
+
+
+def load_serving_checkpoint(model_dir: str):
+    """(params, cfg, quantize_tier) from a save_serving_checkpoint dir."""
+    import json as _json
+
+    import orbax.checkpoint as ocp
+
+    with open(os.path.join(model_dir, SERVING_CONFIG_NAME)) as f:
+        meta = _json.load(f)
+    cfg = GroundingConfig.from_json(_json.dumps(meta["config"]))
+    with ocp.StandardCheckpointer() as ckptr:
+        params = ckptr.restore(
+            os.path.join(os.path.abspath(model_dir), "params"))
+    return params, cfg, meta.get("quantize")

@@ -23,9 +23,22 @@ def load_grounding_components(model: str | None, preset_name: str,
     if model:
         from transformers import AutoTokenizer
 
-        from videoitg_tpu.checkpoint import load_grounding_model
+        from videoitg_tpu.checkpoint import (
+            is_serving_checkpoint, load_grounding_model,
+            load_serving_checkpoint,
+        )
 
-        params, cfg = load_grounding_model(model, dtype=dtype)
+        if is_serving_checkpoint(model):
+            # Pre-quantized serving checkpoint: skip the HF convert +
+            # quantization passes entirely (cold-start path).
+            params, cfg, saved_tier = load_serving_checkpoint(model)
+            if quantize and quantize != saved_tier:
+                raise SystemExit(
+                    f"error: serving checkpoint was saved with "
+                    f"quantize={saved_tier!r}; requested {quantize!r}")
+            quantize = None  # already applied at save time
+        else:
+            params, cfg = load_grounding_model(model, dtype=dtype)
         tokenizer = AutoTokenizer.from_pretrained(model)
     elif random_init:
         from videoitg_tpu.config import preset as get_preset

@@ -40,6 +40,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="serving quantization of the LM: int8 / int4 weights, "
                         "act8 = int8 weights + dynamic int8 activations "
                         "(an 8B bf16 does not fit one v5e chip)")
+    p.add_argument("--export-serving", metavar="DIR",
+                   help="after loading (+ --quantize), persist a ready-to-"
+                        "serve checkpoint (pre-quantized params + config + "
+                        "tokenizer); later runs pass it as --model and skip "
+                        "the HF convert + quantization cold-start work")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     return p
 
@@ -72,6 +77,15 @@ def main(argv=None) -> int:
     except SystemExit as e:
         print(e, file=sys.stderr)
         return 2
+
+    if args.export_serving:
+        from videoitg_tpu.checkpoint import save_serving_checkpoint
+
+        out = save_serving_checkpoint(
+            params, cfg, args.export_serving, quantize=args.quantize,
+            tokenizer_dir=args.model if args.model else None)
+        print(f"[videoitg-select] serving checkpoint written to {out}",
+              file=sys.stderr)
 
     engine = SelectionEngine(
         params, cfg, tokenizer, dtype=dtype,

@@ -53,9 +53,19 @@ class VideoITGAdapter(ModelAdapter):
         if pretrained:
             from transformers import AutoTokenizer
 
-            from videoitg_tpu.checkpoint import load_grounding_model
+            from videoitg_tpu.checkpoint import (
+                is_serving_checkpoint, load_grounding_model,
+                load_serving_checkpoint,
+            )
 
-            params, cfg = load_grounding_model(pretrained, dtype=jdtype)
+            if is_serving_checkpoint(pretrained):
+                # Pre-quantized serving checkpoint (videoitg-select
+                # --export-serving): params are ready — skip the HF convert
+                # and any requested re-quantization.
+                params, cfg, _tier = load_serving_checkpoint(pretrained)
+                quantize_int8 = quantize_int4 = act_int8 = False
+            else:
+                params, cfg = load_grounding_model(pretrained, dtype=jdtype)
             tokenizer = AutoTokenizer.from_pretrained(pretrained)
         elif random_init:
             cfg = get_preset(preset)
