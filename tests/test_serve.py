@@ -102,3 +102,34 @@ def test_bad_requests_isolated(served):
     # the worker survives a failed request
     status, out = _post(base, {"video_path": videos[1], "prompt": "ok"})
     assert status == 200 and "selected" in out
+
+
+def test_serve_on_mesh(tmp_path):
+    """videoitg-serve's --dp/--tp mesh path: the daemon serves from a
+    sharded engine on the 8-device virtual mesh."""
+    import numpy as np
+
+    from videoitg_tpu.cli.serve import SelectionServer
+    from videoitg_tpu.config import GroundingConfig
+    from videoitg_tpu.data.video import write_test_video
+    from videoitg_tpu.engine import SelectionEngine
+    from videoitg_tpu.models.grounding import init_grounding
+    from videoitg_tpu.parallel.mesh import make_mesh
+    from videoitg_tpu.utils.common import CharTokenizer
+
+    video = write_test_video(str(tmp_path / "v.mp4"), 64, 48, 20, 10, 8)
+    cfg = GroundingConfig.tiny()
+    params = init_grounding(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    mesh = make_mesh(dp=2, tp=2, devices=jax.devices()[:4])
+    engine = SelectionEngine(params, cfg, CharTokenizer(cfg.lm.vocab_size),
+                             dtype=jnp.float32, use_flash=False, mesh=mesh,
+                             num_frames=8, target_fps=4.0)
+    # oracle: same weights, no mesh
+    solo = SelectionEngine(params, cfg, CharTokenizer(cfg.lm.vocab_size),
+                           dtype=jnp.float32, use_flash=False,
+                           num_frames=8, target_fps=4.0)
+    server = SelectionServer(engine)
+    out = server.submit({"video_path": video, "prompt": "find it", "topk": 3})
+    want = solo.select_from_file(video, "find it")
+    assert out["index"] == want.index
+    np.testing.assert_allclose(out["logits"], want.logits, atol=1e-2)

@@ -47,6 +47,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", default=None, choices=[None, "bfloat16", "float32"])
     p.add_argument("--quantize", default=None,
                    choices=[None, "int8", "int4", "act8"])
+    p.add_argument("--dp", type=int, default=None,
+                   help="data-parallel mesh axis (multi-chip serving)")
+    p.add_argument("--tp", type=int, default=None,
+                   help="tensor-parallel mesh axis (heads/ffn sharding)")
+    p.add_argument("--sp", type=int, default=1,
+                   help="sequence-parallel axis (ring attention)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--decode-workers", type=int, default=2)
@@ -182,7 +188,12 @@ def build_engine(args):
     params, cfg, tokenizer = load_grounding_components(
         args.model, args.preset, args.random_init, dtype,
         quantize=args.quantize, tool="videoitg-serve")
-    return SelectionEngine(params, cfg, tokenizer, dtype=dtype,
+    mesh = None
+    if args.dp is not None or args.tp is not None or args.sp > 1:
+        from videoitg_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(dp=args.dp, tp=args.tp, sp=args.sp)
+    return SelectionEngine(params, cfg, tokenizer, dtype=dtype, mesh=mesh,
                            num_frames=args.num_frames,
                            target_fps=args.target_fps)
 
