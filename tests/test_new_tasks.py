@@ -69,3 +69,22 @@ def test_tempcompass_yes_no_and_caption_matching():
     assert agg["tempcompass_accuracy"] == 50.0
     assert agg["tempcompass_action"] == 50.0
     assert "tempcompass" in GROUP_REGISTRY
+
+
+def test_cinepile_parsing_and_rollups():
+    t = get_task("cinepile")
+    doc = {"videoID": "v", "question": "Who?", "choices": ["x", "y", "z", "w", "q"],
+           "answer_key": "y", "answer_key_position": 1,
+           "subtitles": "- hello", "question_category": "Temporal",
+           "hard_split": "True"}
+    text = t.doc_to_text(doc)
+    assert "**Subtitles:**" in text and "- B) y" in text
+    # reference normalize_string forms
+    for resp, want in (("B", 1), ("**Answer:** B", 1), ("Answer: B) y", 1),
+                       ("Answer: B) z", 0), ("Answer: A", 0), ("rambling", 0)):
+        assert t.process_results(doc, resp)["correct"] == want, resp
+    recs = [t.process_results(doc, "B"), t.process_results(doc, "A")]
+    agg = t.aggregate(recs)
+    assert agg["cinepile_accuracy"] == 50.0
+    assert agg["cinepile_temporal"] == 50.0
+    assert agg["cinepile_hard_true"] == 50.0

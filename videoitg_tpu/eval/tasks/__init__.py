@@ -3,6 +3,7 @@
 from videoitg_tpu.eval.api import register_group
 from videoitg_tpu.eval.tasks import (  # noqa: F401
     cgbench,
+    cinepile,
     egoschema,
     longvideobench,
     mlvu,
