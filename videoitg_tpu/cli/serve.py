@@ -58,8 +58,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--decode-workers", type=int, default=2)
     p.add_argument("--decode-ahead", type=int, default=4)
     p.add_argument("--warmup", action="store_true",
-                   help="compile the default bucket at startup (a synthetic "
-                        "video) so the first request is steady-state")
+                   help="compile at startup (a synthetic video per bucket) "
+                        "so first requests are steady-state")
+    p.add_argument("--warmup-buckets", default=None,
+                   help="comma list of frame buckets to precompile (e.g. "
+                        "'128,256,512'); default: the --num-frames bucket. "
+                        "Short videos land in smaller buckets — an unwarmed "
+                        "bucket compiles at request time (minutes on a "
+                        "remote-compile TPU)")
     p.add_argument("--cpu", action="store_true")
     return p
 
@@ -198,16 +204,17 @@ def build_engine(args):
                            target_fps=args.target_fps)
 
 
-def warmup(engine, num_frames: int) -> None:
-    """Compile the default bucket before accepting traffic."""
+def warmup(engine, buckets) -> None:
+    """Compile the given frame buckets before accepting traffic."""
     import tempfile
 
     from videoitg_tpu.data.video import write_test_video
 
     with tempfile.TemporaryDirectory() as d:
-        v = write_test_video(os.path.join(d, "warm.mp4"), 96, 64,
-                             max(num_frames, 8), 10, 12)
-        engine.select_from_file(v, "warmup", sampling="eval")
+        for n in buckets:
+            v = write_test_video(os.path.join(d, f"warm{n}.mp4"), 96, 64,
+                                 max(int(n), 8), 10, 12)
+            engine.select_from_file(v, "warmup", sampling="eval")
 
 
 def main(argv=None) -> int:
@@ -219,9 +226,12 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", "cpu")
 
     engine = build_engine(args)
-    if args.warmup:
-        print("[videoitg-serve] warming up (first compile)...", file=sys.stderr)
-        warmup(engine, args.num_frames)
+    if args.warmup or args.warmup_buckets:
+        buckets = ([int(x) for x in args.warmup_buckets.split(",")]
+                   if args.warmup_buckets else [args.num_frames])
+        print(f"[videoitg-serve] warming up buckets {buckets} "
+              f"(first compiles)...", file=sys.stderr)
+        warmup(engine, buckets)
     server = SelectionServer(engine, decode_workers=args.decode_workers,
                              decode_ahead=args.decode_ahead)
     httpd = ThreadingHTTPServer((args.host, args.port), make_handler(server))
