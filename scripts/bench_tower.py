@@ -23,6 +23,9 @@ def main():
                    help="enable the (rejected-by-default) fused encoder path")
     p.add_argument("--attn-identity", action="store_true",
                    help="replace attention with identity (GEMM floor)")
+    p.add_argument("--attn-xla", action="store_true",
+                   help="pure-XLA einsum/softmax attention instead of the "
+                        "Pallas kernel (quantifies what the kernel buys)")
     p.add_argument("--pad128", action="store_true",
                    help="lane-pad head_dim 72->128 in the QKV/O weights "
                         "(models/siglip.pad_attention_heads; VERDICT r2 #2)")
@@ -46,8 +49,13 @@ def main():
     if args.attn_identity:
         import videoitg_tpu.ops.attention as attn_mod
 
-        attn_mod.mha = lambda q, k, v, valid=None, causal=False, use_flash=False: q
+        attn_mod.mha = lambda q, k, v, valid=None, causal=False, use_flash=False, **kw: q
         sig.mha = attn_mod.mha
+    elif args.attn_xla:
+        import videoitg_tpu.ops.attention as attn_mod
+
+        sig.mha = lambda q, k, v, valid=None, causal=False, use_flash=False, **kw: (
+            attn_mod.mha_reference(q, k, v, valid=valid, causal=causal, **kw))
 
     cfg = GroundingConfig.videoitg_8b().vision
     dtype = jnp.bfloat16
@@ -79,6 +87,8 @@ def main():
     tag = "fused" if args.fused else "xla"
     if args.attn_identity:
         tag += "+attn-id"
+    if args.attn_xla:
+        tag += "+attn-xla"
     if args.pad128:
         tag += "+pad128"
     print(f"tower[{tag}] {args.frames}f: {min(ts)*1e3:.0f} ms")
