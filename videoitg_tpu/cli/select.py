@@ -57,7 +57,6 @@ def main(argv=None) -> int:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    import jax.numpy as jnp
 
     from videoitg_tpu.engine import SelectionEngine
     from videoitg_tpu.utils.common import enable_persistent_compilation_cache

@@ -104,7 +104,6 @@ def main(argv=None) -> int:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    import jax.numpy as jnp
     import numpy as np
 
     from videoitg_tpu.config import preset
@@ -118,7 +117,7 @@ def main(argv=None) -> int:
     )
     from videoitg_tpu.train.optimizer import make_grounding_optimizer
     from videoitg_tpu.train.train_step import (
-        TrainState, create_train_state, make_train_step, run_step,
+        create_train_state, make_train_step, run_step,
     )
 
     from videoitg_tpu.utils.common import (
