@@ -143,3 +143,30 @@ def test_cli_train_vlm(workdir):
           "--output-dir", "trainB"], cwd=workdir)
     rows = [json.loads(x) for x in open(workdir / "trainB" / "metrics.jsonl")]
     assert rows and "num_label_tokens" in rows[0]
+
+
+def test_cli_evaluate_cache_requests(workdir):
+    """--cache_requests: second run loads docs from the cache instead of
+    the task loader (reference caching/cache.py dill request cache)."""
+    cache_dir = workdir / "reqcache"
+    # docs from task loader requires load_docs + data; docs.json path skips
+    # the loader, so emulate a loader-backed run by pointing data_root at a
+    # dir with the docs file (videomme's local-first loader picks it up).
+    import shutil
+
+    root2 = workdir / "root2"
+    (root2).mkdir(exist_ok=True)
+    shutil.copy(workdir / "docs.json", root2 / "test.json")
+    shutil.copytree(workdir / "root" / "data", root2 / "data",
+                    dirs_exist_ok=True)
+    (workdir / "sel2.jsonl").write_text("")
+    cmd = [sys.executable, "-m", "videoitg_tpu.cli.evaluate", "--cpu",
+           "--model", "echo-answer",
+           "--model_args", "frame_indices_jsonl=sel2.jsonl,num_frame=2",
+           "--tasks", "videomme", "--data_root", str(root2),
+           "--output_path", "outR", "--cache_requests", str(cache_dir)]
+    _run(cmd, cwd=workdir)
+    cached = list(cache_dir.glob("docs.videomme.*.json"))
+    assert len(cached) == 1
+    r = _run(cmd, cwd=workdir)
+    assert "loaded 2 docs from request cache" in r.stdout

@@ -48,6 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_cache", default=None, metavar="PATH",
                    help="sqlite response cache; reruns skip cached docs "
                         "(reference --use_cache / CachingLMM)")
+    p.add_argument("--cache_requests", default=None, metavar="DIR",
+                   help="cache loaded task docs as JSON keyed by "
+                        "(task, split, data_root); reruns skip the dataset "
+                        "load (reference --cache_requests / caching/cache.py "
+                        "dill request cache)")
     p.add_argument("--seed", type=int, default=1234,
                    help="recorded into report metadata (reference --seed)")
     p.add_argument("--report_to", default="jsonl",
@@ -132,8 +137,26 @@ def main(argv=None) -> int:
                 print(f"error: task {task_name} has no loader; pass --docs_json",
                       file=sys.stderr)
                 return 2
-            docs = (task.load_docs(args.data_root, args.split)
-                    if args.split else task.load_docs(args.data_root))
+            cache_file = None
+            if args.cache_requests:
+                import hashlib
+
+                os.makedirs(args.cache_requests, exist_ok=True)
+                key = hashlib.sha1(
+                    f"{task.name}|{args.split}|{args.data_root}".encode()
+                ).hexdigest()[:16]
+                cache_file = os.path.join(args.cache_requests,
+                                          f"docs.{task.name}.{key}.json")
+            if cache_file and os.path.exists(cache_file):
+                with open(cache_file) as f:
+                    docs = json.load(f)
+                print(f"[eval] loaded {len(docs)} docs from request cache")
+            else:
+                docs = (task.load_docs(args.data_root, args.split)
+                        if args.split else task.load_docs(args.data_root))
+                if cache_file:
+                    with open(cache_file, "w") as f:
+                        json.dump(docs, f, default=str)
 
         out_dir = os.path.join(args.output_path, task.name)
         report = evaluate_task(
