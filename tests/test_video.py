@@ -134,3 +134,54 @@ def test_decode_ahead_uses_frame_cache(tmp_path, monkeypatch):
     monkeypatch.setattr(video_mod, "read_video_frames", boom)
     out2 = list(decode_ahead(items, num_frames=4, target_fps=1, frame_cache=cache))
     np.testing.assert_array_equal(out1[0].frames, out2[0].frames)
+
+
+def test_unaligned_width_rgb(tmp_path):
+    """Widths whose RGB24 row stride is not SIMD-aligned must decode
+    without right-edge corruption (regression: swscale partial-chunk
+    stores trampled tightly packed buffers at e.g. w=100/102)."""
+    for w, h in [(100, 76), (102, 76)]:
+        p = write_test_video(str(tmp_path / f"w{w}.mp4"), w, h, 10, 10, 8)
+        with VideoReader(p) as vr:
+            frames = vr.get_batch([0, 4, 9])
+        for i, idx in enumerate([0, 4, 9]):
+            _assert_frame_is(frames[i], idx)
+            # Solid-color fixture: every column must match the frame mean
+            # (the overrun bug corrupted the last few columns).
+            col_means = frames[i].astype(np.float32).mean(axis=0)  # [W, 3]
+            spread = np.abs(col_means - col_means.mean(axis=0)).max()
+            assert spread < 8.0, (w, h, idx, spread)
+
+
+def test_get_batch_yuv_matches_rgb(tmp_path):
+    """YUV420 plane fetch reconstructs the RGB path via BT.601 limited-range
+    (the device-side conversion contract, ops/preprocess.yuv420_to_rgb)."""
+    p = write_test_video(str(tmp_path / "v.mp4"), 100, 76, 20, 10, 8)
+    ids = [0, 3, 7, 7, 19]  # unsorted-adjacent + duplicate
+    with VideoReader(p) as vr:
+        rgb = vr.get_batch(ids)
+        yuv = vr.get_batch_yuv(ids)
+    assert yuv.y.shape == (5, 76, 100)
+    assert yuv.u.shape == yuv.v.shape == (5, 38, 50)
+    assert yuv.nbytes * 2 == rgb.nbytes  # half the host->device bytes
+    y = yuv.y.astype(np.float32)
+    u = np.repeat(np.repeat(yuv.u, 2, 1), 2, 2)[:, :76, :100].astype(np.float32)
+    v = np.repeat(np.repeat(yuv.v, 2, 1), 2, 2)[:, :76, :100].astype(np.float32)
+    r = 1.164383 * (y - 16) + 1.596027 * (v - 128)
+    g = 1.164383 * (y - 16) - 0.391762 * (u - 128) - 0.812968 * (v - 128)
+    b = 1.164383 * (y - 16) + 2.017232 * (u - 128)
+    rec = np.clip(np.stack([r, g, b], axis=-1), 0, 255)
+    diff = np.abs(rec - rgb.astype(np.float32))
+    assert diff.max() < 4.0, diff.max()  # swscale fixed-point vs float
+    # duplicate request slots must be byte-identical
+    np.testing.assert_array_equal(yuv.y[2], yuv.y[3])
+
+
+def test_read_video_frames_yuv420(fixture_mp4):
+    from videoitg_tpu.data.video import YUVFrames
+
+    frames, sampled = read_video_frames(
+        fixture_mp4, num_frames=8, target_fps=10, pix_fmt="yuv420")
+    assert isinstance(frames, YUVFrames)
+    assert frames.num_frames == len(sampled) == 8
+    assert frames.shape == (8, 48, 64, 3)

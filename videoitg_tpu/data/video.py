@@ -12,7 +12,7 @@ from __future__ import annotations
 import ctypes
 import os
 import threading
-from typing import List, Sequence, Tuple
+from typing import List, NamedTuple, Sequence, Tuple, Union
 
 import numpy as np
 
@@ -55,6 +55,15 @@ def _load_lib():
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8),
         ]
+        lib.vdec_get_batch_yuv.restype = ctypes.c_int
+        lib.vdec_get_batch_yuv.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
         lib.vdec_close.argtypes = [ctypes.c_void_p]
         lib.vdec_write_test_video.restype = ctypes.c_int
         lib.vdec_write_test_video.argtypes = [
@@ -67,6 +76,37 @@ def _load_lib():
 
 class VideoDecodeError(RuntimeError):
     pass
+
+
+class YUVFrames(NamedTuple):
+    """Planar YUV420 frames as decoded (limited-range BT.601).
+
+    Half the bytes of the RGB24 layout (1.5 B/px vs 3): the host skips the
+    swscale colorspace pass and ships the decoder's native planes; chroma
+    upsample + YUV->RGB run on the accelerator
+    (ops/preprocess.yuv420_to_rgb). Shapes: y [T, H, W]; u, v
+    [T, ceil(H/2), ceil(W/2)], all uint8.
+    """
+
+    y: np.ndarray
+    u: np.ndarray
+    v: np.ndarray
+
+    @property
+    def num_frames(self) -> int:
+        return self.y.shape[0]
+
+    @property
+    def shape(self):  # [T, H, W, 3]-compatible leading dims for callers
+        t, h, w = self.y.shape
+        return (t, h, w, 3)
+
+    @property
+    def nbytes(self) -> int:
+        return self.y.nbytes + self.u.nbytes + self.v.nbytes
+
+
+VideoFrames = Union[np.ndarray, YUVFrames]
 
 
 class VideoReader:
@@ -108,6 +148,26 @@ class VideoReader:
                 f"{self.path}: {self._lib.vdec_error(self._h).decode()}"
             )
         return out
+
+    def get_batch_yuv(self, indices: Sequence[int]) -> YUVFrames:
+        """Decode frames as packed YUV420 planes (half the bytes of RGB)."""
+        idx = np.ascontiguousarray(indices, dtype=np.int64)
+        h, w = self.height, self.width
+        ch, cw = (h + 1) // 2, (w + 1) // 2
+        y = np.empty((len(idx), h, w), dtype=np.uint8)
+        u = np.empty((len(idx), ch, cw), dtype=np.uint8)
+        v = np.empty((len(idx), ch, cw), dtype=np.uint8)
+        as_u8 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        ret = self._lib.vdec_get_batch_yuv(
+            self._h,
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(idx), as_u8(y), as_u8(u), as_u8(v),
+        )
+        if ret != 0:
+            raise VideoDecodeError(
+                f"{self.path}: {self._lib.vdec_error(self._h).decode()}"
+            )
+        return YUVFrames(y, u, v)
 
     def __getitem__(self, i: int) -> np.ndarray:
         return self.get_batch([i])[0]
@@ -153,12 +213,15 @@ def read_video_frames(
     target_fps: float = 1.0,
     sampling: str = "eval",
     multiple: int = 1,
-) -> Tuple[np.ndarray, List[int]]:
+    pix_fmt: str = "rgb",
+) -> Tuple[VideoFrames, List[int]]:
     """Decode a video with the reference's sampling math.
 
     sampling="eval" uses the harness rounding (videoitg.py:82-93),
-    "infer" the demo/train rounding (mm_utils.py:33-41). Returns
-    (frames [T, H, W, 3] uint8, sampled original frame indices).
+    "infer" the demo/train rounding (mm_utils.py:33-41). pix_fmt="rgb"
+    returns uint8 [T, H, W, 3]; "yuv420" returns YUVFrames (half the
+    host->device bytes; colorspace conversion runs on device). Also
+    returns the sampled original frame indices.
     """
     with VideoReader(path) as vr:
         total, fps = len(vr), vr.fps
@@ -168,5 +231,10 @@ def read_video_frames(
             sampled = sample_frame_indices_infer(total, fps, target_fps, num_frames)
         else:
             raise ValueError(f"unknown sampling {sampling!r}")
-        frames = vr.get_batch(sampled)
+        if pix_fmt == "rgb":
+            frames = vr.get_batch(sampled)
+        elif pix_fmt == "yuv420":
+            frames = vr.get_batch_yuv(sampled)
+        else:
+            raise ValueError(f"unknown pix_fmt {pix_fmt!r}")
     return frames, sampled

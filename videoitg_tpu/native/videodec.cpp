@@ -42,6 +42,7 @@ struct Decoder {
   AVFormatContext* fmt = nullptr;
   AVCodecContext* codec = nullptr;
   SwsContext* sws = nullptr;
+  SwsContext* sws_yuv = nullptr;  // lazy: only for non-yuv420p sources
   int stream_index = -1;
   int width = 0, height = 0;
   double fps = 0.0;
@@ -54,6 +55,7 @@ struct Decoder {
                                         // EOF fallback for streams whose last
                                         // packet yields no frame (seen with
                                         // mpeg4 not-coded VOPs)
+  std::vector<uint8_t> scratch;         // aligned sws output (see convert_to_rgb)
   std::string error;
 };
 
@@ -116,15 +118,96 @@ int seek_to_presentation_index(Decoder* d, int idx) {
 }
 
 void convert_to_rgb(Decoder* d, const AVFrame* frame, uint8_t* out) {
-  uint8_t* dst[4] = {out, nullptr, nullptr, nullptr};
-  int dst_linesize[4] = {3 * d->width, 0, 0, 0};
+  // sws_scale writes RGB24 rows in SIMD-sized chunks: with a tightly packed
+  // destination whose row stride (3*w) is not SIMD-aligned it tramples the
+  // next row's head and overruns the final row (heap corruption at e.g.
+  // w=102). Convert into an aligned scratch image, then row-copy out.
+  const int w = d->width, h = d->height;
+  const int tight = 3 * w;
+  if (w % 16 == 0) {
+    // No partial SIMD chunk at the row tail: safe to write tightly packed.
+    uint8_t* dst[4] = {out, nullptr, nullptr, nullptr};
+    int dst_linesize[4] = {tight, 0, 0, 0};
+    sws_scale(d->sws, frame->data, frame->linesize, 0, frame->height, dst,
+              dst_linesize);
+    return;
+  }
+  // >=128 bytes of per-row slack absorbs any partial-chunk store; +256
+  // tail: the final row's last SIMD store may extend past ls*h.
+  const int ls = ((tight + 63) & ~63) + 128;
+  d->scratch.resize((size_t)ls * h + 256);
+  uint8_t* dst[4] = {d->scratch.data(), nullptr, nullptr, nullptr};
+  int dst_linesize[4] = {ls, 0, 0, 0};
   sws_scale(d->sws, frame->data, frame->linesize, 0, frame->height, dst,
             dst_linesize);
+  for (int r = 0; r < h; ++r)
+    std::memcpy(out + (size_t)r * tight, d->scratch.data() + (size_t)r * ls,
+                tight);
+}
+
+// Output slot for one decoded frame: either RGB24 (rgb set) or tightly
+// packed YUV420 planes (y/u/v set). The YUV path ships the decoder's
+// native limited-range BT.601 planes — half the bytes of RGB24 — so the
+// colorspace conversion can run on the accelerator instead of this host
+// (videoitg_tpu/ops/preprocess.py yuv420_to_rgb).
+struct FrameDst {
+  uint8_t* rgb = nullptr;
+  uint8_t* y = nullptr;
+  uint8_t* u = nullptr;
+  uint8_t* v = nullptr;
+};
+
+void emit_frame(Decoder* d, const AVFrame* frame, const FrameDst& out) {
+  if (out.rgb) {
+    convert_to_rgb(d, frame, out.rgb);
+    return;
+  }
+  const int w = d->width, h = d->height;
+  const int cw = (w + 1) / 2, ch = (h + 1) / 2;
+  // Fast path: the stream already decodes to limited-range yuv420p (the
+  // dominant H.264/H.265 case) — copy planes row-wise (linesize-aware).
+  if (frame->format == AV_PIX_FMT_YUV420P &&
+      frame->color_range != AVCOL_RANGE_JPEG) {
+    for (int r = 0; r < h; ++r)
+      std::memcpy(out.y + (size_t)r * w,
+                  frame->data[0] + (size_t)r * frame->linesize[0], w);
+    for (int r = 0; r < ch; ++r) {
+      std::memcpy(out.u + (size_t)r * cw,
+                  frame->data[1] + (size_t)r * frame->linesize[1], cw);
+      std::memcpy(out.v + (size_t)r * cw,
+                  frame->data[2] + (size_t)r * frame->linesize[2], cw);
+    }
+    return;
+  }
+  // Everything else (yuvj*/full-range, 10-bit, yuv444, ...) converts to
+  // limited-range yuv420p via swscale, so device-side math sees ONE format.
+  // Like convert_to_rgb, sws output strides must be SIMD-aligned: write into
+  // an aligned scratch image and row-copy into the tight planes.
+  d->sws_yuv = sws_getCachedContext(
+      d->sws_yuv, w, h, (AVPixelFormat)frame->format, w, h,
+      AV_PIX_FMT_YUV420P, SWS_BILINEAR, nullptr, nullptr, nullptr);
+  // 256-byte gaps between planes + tail: each plane's final row may be
+  // written with SIMD stores extending past its tight end.
+  const int lsy = ((w + 63) & ~63) + 128, lsc = ((cw + 63) & ~63) + 128;
+  d->scratch.resize((size_t)lsy * h + 2 * (size_t)lsc * ch + 3 * 256);
+  uint8_t* sy = d->scratch.data();
+  uint8_t* su = sy + (size_t)lsy * h + 256;
+  uint8_t* sv = su + (size_t)lsc * ch + 256;
+  uint8_t* data[4] = {sy, su, sv, nullptr};
+  int ls[4] = {lsy, lsc, lsc, 0};
+  sws_scale(d->sws_yuv, frame->data, frame->linesize, 0, frame->height, data,
+            ls);
+  for (int r = 0; r < h; ++r)
+    std::memcpy(out.y + (size_t)r * w, sy + (size_t)r * lsy, w);
+  for (int r = 0; r < ch; ++r) {
+    std::memcpy(out.u + (size_t)r * cw, su + (size_t)r * lsc, cw);
+    std::memcpy(out.v + (size_t)r * cw, sv + (size_t)r * lsc, cw);
+  }
 }
 
 // Decode forward until the frame whose pts equals index[target].pts; convert
-// into out (RGB24, native size). Returns 0 on success.
-int decode_until(Decoder* d, int target, uint8_t* out) {
+// into out (RGB24 or YUV420 planes, native size). Returns 0 on success.
+int decode_until(Decoder* d, int target, const FrameDst& out) {
   const int64_t want_pts = d->index[target].pts;
   AVPacket* pkt = av_packet_alloc();
   AVFrame* frame = av_frame_alloc();
@@ -160,7 +243,7 @@ int decode_until(Decoder* d, int target, uint8_t* out) {
       if (pts >= want_pts) {
         // Tolerate pts drift past target: take the first frame at-or-after,
         // which is the target unless timestamps repeat.
-        convert_to_rgb(d, frame, out);
+        emit_frame(d, frame, out);
         // Next decode would emit the following presentation index.
         auto it = std::upper_bound(
             d->index.begin(), d->index.end(), pts,
@@ -178,7 +261,7 @@ int decode_until(Decoder* d, int target, uint8_t* out) {
       // produced no frame — mpeg4 not-coded VOPs). Fall back to the nearest
       // earlier frame, like decord.
       if (d->last_frame && d->last_frame->data[0]) {
-        convert_to_rgb(d, d->last_frame, out);
+        emit_frame(d, d->last_frame, out);
         d->current_next_idx = (int64_t)d->index.size();
         done = true;
       } else {
@@ -250,12 +333,18 @@ double vdec_fps(void* handle) { return ((Decoder*)handle)->fps; }
 int vdec_width(void* handle) { return ((Decoder*)handle)->width; }
 int vdec_height(void* handle) { return ((Decoder*)handle)->height; }
 
-// Decode frames at `indices` (presentation order ids, may repeat / be
-// unsorted) into out[n, H, W, 3] RGB24. Returns 0 on success.
-int vdec_get_batch(void* handle, const int64_t* indices, int n, uint8_t* out) {
-  Decoder* d = (Decoder*)handle;
+namespace {
+
+// Shared batched-fetch core. For RGB, `p0` is out[n, H, W, 3]; for YUV,
+// (p0, p1, p2) are tightly packed Y [n, H, W] and U/V [n, ceil(H/2),
+// ceil(W/2)] planes.
+int get_batch_impl(Decoder* d, const int64_t* indices, int n, bool yuv,
+                   uint8_t* p0, uint8_t* p1, uint8_t* p2) {
   if (!d->error.empty()) return -1;
-  const size_t frame_bytes = (size_t)d->width * d->height * 3;
+  const int cw = (d->width + 1) / 2, ch = (d->height + 1) / 2;
+  const size_t rgb_bytes = (size_t)d->width * d->height * 3;
+  const size_t y_bytes = (size_t)d->width * d->height;
+  const size_t c_bytes = (size_t)cw * ch;
 
   // Process in sorted order, writing every requested slot for an index.
   std::vector<int> order(n);
@@ -264,7 +353,7 @@ int vdec_get_batch(void* handle, const int64_t* indices, int n, uint8_t* out) {
             [&](int a, int b) { return indices[a] < indices[b]; });
 
   int64_t last_idx = -1;
-  std::vector<uint8_t> last_frame;
+  std::vector<uint8_t> last0, last1, last2;
   for (int oi = 0; oi < n; ++oi) {
     const int slot = order[oi];
     const int64_t idx = indices[slot];
@@ -272,9 +361,22 @@ int vdec_get_batch(void* handle, const int64_t* indices, int n, uint8_t* out) {
       set_error(d, "frame index out of range");
       return -1;
     }
-    uint8_t* dst = out + frame_bytes * slot;
+    FrameDst dst;
+    if (yuv) {
+      dst.y = p0 + y_bytes * slot;
+      dst.u = p1 + c_bytes * slot;
+      dst.v = p2 + c_bytes * slot;
+    } else {
+      dst.rgb = p0 + rgb_bytes * slot;
+    }
     if (idx == last_idx) {  // duplicated request (e.g. pad-with-0 sampling)
-      std::memcpy(dst, last_frame.data(), frame_bytes);
+      if (yuv) {
+        std::memcpy(dst.y, last0.data(), y_bytes);
+        std::memcpy(dst.u, last1.data(), c_bytes);
+        std::memcpy(dst.v, last2.data(), c_bytes);
+      } else {
+        std::memcpy(dst.rgb, last0.data(), rgb_bytes);
+      }
       continue;
     }
     const int key = last_keyframe_at_or_before(d, (int)idx);
@@ -287,15 +389,42 @@ int vdec_get_batch(void* handle, const int64_t* indices, int n, uint8_t* out) {
     }
     if (decode_until(d, (int)idx, dst) < 0) return -1;
     last_idx = idx;
-    last_frame.assign(dst, dst + frame_bytes);
+    if (yuv) {
+      last0.assign(dst.y, dst.y + y_bytes);
+      last1.assign(dst.u, dst.u + c_bytes);
+      last2.assign(dst.v, dst.v + c_bytes);
+    } else {
+      last0.assign(dst.rgb, dst.rgb + rgb_bytes);
+    }
   }
   return 0;
+}
+
+}  // namespace
+
+// Decode frames at `indices` (presentation order ids, may repeat / be
+// unsorted) into out[n, H, W, 3] RGB24. Returns 0 on success.
+int vdec_get_batch(void* handle, const int64_t* indices, int n, uint8_t* out) {
+  return get_batch_impl((Decoder*)handle, indices, n, false, out, nullptr,
+                        nullptr);
+}
+
+// Same fetch, but returns the decoder's native limited-range BT.601 YUV420
+// planes (y [n, H, W]; u, v [n, ceil(H/2), ceil(W/2)]) — 1.5 bytes/pixel
+// instead of RGB24's 3, and no host-side swscale colorspace pass. The
+// consumer runs chroma upsample + YUV->RGB on the accelerator
+// (ops/preprocess.py). Sources that are not limited-range yuv420p are
+// normalized to it in emit_frame.
+int vdec_get_batch_yuv(void* handle, const int64_t* indices, int n,
+                       uint8_t* y, uint8_t* u, uint8_t* v) {
+  return get_batch_impl((Decoder*)handle, indices, n, true, y, u, v);
 }
 
 void vdec_close(void* handle) {
   Decoder* d = (Decoder*)handle;
   if (d->last_frame) av_frame_free(&d->last_frame);
   if (d->sws) sws_freeContext(d->sws);
+  if (d->sws_yuv) sws_freeContext(d->sws_yuv);
   if (d->codec) avcodec_free_context(&d->codec);
   if (d->fmt) avformat_close_input(&d->fmt);
   delete d;
@@ -344,7 +473,9 @@ int vdec_write_test_video(const char* path, int w, int h, int n_frames,
   AVFrame* yuv = av_frame_alloc();
   yuv->format = AV_PIX_FMT_YUV420P; yuv->width = w; yuv->height = h;
   av_frame_get_buffer(yuv, 0);
-  std::vector<uint8_t> rgb((size_t)w * h * 3);
+  // +64: sws may overread the tight last row with SIMD loads.
+  const size_t rgb_bytes = (size_t)w * h * 3;
+  std::vector<uint8_t> rgb(rgb_bytes + 64);
   AVPacket* pkt = av_packet_alloc();
 
   auto flush_enc = [&](AVFrame* f) {
@@ -360,7 +491,7 @@ int vdec_write_test_video(const char* path, int w, int h, int n_frames,
   for (int i = 0; i < n_frames; ++i) {
     uint8_t r = (uint8_t)(i % 200 + 20), g = (uint8_t)((i * 7) % 200 + 20),
             b = (uint8_t)((i * 13) % 200 + 20);
-    for (size_t p = 0; p < rgb.size(); p += 3) {
+    for (size_t p = 0; p < rgb_bytes; p += 3) {
       rgb[p] = r; rgb[p + 1] = g; rgb[p + 2] = b;
     }
     const uint8_t* src[1] = {rgb.data()};
