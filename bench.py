@@ -157,7 +157,7 @@ class _ByteTok:
 
 def run_engine_bench(model: str, num_frames: int, n_videos: int,
                      act_int8: bool = False, width: int = 480,
-                     height: int = 360) -> dict:
+                     height: int = 360, transfer: str = "rgb") -> dict:
     """Sustained end-to-end engine throughput + per-video selection latency.
 
     BASELINE.json's metric is "frames scored/sec/chip ...; p50 per-video
@@ -190,7 +190,8 @@ def run_engine_bench(model: str, num_frames: int, n_videos: int,
 
     engine = SelectionEngine(
         params, cfg, _ByteTok(), dtype=dtype, use_flash=not on_cpu,
-        num_frames=num_frames, target_fps=10.0, buckets=(num_frames,))
+        num_frames=num_frames, target_fps=10.0, buckets=(num_frames,),
+        transfer=transfer)
 
     prompt = "Find the frames where the key action happens."
     with tempfile.TemporaryDirectory() as d:
@@ -210,7 +211,8 @@ def run_engine_bench(model: str, num_frames: int, n_videos: int,
         t_start = t_prev = time.time()
         items = [(i, p, None) for i, p in enumerate(paths)]
         for dec in decode_ahead(items, num_frames=num_frames, target_fps=10.0,
-                                sampling="eval", workers=2, ahead=3):
+                                sampling="eval", workers=2, ahead=3,
+                                pix_fmt=transfer):
             if dec.error is not None:
                 raise dec.error
             res = engine.select(dec.frames, dec.sampled, prompt)
@@ -306,6 +308,14 @@ def main() -> int:
             result.update(run_engine_bench(
                 eng_model, args.num_frames, n_vid,
                 act_int8=eng_act8, width=ew, height=eh))
+            # YUV420 transfer arm: native planes (half the upload bytes) +
+            # device-side BT.601 — the sustained path's main host-side lever.
+            yv = run_engine_bench(
+                eng_model, args.num_frames, n_vid,
+                act_int8=eng_act8, width=ew, height=eh, transfer="yuv420")
+            result["yuv420_sustained_fps"] = yv["sustained_fps"]
+            result["yuv420_video_p50_ms"] = yv["video_p50_ms"]
+            result["yuv420_stage_mean_ms"] = yv["engine_stage_mean_ms"]
         except Exception as e:
             result["engine_bench_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(result))

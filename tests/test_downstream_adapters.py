@@ -157,3 +157,26 @@ def test_video_metadata_passed_when_supported(video_root, selection_jsonl, tiny_
         adapter.answer(0, {}, frames, [1, 5], "q", None)
     assert seen["video_metadata"] == [adapter.last_metadata]
     assert "videos" in seen
+
+
+def test_llava_ov_chat_dedupes_indices(video_root, tiny_llava, tmp_path):
+    """llava-ov-chat follows the llava_onevision protocol variant: selected
+    indices are DEDUPLICATED before the ascending sort
+    (reference llava_onevision.py:420-433); internvl/qwen keep duplicates."""
+    sel = tmp_path / "sel.jsonl"
+    rows = [{"doc_id": i, "index": [5, 5, 1, 9], "logits": [0.9, 0.9, 0.8, 0.7],
+             "num_frames": 1, "contexts": "q", "video_path": f"vid{i}.mp4"}
+            for i in range(2)]
+    sel.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    adapter = get_adapter("llava-ov-chat")(
+        pretrained=tiny_llava, frame_indices_jsonl=str(sel),
+        num_frame=3, data_root=video_root, dtype="bfloat16", max_new_tokens=3)
+    frames, ids = adapter.frames_for_doc(0, video_root + "/data/vid0.mp4")
+    assert ids == [1, 5]  # first-3 = [5,5,1] -> dedupe -> ascending
+    assert frames.shape[0] == 2
+    # the qwen adapter keeps the duplicate (internvl2.py:114-123 semantics)
+    qwen = get_adapter("qwen-vl-chat")(
+        pretrained=tiny_llava, frame_indices_jsonl=str(sel),
+        num_frame=3, data_root=video_root, dtype="bfloat16")
+    _, qids = qwen.frames_for_doc(0, video_root + "/data/vid0.mp4")
+    assert qids == [1, 5, 5]

@@ -217,3 +217,38 @@ def test_engine_on_sp_mesh_matches_single_device(tiny_setup):
     got = engm.score_frames(vids, instrs)
     for w, g in zip(want, got):
         np.testing.assert_allclose(g, w, atol=2e-5, rtol=1e-5)
+
+
+def test_engine_yuv_transfer_matches_rgb(tiny_setup, tmp_path):
+    """transfer="yuv420" (half-byte upload + device BT.601) must reproduce
+    the RGB path's selection: same ranking on well-separated scores, scores
+    within colorspace-rounding tolerance."""
+    from videoitg_tpu.data.video import write_test_video
+
+    cfg, params = tiny_setup
+    p = write_test_video(str(tmp_path / "v.mp4"), 100, 76, 30, 10, 8)
+    kw = dict(dtype=jnp.float32, use_flash=False, buckets=(8,), num_frames=8,
+              target_fps=10.0)
+    eng_rgb = SelectionEngine(params, cfg, ToyTokenizer(), **kw)
+    eng_yuv = SelectionEngine(params, cfg, ToyTokenizer(), transfer="yuv420", **kw)
+    r_rgb = eng_rgb.select_from_file(p, "which frame?")
+    r_yuv = eng_yuv.select_from_file(p, "which frame?")
+    assert r_yuv.sampled_frames == r_rgb.sampled_frames
+    # ±2 LSB of colorspace rounding propagates to ~1e-2 on a random tiny
+    # model's sigmoid scores (real trained scores are far better separated).
+    np.testing.assert_allclose(
+        r_yuv.raw_scores, r_rgb.raw_scores, atol=2e-2, rtol=0)
+    assert r_yuv.index == r_rgb.index  # ranking identical
+    # scores also survive the engine's batch API with YUVFrames input
+    from videoitg_tpu.data.video import read_video_frames
+
+    yuv, sampled = read_video_frames(p, num_frames=8, target_fps=10.0,
+                                     pix_fmt="yuv420")
+    batch = eng_yuv.score_frames([yuv], ["which frame?"])[0]
+    np.testing.assert_allclose(batch, r_yuv.raw_scores, atol=1e-6)
+
+
+def test_engine_rejects_unknown_transfer(tiny_setup):
+    cfg, params = tiny_setup
+    with pytest.raises(ValueError):
+        SelectionEngine(params, cfg, ToyTokenizer(), transfer="nv12")

@@ -45,6 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "serve checkpoint (pre-quantized params + config + "
                         "tokenizer); later runs pass it as --model and skip "
                         "the HF convert + quantization cold-start work")
+    p.add_argument("--transfer", default="rgb", choices=["rgb", "yuv420"],
+                   help="yuv420: ship native YUV planes (half the "
+                        "host->device bytes) and convert on device")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     return p
 
@@ -89,6 +92,7 @@ def main(argv=None) -> int:
     engine = SelectionEngine(
         params, cfg, tokenizer, dtype=dtype,
         num_frames=args.num_frames, target_fps=args.target_fps,
+        transfer=args.transfer,
     )
     result = engine.select_from_file(args.video, args.prompt, sampling=args.sampling)
     selected = result.topk(args.topk)

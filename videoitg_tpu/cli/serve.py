@@ -57,6 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--decode-workers", type=int, default=2)
     p.add_argument("--decode-ahead", type=int, default=4)
+    p.add_argument("--transfer", default="rgb", choices=["rgb", "yuv420"],
+                   help="yuv420: ship native YUV planes (half the "
+                        "host->device bytes) and convert on device")
     p.add_argument("--warmup", action="store_true",
                    help="compile at startup (a synthetic video per bucket) "
                         "so first requests are steady-state")
@@ -122,7 +125,7 @@ class SelectionServer:
         for dec in decode_ahead(
                 items, num_frames=self.engine.num_frames,
                 target_fps=self.engine.target_fps,
-                sampling=sampling,
+                sampling=sampling, pix_fmt=self.engine.transfer,
                 workers=self.decode_workers, ahead=self.decode_ahead):
             req, box, done = dec.meta
             try:
@@ -201,7 +204,8 @@ def build_engine(args):
         mesh = make_mesh(dp=args.dp, tp=args.tp, sp=args.sp)
     return SelectionEngine(params, cfg, tokenizer, dtype=dtype, mesh=mesh,
                            num_frames=args.num_frames,
-                           target_fps=args.target_fps)
+                           target_fps=args.target_fps,
+                           transfer=args.transfer)
 
 
 def warmup(engine, buckets) -> None:

@@ -32,6 +32,7 @@ def decode_ahead(
     workers: int = 2,
     ahead: int = 4,
     frame_cache=None,
+    pix_fmt: str = "rgb",
 ) -> Iterator[DecodedItem]:
     """items: iterable of (key, video_path, meta). Yields DecodedItems in
     input order, decoding up to `ahead` videos ahead on `workers` threads.
@@ -47,6 +48,7 @@ def decode_ahead(
             frames, sampled = read_video_frames_cached(
                 path, num_frames=num_frames, target_fps=target_fps,
                 sampling=sampling, multiple=multiple, cache=frame_cache,
+                pix_fmt=pix_fmt,
             )
             return DecodedItem(key, frames, sampled, None, meta)
         except Exception as e:  # surfaced, not raised

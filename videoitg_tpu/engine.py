@@ -82,6 +82,7 @@ class SelectionEngine:
         batch_size: int = 1,
         buckets: Sequence[int] = FRAME_BUCKETS,
         vision_chunk: Optional[int] = None,
+        transfer: str = "rgb",
     ):
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -94,6 +95,14 @@ class SelectionEngine:
         if use_flash is None:
             use_flash = jax.default_backend() not in ("cpu",)
         self.use_flash = use_flash
+        # transfer="yuv420": decode ships native YUV420 planes (half the
+        # host->device bytes; no host swscale pass) and the BT.601->RGB
+        # conversion fuses into the device preprocess program. Scores match
+        # the RGB path within colorspace rounding (~1e-3 on sigmoid probs);
+        # "rgb" stays the default for bit-level parity with the reference.
+        if transfer not in ("rgb", "yuv420"):
+            raise ValueError(f"transfer must be 'rgb' or 'yuv420', got {transfer!r}")
+        self.transfer = transfer
         # Bound vision-tower activations at long buckets (reference chunks at
         # 384 frames for its GPUs; 128 keeps the 8B-int8 pipeline on one v5e).
         self.vision_chunk = 128 if vision_chunk is None else vision_chunk
@@ -147,8 +156,29 @@ class SelectionEngine:
             self._score_fns[key] = jax.jit(fn)
         return self._score_fns[key]
 
-    def _preprocess(self, frames_u8: np.ndarray, t_bucket: int) -> jax.Array:
-        """[T, H, W, 3] uint8 -> [t_bucket, S, S, 3] model-dtype on device."""
+    def _preprocess(self, frames_u8, t_bucket: int) -> jax.Array:
+        """uint8 frames (RGB [T, H, W, 3] or YUVFrames) -> [t_bucket, S, S, 3]
+        model-dtype on device."""
+        from videoitg_tpu.data.video import YUVFrames
+        from videoitg_tpu.ops.preprocess import preprocess_frames_yuv
+
+        out_size = self.cfg.vision.image_size
+        dtype = self.dtype
+        if isinstance(frames_u8, YUVFrames):
+            t, h, w, _ = frames_u8.shape
+            y, u, v = frames_u8
+            if t < t_bucket:
+                pad = t_bucket - t
+                y = np.concatenate([y, np.zeros((pad,) + y.shape[1:], np.uint8)])
+                u = np.concatenate([u, np.zeros((pad,) + u.shape[1:], np.uint8)])
+                v = np.concatenate([v, np.zeros((pad,) + v.shape[1:], np.uint8)])
+            key = (t_bucket, h, w, "yuv420")
+            if key not in self._pre_fns:
+                self._pre_fns[key] = jax.jit(
+                    lambda y, u, v: preprocess_frames_yuv(
+                        y, u, v, out_size=out_size, dtype=dtype)
+                )
+            return self._pre_fns[key](y, u, v)
         t, h, w, _ = frames_u8.shape
         if t < t_bucket:
             frames_u8 = np.concatenate(
@@ -156,8 +186,6 @@ class SelectionEngine:
             )
         key = (t_bucket, h, w)
         if key not in self._pre_fns:
-            out_size = self.cfg.vision.image_size
-            dtype = self.dtype
             self._pre_fns[key] = jax.jit(
                 lambda x: preprocess_frames(x, out_size=out_size, dtype=dtype)
             )
@@ -168,7 +196,8 @@ class SelectionEngine:
     def score_frames(
         self, videos: Sequence[np.ndarray], instructions: Sequence[str]
     ) -> List[np.ndarray]:
-        """Score raw decoded frames. videos: list of [T_i, H, W, 3] uint8.
+        """Score raw decoded frames. videos: list of [T_i, H, W, 3] uint8
+        (or data.video.YUVFrames when transfer="yuv420").
 
         All videos in one call share a bucket/HW (callers group by length);
         returns a list of [T_i] fp32 sigmoid scores.
@@ -268,5 +297,6 @@ class SelectionEngine:
             frames, sampled = read_video_frames(
                 video_path, num_frames=self.num_frames, target_fps=self.target_fps,
                 sampling=sampling,
+                pix_fmt="yuv420" if self.transfer == "yuv420" else "rgb",
             )
         return self.select(frames, sampled, instruction, video_path=video_path, doc_id=doc_id)

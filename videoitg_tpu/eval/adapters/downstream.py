@@ -47,11 +47,16 @@ def select_frame_ids(
     doc_id,
     num_frames: int,
     total_frames: int,
+    dedupe: bool = False,
 ) -> List[int]:
     """First num_frames entries -> validate -> ascending sort; uniform
-    fallback for missing docs (internvl2.py:114-123)."""
+    fallback for missing docs (internvl2.py:114-123). dedupe=True drops
+    duplicate ids before sorting — the llava_onevision variant of the
+    protocol (llava_onevision.py:420-433); internvl/qwen keep duplicates."""
     if doc_id in indices_map:
         picked = [i for i in indices_map[doc_id][:num_frames] if 0 <= i < total_frames]
+        if dedupe:
+            picked = sorted(set(picked))
         if picked:
             return sorted(picked)
     if total_frames <= 0:
@@ -68,6 +73,7 @@ class FrameSelectionConsumer(ModelAdapter):
         frame_indices_jsonl: Optional[str] = None,
         num_frame: int = 32,
         data_root: str = "",
+        dedupe: bool = False,
         **_ignored,
     ):
         self.indices_map = (
@@ -75,13 +81,15 @@ class FrameSelectionConsumer(ModelAdapter):
         )
         self.num_frame = num_frame
         self.data_root = data_root
+        self.dedupe = dedupe
 
     def frames_for_doc(self, doc_id, video_path: str):
         from videoitg_tpu.data.video import VideoReader
 
         with VideoReader(video_path) as vr:
             total = len(vr)
-            ids = select_frame_ids(self.indices_map, doc_id, self.num_frame, total)
+            ids = select_frame_ids(self.indices_map, doc_id, self.num_frame, total,
+                                   dedupe=self.dedupe)
             frames = vr.get_batch(ids)
             # Video metadata for processor-based downstreams (the reference
             # builds the same dict, qwen3_vl.py:234-241).
@@ -274,6 +282,25 @@ class QwenVLChatAdapter(FrameSelectionConsumer):
                                       do_sample=False)
         return self.processor.batch_decode(
             out[:, inputs["input_ids"].shape[1]:], skip_special_tokens=True)[0]
+
+
+@register_adapter("llava-ov-chat")
+class LlavaOneVisionChatAdapter(QwenVLChatAdapter):
+    """LLaVA-OneVision / LLaVA-Video downstream (the reference's
+    llava_onevision wrapper, llava_onevision.py:66-124 — default checkpoint
+    lmms-lab/LLaVA-Video-7B-Qwen2, the paper's LLaVA-Video-7B row).
+
+    The HF-format LLaVA-OneVision checkpoints expose a processor, so the
+    chat-template path of QwenVLChatAdapter applies; the family-specific
+    protocol nuance is index DEDUPLICATION before the ascending sort
+    (llava_onevision.py:420-433, `sorted(list(set(...)))`), which the
+    internvl/qwen consumers do not do.
+    """
+
+    def __init__(self, pretrained: str = "lmms-lab/LLaVA-Video-7B-Qwen2",
+                 **kwargs):
+        kwargs.setdefault("dedupe", True)
+        super().__init__(pretrained=pretrained, **kwargs)
 
 
 @register_adapter("hf-video-llm")

@@ -39,6 +39,7 @@ class VideoITGAdapter(ModelAdapter):
         decode_ahead: int = 4,
         frame_cache_dir: Optional[str] = None,
         batch_size: int = 1,
+        transfer: str = "rgb",
         **_ignored,
     ):
         import jax
@@ -122,7 +123,7 @@ class VideoITGAdapter(ModelAdapter):
 
         self.engine = SelectionEngine(
             params, cfg, tokenizer, mesh=mesh, num_frames=num_frames,
-            target_fps=target_fps, dtype=jdtype,
+            target_fps=target_fps, dtype=jdtype, transfer=transfer,
         )
         self.num_frames = num_frames
         self.target_fps = target_fps
@@ -183,7 +184,7 @@ class VideoITGAdapter(ModelAdapter):
             work, num_frames=self.num_frames, target_fps=self.target_fps,
             sampling="eval", multiple=self.multiple,
             workers=self.decode_workers, ahead=max(self.decode_ahead, self.batch_size),
-            frame_cache=self.frame_cache,
+            frame_cache=self.frame_cache, pix_fmt=self.engine.transfer,
         ):
             if dec.error is not None:
                 print(f"[videoitg adapter] decode failed for doc {dec.key}: "
