@@ -133,3 +133,33 @@ def test_serve_on_mesh(tmp_path):
     want = solo.select_from_file(video, "find it")
     assert out["index"] == want.index
     np.testing.assert_allclose(out["logits"], want.logits, atol=1e-2)
+
+
+def test_serve_yuv420_transfer(tmp_path):
+    """Daemon with transfer=yuv420: decode ships planes, device converts —
+    same response contract and ranking as the rgb daemon."""
+    from videoitg_tpu.cli.serve import SelectionServer, make_handler
+    from videoitg_tpu.config import GroundingConfig
+    from videoitg_tpu.data.video import write_test_video
+    from videoitg_tpu.engine import SelectionEngine
+    from videoitg_tpu.models.grounding import init_grounding
+    from videoitg_tpu.utils.common import CharTokenizer
+
+    v = write_test_video(str(tmp_path / "v.mp4"), 100, 76, 20, 10, 8)
+    cfg = GroundingConfig.tiny()
+    params = init_grounding(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    results = {}
+    for mode in ("rgb", "yuv420"):
+        engine = SelectionEngine(params, cfg, CharTokenizer(cfg.lm.vocab_size),
+                                 dtype=jnp.float32, use_flash=False,
+                                 num_frames=8, target_fps=4.0, transfer=mode)
+        server = SelectionServer(engine)
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(server))
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        status, out = _post(base, {"video_path": v, "prompt": "find it"})
+        assert status == 200
+        results[mode] = out
+        httpd.shutdown()
+    assert results["yuv420"]["index"] == results["rgb"]["index"]
+    assert set(results["yuv420"]) == set(results["rgb"])
