@@ -1,6 +1,8 @@
 """perceptiontest_val_* and tempcompass_* tasks vs reference semantics
 (lmms_eval/tasks/perceptiontest/val/utils.py, tempcompass/utils.py)."""
 
+import pytest
+
 from videoitg_tpu.eval.api import GROUP_REGISTRY, get_task
 
 
@@ -88,3 +90,67 @@ def test_cinepile_parsing_and_rollups():
     assert agg["cinepile_accuracy"] == 50.0
     assert agg["cinepile_temporal"] == 50.0
     assert agg["cinepile_hard_true"] == 50.0
+
+
+def test_temporalbench_scoring_and_rollups():
+    from videoitg_tpu.eval.tasks.temporalbench import aggregate, process_results
+
+    docs = [
+        {"idx": 0, "video_name": "a.mp4", "question": "q", "GT": "A",
+         "dataset": "sthsth", "category": 1},
+        {"idx": 1, "video_name": "a.mp4", "question": "q", "GT": "B",
+         "dataset": "sthsth", "category": 1},
+        {"idx": 2, "video_name": "b.mp4", "question": "q", "GT": "A",
+         "dataset": "ego4d", "category": 8},
+    ]
+    # first-character matching, case-insensitive (utils.py:111)
+    recs = [process_results(docs[0], "A. the action"),
+            process_results(docs[1], "a"),     # wrong (GT B)
+            process_results(docs[2], "A)")]
+    out = aggregate(recs)
+    assert out["temporalbench_binary_accuracy"] == pytest.approx(200 / 3)
+    # video a.mp4 has one wrong answer -> fails the AND; b.mp4 passes
+    assert out["temporalbench_multiple_binary_accuracy"] == pytest.approx(50.0)
+    assert out["temporalbench_sthsth_ba"] == pytest.approx(50.0)
+    assert out["temporalbench_ego4d_mba"] == pytest.approx(100.0)
+    assert out["temporalbench_cat_Action Order_ba"] == pytest.approx(50.0)
+    assert out["temporalbench_cat_Event Order_ba"] == pytest.approx(100.0)
+
+
+def test_vinoground_matrix_semantics():
+    from videoitg_tpu.eval.tasks.vinoground import (
+        aggregate, doc_to_text, process_results,
+    )
+
+    def doc(i, pol, qt, gt, major="object"):
+        return {"index": f"{i}_{pol}_{qt}", "question": "which?", "GT": gt,
+                "video_name": "v.mp4", "major": major, "minor": None}
+
+    # pair 0: all four correct -> text/video/group all 1
+    # pair 1: text pos correct, text neg wrong -> text 0; video both -> 1
+    recs = [process_results(doc(0, "pos", "text", "A"), "A"),
+            process_results(doc(0, "neg", "text", "B"), "b."),
+            process_results(doc(0, "pos", "video", "A"), "A"),
+            process_results(doc(0, "neg", "video", "B"), "B"),
+            process_results(doc(1, "pos", "text", "A"), "A"),
+            process_results(doc(1, "neg", "text", "B"), "A"),
+            process_results(doc(1, "pos", "video", "A"), "A"),
+            process_results(doc(1, "neg", "video", "B"), "B")]
+    out = aggregate(recs)
+    assert out["vinoground_text"] == pytest.approx(50.0)
+    assert out["vinoground_video"] == pytest.approx(100.0)
+    assert out["vinoground_group"] == pytest.approx(50.0)
+    assert out["vinoground_object_group"] == pytest.approx(50.0)
+    assert doc_to_text(doc(0, "pos", "text", "A")).endswith(
+        "Please only output one English character.")
+
+
+def test_temporalbench_vinoground_registered():
+    from videoitg_tpu.eval.api import get_task
+
+    import videoitg_tpu.eval.tasks  # noqa: F401
+
+    for name in ("temporalbench_short_qa", "temporalbench_long_qa",
+                 "vinoground"):
+        t = get_task(name)
+        assert t.generation_kwargs["max_new_tokens"] == 16

@@ -11,7 +11,9 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     nextqa,
     perceptiontest,
     tempcompass,
+    temporalbench,
     videomme,
+    vinoground,
 )
 
 # The reference paper's headline benchmark family (README.md:61-74).
