@@ -210,9 +210,13 @@ def run_engine_bench(model: str, num_frames: int, n_videos: int,
         lat = []
         t_start = t_prev = time.time()
         items = [(i, p, None) for i, p in enumerate(paths)]
+        # post=preprocess_ahead: the worker thread starts video i+1's
+        # device upload+preprocess while the main thread waits on video i's
+        # score readback — upload no longer serializes behind scoring.
         for dec in decode_ahead(items, num_frames=num_frames, target_fps=10.0,
                                 sampling="eval", workers=2, ahead=3,
-                                pix_fmt=transfer):
+                                pix_fmt=transfer,
+                                post=engine.preprocess_ahead):
             if dec.error is not None:
                 raise dec.error
             res = engine.select(dec.frames, dec.sampled, prompt)

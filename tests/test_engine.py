@@ -252,3 +252,29 @@ def test_engine_rejects_unknown_transfer(tiny_setup):
     cfg, params = tiny_setup
     with pytest.raises(ValueError):
         SelectionEngine(params, cfg, ToyTokenizer(), transfer="nv12")
+
+
+def test_preprocess_ahead_matches_inline(tiny_setup):
+    """Upload-ahead: scoring a PreprocessedVideo (device-resident, padded
+    to bucket, produced off the main thread) must equal the raw-frames
+    path exactly — including short videos that need bucket padding."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    cfg, params = tiny_setup
+    eng = SelectionEngine(
+        params, cfg, ToyTokenizer(), dtype=jnp.float32, use_flash=False,
+        buckets=(8,), num_frames=8,
+    )
+    rng = np.random.default_rng(7)
+    frames = _frames(rng, 6)  # 6 real frames in an 8-bucket
+    inline = eng.score_frames([frames], ["q"])[0]
+    with ThreadPoolExecutor(1) as pool:  # worker-thread dispatch, as decode_ahead does
+        pre = pool.submit(eng.preprocess_ahead, frames).result()
+    assert pre.shape[0] == 6 and pre.pix.shape[0] == 8
+    ahead = eng.score_frames([pre], ["q"])[0]
+    np.testing.assert_array_equal(inline, ahead)
+    # wrong-bucket preprocessed input fails loudly
+    eng2 = SelectionEngine(params, cfg, ToyTokenizer(), dtype=jnp.float32,
+                           use_flash=False, buckets=(4,), num_frames=4)
+    with pytest.raises(ValueError):
+        eng2.score_frames([pre], ["q"])

@@ -185,3 +185,23 @@ def test_read_video_frames_yuv420(fixture_mp4):
     assert isinstance(frames, YUVFrames)
     assert frames.num_frames == len(sampled) == 8
     assert frames.shape == (8, 48, 64, 3)
+
+
+def test_decode_ahead_post_runs_on_worker(tmp_path):
+    import threading
+
+    from videoitg_tpu.data.prefetch import decode_ahead
+
+    p = write_test_video(str(tmp_path / "v.mp4"), 64, 48, 12, 10, 8)
+    main = threading.get_ident()
+    seen = {}
+
+    def post(frames):
+        seen["thread"] = threading.get_ident()
+        return frames.sum(axis=(1, 2, 3))  # replaces frames
+
+    out = list(decode_ahead([("k", p, None)], num_frames=4, target_fps=10,
+                            post=post))
+    assert out[0].error is None
+    assert out[0].frames.shape == (4,)  # post result propagated
+    assert seen["thread"] != main

@@ -126,7 +126,8 @@ class SelectionServer:
                 items, num_frames=self.engine.num_frames,
                 target_fps=self.engine.target_fps,
                 sampling=sampling, pix_fmt=self.engine.transfer,
-                workers=self.decode_workers, ahead=self.decode_ahead):
+                workers=self.decode_workers, ahead=self.decode_ahead,
+                post=self.engine.preprocess_ahead):
             req, box, done = dec.meta
             try:
                 if dec.error is not None:

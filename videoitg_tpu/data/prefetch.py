@@ -33,13 +33,18 @@ def decode_ahead(
     ahead: int = 4,
     frame_cache=None,
     pix_fmt: str = "rgb",
+    post=None,
 ) -> Iterator[DecodedItem]:
     """items: iterable of (key, video_path, meta). Yields DecodedItems in
     input order, decoding up to `ahead` videos ahead on `workers` threads.
     Decode errors are surfaced per-item (callers decide to skip/retry),
     mirroring the reference's per-sample robustness rather than crashing
     the whole run. `frame_cache` (data.frame_cache.FrameCache) skips decode
-    for videos already sampled with this exact config."""
+    for videos already sampled with this exact config. `post` (optional)
+    runs on the worker thread over the decoded frames and its result
+    replaces them — e.g. SelectionEngine.preprocess_ahead, which starts
+    the host->device upload while the chip is still scoring the previous
+    video (jax dispatch is thread-safe and asynchronous)."""
     from videoitg_tpu.data.frame_cache import read_video_frames_cached
 
     def work(item):
@@ -50,6 +55,8 @@ def decode_ahead(
                 sampling=sampling, multiple=multiple, cache=frame_cache,
                 pix_fmt=pix_fmt,
             )
+            if post is not None:
+                frames = post(frames)
             return DecodedItem(key, frames, sampled, None, meta)
         except Exception as e:  # surfaced, not raised
             return DecodedItem(key, None, None, e, meta)

@@ -17,7 +17,7 @@ T, not the bucket). One compile per distinct (bucket, hw, B) key — the
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +32,23 @@ from videoitg_tpu.ops.preprocess import preprocess_frames
 from videoitg_tpu.parallel import context as par_context
 from videoitg_tpu.parallel import mesh as mesh_lib
 from videoitg_tpu.parallel import sharding as sharding_lib
+
+
+class PreprocessedVideo(NamedTuple):
+    """A video already resized/normalized and resident on device.
+
+    Produced by SelectionEngine.preprocess_ahead — typically from a decode
+    worker thread (data/prefetch.decode_ahead post=), so the host->device
+    upload of video i+1 overlaps the chip scoring video i instead of
+    serializing behind its readback.
+    """
+
+    pix: object  # jax.Array [t_bucket, S, S, 3], model dtype
+    t_real: int
+
+    @property
+    def shape(self):  # [T, ...] for callers that read the frame count
+        return (self.t_real,) + tuple(self.pix.shape[1:])
 
 
 @dataclasses.dataclass
@@ -158,9 +175,18 @@ class SelectionEngine:
 
     def _preprocess(self, frames_u8, t_bucket: int) -> jax.Array:
         """uint8 frames (RGB [T, H, W, 3] or YUVFrames) -> [t_bucket, S, S, 3]
-        model-dtype on device."""
+        model-dtype on device. A jax.Array input is treated as already
+        preprocessed (see preprocess_ahead) and passed through."""
         from videoitg_tpu.data.video import YUVFrames
         from videoitg_tpu.ops.preprocess import preprocess_frames_yuv
+
+        if isinstance(frames_u8, PreprocessedVideo):
+            if frames_u8.pix.shape[0] != t_bucket:
+                raise ValueError(
+                    f"preprocessed input padded to {frames_u8.pix.shape[0]} "
+                    f"frames, bucket needs {t_bucket}; preprocess_ahead with "
+                    f"the same bucket set")
+            return frames_u8.pix
 
         out_size = self.cfg.vision.image_size
         dtype = self.dtype
@@ -192,6 +218,20 @@ class SelectionEngine:
         return self._pre_fns[key](frames_u8)
 
     # ---- public API ----
+
+    def preprocess_ahead(self, frames, t_bucket: Optional[int] = None
+                         ) -> PreprocessedVideo:
+        """Resize/normalize + upload a decoded video NOW (async dispatch).
+
+        Safe to call from decode worker threads: the jitted preprocess
+        dispatch returns immediately and the transfer+compute overlap the
+        main thread's current scoring program. Feed the result to
+        select()/score_frames() in place of raw frames.
+        """
+        t_real = frames.shape[0]
+        if t_bucket is None:
+            t_bucket = frame_bucket(t_real, self.buckets)
+        return PreprocessedVideo(self._preprocess(frames, t_bucket), t_real)
 
     def score_frames(
         self, videos: Sequence[np.ndarray], instructions: Sequence[str]

@@ -185,6 +185,7 @@ class VideoITGAdapter(ModelAdapter):
             sampling="eval", multiple=self.multiple,
             workers=self.decode_workers, ahead=max(self.decode_ahead, self.batch_size),
             frame_cache=self.frame_cache, pix_fmt=self.engine.transfer,
+            post=self.engine.preprocess_ahead,
         ):
             if dec.error is not None:
                 print(f"[videoitg adapter] decode failed for doc {dec.key}: "
