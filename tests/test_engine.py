@@ -246,6 +246,14 @@ def test_engine_yuv_transfer_matches_rgb(tiny_setup, tmp_path):
                                      pix_fmt="yuv420")
     batch = eng_yuv.score_frames([yuv], ["which frame?"])[0]
     np.testing.assert_allclose(batch, r_yuv.raw_scores, atol=1e-6)
+    # padding path: 5 real frames in the 8-bucket — yuv padding (y=0,
+    # chroma=128 black) must track the rgb zero padding
+    p5 = write_test_video(str(tmp_path / "v5.mp4"), 100, 76, 5, 10, 8)
+    r5_rgb = eng_rgb.select_from_file(p5, "which frame?")
+    r5_yuv = eng_yuv.select_from_file(p5, "which frame?")
+    assert len(r5_yuv.raw_scores) == len(r5_rgb.raw_scores) == 5
+    np.testing.assert_allclose(r5_yuv.raw_scores, r5_rgb.raw_scores,
+                               atol=2e-2, rtol=0)
 
 
 def test_engine_rejects_unknown_transfer(tiny_setup):

@@ -218,3 +218,29 @@ def test_prefetch_batches_order_and_errors():
     assert next(it) == 1
     with pytest.raises(RuntimeError, match="decode failed"):
         list(it)
+
+
+def test_collate_yuv420_samples(tmp_path):
+    """Collate accepts YUVFrames samples (videoitg-train --pix-fmt yuv420):
+    device conversion matches the rgb collate within colorspace rounding,
+    including bucket padding."""
+    from videoitg_tpu.data.video import VideoReader, write_test_video
+
+    p = write_test_video(str(tmp_path / "v.mp4"), 64, 48, 10, 10, 8)
+    with VideoReader(p) as vr:
+        rgb = vr.get_batch([0, 3, 6])
+        yuv = vr.get_batch_yuv([0, 3, 6])
+    labels = np.array([0, 1, 0], dtype=np.float32)
+    b_rgb = collate_grounding([GroundingSample(rgb, [5, 6], labels, "x")],
+                              t_bucket=4, cfg=CFG, dtype=jnp.float32)
+    b_yuv = collate_grounding([GroundingSample(yuv, [5, 6], labels, "x")],
+                              t_bucket=4, cfg=CFG, dtype=jnp.float32)
+    assert b_yuv.frames.shape == b_rgb.frames.shape
+    np.testing.assert_array_equal(np.asarray(b_yuv.frame_valid),
+                                  np.asarray(b_rgb.frame_valid))
+    # normalized pixels: |rgb diff| <= ~2.5/255 -> <= 0.02 in (x-0.5)/0.5 units
+    diff = np.abs(np.asarray(b_yuv.frames) - np.asarray(b_rgb.frames))
+    assert diff.max() < 0.03, diff.max()
+    # padded tail identical (zeros preprocess to the same constant)
+    np.testing.assert_array_equal(np.asarray(b_yuv.frames[0, 3:]),
+                                  np.asarray(b_rgb.frames[0, 3:]))

@@ -194,10 +194,13 @@ class SelectionEngine:
             t, h, w, _ = frames_u8.shape
             y, u, v = frames_u8
             if t < t_bucket:
+                # Black padding in YUV is y=0 (clamps to 0 after the -16
+                # offset) with NEUTRAL chroma 128 — zero chroma would
+                # convert to saturated green, not black.
                 pad = t_bucket - t
                 y = np.concatenate([y, np.zeros((pad,) + y.shape[1:], np.uint8)])
-                u = np.concatenate([u, np.zeros((pad,) + u.shape[1:], np.uint8)])
-                v = np.concatenate([v, np.zeros((pad,) + v.shape[1:], np.uint8)])
+                u = np.concatenate([u, np.full((pad,) + u.shape[1:], 128, np.uint8)])
+                v = np.concatenate([v, np.full((pad,) + v.shape[1:], 128, np.uint8)])
             key = (t_bucket, h, w, "yuv420")
             if key not in self._pre_fns:
                 self._pre_fns[key] = jax.jit(

@@ -26,16 +26,35 @@ def collate_grounding(
     ids = np.zeros((b, cfg.max_text_len), dtype=np.int32)
     text_valid = np.zeros((b, cfg.max_text_len), dtype=bool)
 
+    from videoitg_tpu.data.video import YUVFrames
+    from videoitg_tpu.ops.preprocess import preprocess_frames_yuv
+
     for i, s in enumerate(samples):
         t = s.frames.shape[0]
         fr = s.frames
-        if t < t_bucket:
-            fr = np.concatenate(
-                [fr, np.zeros((t_bucket - t,) + fr.shape[1:], dtype=fr.dtype)], axis=0
-            )
-        elif t > t_bucket:
-            fr, t = fr[:t_bucket], t_bucket
-        pix_list.append(preprocess_frames(fr, out_size=cfg.vision.image_size, dtype=dtype))
+        if isinstance(fr, YUVFrames):
+            # yuv420 decode (half the host bytes, no host swscale pass):
+            # pad/truncate planes, convert+resize on device. Black padding
+            # is y=0 + NEUTRAL chroma 128 (zero chroma would be green).
+            planes = [fr.y, fr.u, fr.v]
+            if t < t_bucket:
+                pad = t_bucket - t
+                planes = [
+                    np.concatenate([p, np.full((pad,) + p.shape[1:], fill,
+                                               np.uint8)])
+                    for p, fill in zip(planes, (0, 128, 128))]
+            elif t > t_bucket:
+                planes, t = [p[:t_bucket] for p in planes], t_bucket
+            pix_list.append(preprocess_frames_yuv(
+                *planes, out_size=cfg.vision.image_size, dtype=dtype))
+        else:
+            if t < t_bucket:
+                fr = np.concatenate(
+                    [fr, np.zeros((t_bucket - t,) + fr.shape[1:], dtype=fr.dtype)], axis=0
+                )
+            elif t > t_bucket:
+                fr, t = fr[:t_bucket], t_bucket
+            pix_list.append(preprocess_frames(fr, out_size=cfg.vision.image_size, dtype=dtype))
         frame_valid[i, :t] = True
         labels[i, :t] = s.labels[:t]
         n = len(s.text_ids)

@@ -51,6 +51,7 @@ class GroundingDataset:
         fps: float = 1.0,
         max_attempts: int = 10,
         seed: int = 0,
+        pix_fmt: str = "rgb",
     ):
         with open(data_path) as f:
             self.records = json.load(f)
@@ -61,6 +62,7 @@ class GroundingDataset:
         self.fps = fps
         self.max_attempts = max_attempts
         self.rng = random.Random(seed)
+        self.pix_fmt = pix_fmt
 
     def __len__(self) -> int:
         return len(self.records)
@@ -84,7 +86,7 @@ class GroundingDataset:
         video_path = os.path.join(self.image_folder, rec["video"])
         frames, _sampled = read_video_frames(
             video_path, num_frames=self.video_frames, target_fps=self.fps,
-            sampling="infer",
+            sampling="infer", pix_fmt=self.pix_fmt,
         )
         t = frames.shape[0]
         labels = np.zeros((t,), dtype=np.float32)
