@@ -154,3 +154,28 @@ def test_temporalbench_vinoground_registered():
                  "vinoground"):
         t = get_task(name)
         assert t.generation_kwargs["max_new_tokens"] == 16
+
+
+def test_mmworld_prompt_scoring_and_rollups():
+    t = get_task("mmworld")
+    doc = {"video_id": "yt/abc123", "question": "What is shown?",
+           "options": ["a", "b", "c", "d"], "discipline": "Science",
+           "correct_answer_label": "b"}
+    text = t.doc_to_text(doc)
+    assert text.startswith("Select the best answer")
+    assert "What is shown?\n['a', 'b', 'c', 'd']" in text
+    assert text.endswith("The best answer is:")
+
+    # prefix stripping + first-[ABCD] extraction (utils.py:96-115)
+    assert t.process_results(doc, "The best answer is B")["pred_answer"] == "B"
+    assert t.process_results(doc, "(B)")["pred_answer"] == "B"
+    # >10 words with no capital option letter -> unanswered
+    long_miss = "well it could be many things but none of them seem right to me"
+    assert t.process_results(doc, long_miss)["pred_answer"] == ""
+    r_ok = t.process_results(doc, "B")
+    assert r_ok["answer"] == "B"
+    r_bad = dict(r_ok, pred_answer="A", discipline="Game")
+    out = t.aggregate([r_ok, r_bad])
+    assert out["mmworld_accuracy"] == 50.0
+    assert out["mmworld_accuracy_Science"] == 100.0
+    assert out["mmworld_accuracy_Game"] == 0.0

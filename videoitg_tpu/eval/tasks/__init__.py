@@ -7,6 +7,7 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     egoschema,
     longvideobench,
     mlvu,
+    mmworld,
     mvbench,
     nextqa,
     perceptiontest,
