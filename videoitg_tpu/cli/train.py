@@ -42,6 +42,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pix-fmt", default="rgb", choices=["rgb", "yuv420"],
                    help="yuv420: decode ships native YUV planes (2x faster "
                         "host decode, half the upload); device converts")
+    p.add_argument("--feature-cache", default=None, metavar="DIR",
+                   help="grounding objective: cache frozen-tower features "
+                        "here; cache hits skip decode+preprocess+tower "
+                        "(the tower is frozen in every released recipe)")
+    p.add_argument("--feature-cache-dtype", default="bf16",
+                   choices=["bf16", "int8"],
+                   help="feature storage: bf16 (exact vs bf16 training) "
+                        "or int8 (4x smaller, ~0.4%% feature error)")
+    p.add_argument("--precompute-features", action="store_true",
+                   help="fill --feature-cache over the whole dataset, "
+                        "then exit (no training)")
     p.add_argument("--vision-token-num", type=int, default=None,
                    help="seq_mlp total vision-token budget override "
                         "(reference --vision_token_num; the grounding "
@@ -222,6 +233,31 @@ def main(argv=None) -> int:
             params = dict(params, lm=quantize_qwen2_int4(params["lm"]))
         params = add_lora(params, jax.random.PRNGKey(args.seed + 1),
                           rank=args.lora, alpha=args.lora_alpha)
+
+    if args.feature_cache:
+        if args.objective != "grounding":
+            print("error: --feature-cache supports the grounding objective "
+                  "only (the VLM SFT tower also trains on image samples)",
+                  file=sys.stderr)
+            return 2
+        from videoitg_tpu.train.feature_cache import (
+            CachedFeatureDataset, FeatureCache,
+        )
+
+        cache = FeatureCache(args.feature_cache,
+                             store_dtype=args.feature_cache_dtype)
+        dataset = CachedFeatureDataset(dataset, cache, params, cfg,
+                                       use_flash=not on_cpu)
+        if args.precompute_features:
+            t0 = time.time()
+            for i in range(len(dataset)):
+                dataset[i]
+                if (i + 1) % 10 == 0 or i + 1 == len(dataset):
+                    print(f"[feature-cache] {i + 1}/{len(dataset)} "
+                          f"({cache.stats()}, {time.time() - t0:.0f}s)")
+            print(f"[feature-cache] done: {cache.stats()} in "
+                  f"{args.feature_cache}")
+            return 0
 
     batch_size = args.per_device_train_batch_size
     n_devices = len(jax.devices())

@@ -61,7 +61,10 @@ def init_grounding(key, cfg: GroundingConfig, dtype=jnp.float32) -> dict:
 class GroundingBatch(NamedTuple):
     """One static-shape scoring batch.
 
-    frames:      [B, T, H, W, 3] preprocessed pixels (ops.preprocess).
+    frames:      [B, T, H, W, 3] preprocessed pixels (ops.preprocess), or
+                 [B, T, P, C] precomputed frozen-tower features
+                 (train/feature_cache.py) — distinguished statically by
+                 ndim; the feature form skips the vision tower.
     frame_valid: [B, T] bool — False marks bucket-padding frames.
     text_ids:    [B, L] int32, right-padded.
     text_valid:  [B, L] bool.
@@ -102,9 +105,14 @@ def grounding_logits(
     n_pf = frame_token_count(cfg.projector, hw, cfg.vision.num_patches)
     n_img = t * n_pf
 
-    # Vision tower over all frames of all videos as one batch.
+    # Vision tower over all frames of all videos as one batch. A 4-d
+    # frames array carries precomputed tower features [B, T, P, C] (the
+    # tower is frozen in every released recipe, so its outputs are
+    # cacheable — train/feature_cache.py); the tower is skipped entirely.
     frames_flat = batch.frames.reshape((b * t,) + batch.frames.shape[2:])
-    if vision_chunk and b * t > vision_chunk and (b * t) % vision_chunk == 0:
+    if batch.frames.ndim == 4:
+        feats = frames_flat  # [B*T, P, C]
+    elif vision_chunk and b * t > vision_chunk and (b * t) % vision_chunk == 0:
         chunked = frames_flat.reshape((b * t // vision_chunk, vision_chunk)
                                       + frames_flat.shape[1:])
         feats = jax.lax.map(

@@ -32,7 +32,17 @@ def collate_grounding(
     for i, s in enumerate(samples):
         t = s.frames.shape[0]
         fr = s.frames
-        if isinstance(fr, YUVFrames):
+        if not isinstance(fr, YUVFrames) and fr.ndim == 3:
+            # Precomputed tower features [T, P, C] (train/feature_cache.py):
+            # no preprocess — pad/truncate to the bucket and cast.
+            if t < t_bucket:
+                fr = np.concatenate(
+                    [fr, np.zeros((t_bucket - t,) + fr.shape[1:],
+                                  dtype=fr.dtype)], axis=0)
+            elif t > t_bucket:
+                fr, t = fr[:t_bucket], t_bucket
+            pix_list.append(jnp.asarray(fr, dtype=dtype))
+        elif isinstance(fr, YUVFrames):
             # yuv420 decode (half the host bytes, no host swscale pass):
             # pad/truncate planes, convert+resize on device. Black padding
             # is y=0 + NEUTRAL chroma 128 (zero chroma would be green).
