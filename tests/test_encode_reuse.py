@@ -1,0 +1,150 @@
+"""Cross-question tower reuse (engine.EncodedVideo + select_many).
+
+The tower never sees the instruction (reference grounding_qwen2.py:129
+splices text after vision encode), so one encode serves every question of
+a video; the reference re-runs the full model per (prompt, video)
+(infer.py:53-79). These tests pin the reuse path to the fused path's
+numerics and cover the adapter grouping + serve LRU.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from videoitg_tpu.config import GroundingConfig
+from videoitg_tpu.engine import SelectionEngine
+from videoitg_tpu.models.grounding import init_grounding
+
+
+class ToyTokenizer:
+    bos_token_id = None
+
+    def __call__(self, text):
+        r = type("R", (), {})()
+        r.input_ids = [ord(c) % 500 for c in text]
+        return r
+
+
+@pytest.fixture(scope="module")
+def eng():
+    cfg = GroundingConfig.tiny()
+    params = init_grounding(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    return SelectionEngine(params, cfg, ToyTokenizer(), dtype=jnp.float32,
+                           use_flash=False, buckets=(4, 8), num_frames=8)
+
+
+def _frames(rng, t):
+    return rng.integers(0, 256, size=(t, 56, 56, 3), dtype=np.uint8)
+
+
+def test_score_encoded_matches_fused_path(eng):
+    rng = np.random.default_rng(0)
+    frames = _frames(rng, 6)
+    prompts = ["what happens?", "who is there?", "when does it end?"]
+
+    fused = [eng.score_frames([frames], [p])[0] for p in prompts]
+    enc = eng.encode_video(frames)
+    assert enc.t_real == 6 and enc.t_bucket == 8
+    reused = eng.score_encoded(enc, prompts)
+    for a, b in zip(fused, reused):
+        assert a.shape == b.shape == (6,)
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_select_many_matches_select(eng):
+    rng = np.random.default_rng(1)
+    frames = _frames(rng, 5)
+    sampled = [0, 7, 14, 21, 28]
+    prompts = ["red?", "blue?"]
+    many = eng.select_many(frames, sampled, prompts, video_path="v.mp4",
+                           doc_ids=[10, 11])
+    assert [r.doc_id for r in many] == [10, 11]
+    for r, p in zip(many, prompts):
+        one = eng.select(frames, sampled, p, video_path="v.mp4")
+        assert r.contexts == p and r.num_frames == 1
+        assert r.index == one.index
+        np.testing.assert_allclose(r.logits, one.logits, atol=0.011)
+
+
+def test_encode_accepts_preprocessed(eng):
+    rng = np.random.default_rng(2)
+    frames = _frames(rng, 6)
+    pre = eng.preprocess_ahead(frames)
+    enc_pre = eng.encode_video(pre)
+    enc_raw = eng.encode_video(frames)
+    np.testing.assert_allclose(np.asarray(enc_pre.feats),
+                               np.asarray(enc_raw.feats), rtol=1e-6)
+
+
+def test_adapter_groups_docs_by_video(tmp_path):
+    """Two docs sharing a video take the select_many path; results match
+    the per-doc contract (one row per doc, correct contexts)."""
+    from videoitg_tpu.data.video import write_test_video
+    from videoitg_tpu.eval.adapters.videoitg import VideoITGAdapter
+    from videoitg_tpu.eval.api import get_task
+
+    va = os.path.join(tmp_path, "a.mp4")
+    vb = os.path.join(tmp_path, "b.mp4")
+    write_test_video(va, 64, 48, 30, 10, 8)
+    write_test_video(vb, 64, 48, 30, 10, 8)
+
+    # The adapter only needs doc_to_visual + doc_text from the task.
+    class TaskShim:
+        name = "toy"
+
+        def doc_to_visual(self, doc, *a, **k):
+            return doc["video"]
+
+        def doc_text(self, doc, *a, **k):
+            return doc["q"]
+
+    items = [
+        (0, {"video": va, "q": "first?"}),
+        (1, {"video": va, "q": "second?"}),
+        (2, {"video": vb, "q": "third?"}),
+    ]
+    adapter = VideoITGAdapter(random_init=True, preset="tiny", num_frames=8,
+                              dtype="float32", decode_workers=1)
+    out = adapter.generate_until(items, TaskShim())
+    assert len(out) == 3
+    for resp in out:
+        sel = json.loads(resp)
+        assert sel["index"] and len(sel["index"]) <= 8
+
+
+def test_serve_encode_cache(tmp_path):
+    """Second request on the same video hits the encoded-video LRU."""
+    from videoitg_tpu.cli.serve import SelectionServer
+    from videoitg_tpu.data.video import write_test_video
+
+    cfg = GroundingConfig.tiny()
+    params = init_grounding(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    engine = SelectionEngine(params, cfg, ToyTokenizer(), dtype=jnp.float32,
+                             use_flash=False, buckets=(4, 8), num_frames=8)
+    v = os.path.join(tmp_path, "v.mp4")
+    write_test_video(v, 64, 48, 30, 10, 8)
+
+    server = SelectionServer(engine, decode_workers=1, encode_cache=2)
+    r1 = server.submit({"video_path": v, "prompt": "one?", "topk": 4})
+    assert "error" not in r1, r1
+    r2 = server.submit({"video_path": v, "prompt": "two?", "topk": 4})
+    assert "error" not in r2, r2
+    assert server.cache_hits == 1
+    assert server.served == 2
+    assert r1["index"] and r2["index"]
+    assert sorted(r1["selected"]) == r1["selected"]
+    # same video, different prompts -> same frame id set, same key shape
+    assert set(r1["index"]) == set(r2["index"])
+    assert set(r1) == {"index", "logits", "num_frames", "contexts",
+                       "video_path", "doc_id", "selected"}
+
+    # cache off -> no hits
+    server2 = SelectionServer(engine, decode_workers=1, encode_cache=0)
+    server2.submit({"video_path": v, "prompt": "one?"})
+    server2.submit({"video_path": v, "prompt": "two?"})
+    assert server2.cache_hits == 0 and server2.served == 2

@@ -9,6 +9,11 @@ latency. This daemon is that surface, TPU-native:
 * one SelectionEngine held hot (params resident, programs cached),
 * a request queue drained by a scoring worker that decodes ahead on host
   threads (data/prefetch.decode_ahead) while the chip scores,
+* an encoded-video LRU (--encode-cache): the tower never sees the
+  prompt, so repeat prompts against a cached video skip
+  decode+preprocess+tower and pay only the LM pass (the
+  chat-with-a-video pattern; the reference re-runs everything per
+  request, infer.py:53-79),
 * plain-stdlib HTTP (ThreadingHTTPServer) so air-gapped deployments carry
   no extra dependencies.
 
@@ -57,6 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--decode-workers", type=int, default=2)
     p.add_argument("--decode-ahead", type=int, default=4)
+    p.add_argument("--encode-cache", type=int, default=2,
+                   help="encoded-video LRU slots: repeat prompts against a "
+                        "cached video skip decode+preprocess+tower (~0.9 GB "
+                        "HBM per 512-frame slot); 0 disables")
     p.add_argument("--transfer", default="rgb", choices=["rgb", "yuv420"],
                    help="yuv420: ship native YUV planes (half the "
                         "host->device bytes) and convert on device")
@@ -76,12 +85,22 @@ def build_parser() -> argparse.ArgumentParser:
 class SelectionServer:
     """Queue + scoring worker around a hot SelectionEngine."""
 
-    def __init__(self, engine, decode_workers: int = 2, decode_ahead: int = 4):
+    def __init__(self, engine, decode_workers: int = 2, decode_ahead: int = 4,
+                 encode_cache: int = 2):
         self.engine = engine
         self.decode_workers = decode_workers
         self.decode_ahead = decode_ahead
         self.requests: queue.Queue = queue.Queue()
         self.served = 0
+        # Encoded-video LRU: the serving pattern is many prompts against
+        # one video (chat-with-a-video; VideoITG-40K averages ~12
+        # annotations/video). The tower never sees the prompt, so repeat
+        # requests skip decode + preprocess + tower (engine.EncodedVideo);
+        # each slot holds [t_bucket, 729, 1152] features on device
+        # (~0.9 GB bf16 at 512 frames) — size the LRU to spare HBM.
+        self.encode_cache = encode_cache
+        self._cache: "dict" = {}  # key -> (EncodedVideo, sampled)
+        self.cache_hits = 0
         self._lock = threading.Lock()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
@@ -115,11 +134,61 @@ class SelectionServer:
             for sampling, group in by_sampling.items():
                 self._score_group(sampling, group)
 
+    def _encode_key(self, video_path: str, sampling: str):
+        try:
+            st = os.stat(video_path)
+            ident = (os.path.abspath(video_path), st.st_size,
+                     int(st.st_mtime))
+        except OSError:
+            ident = (os.path.abspath(video_path), -1, -1)
+        return ident + (self.engine.num_frames, self.engine.target_fps,
+                        sampling)
+
+    def _cache_get(self, key):
+        entry = self._cache.pop(key, None)
+        if entry is not None:
+            self._cache[key] = entry  # LRU: re-insert as newest
+        return entry
+
+    def _cache_put(self, key, entry):
+        self._cache[key] = entry
+        while len(self._cache) > self.encode_cache:
+            self._cache.pop(next(iter(self._cache)))
+
+    def _respond(self, req, box, done, enc, sampled):
+        try:
+            scores = self.engine.score_encoded(enc, [req["prompt"]])[0]
+            index, logits = self.engine.rank_frames(scores, sampled)
+            box.update({
+                "index": index, "logits": logits, "num_frames": 1,
+                "contexts": req["prompt"],
+                "video_path": req.get("video_path", ""),
+                "doc_id": req.get("doc_id"),
+                "selected": sorted(index[: int(req.get("topk", 32))]),
+            })
+            with self._lock:
+                self.served += 1
+        except Exception as e:  # per-request isolation
+            box["error"] = f"{type(e).__name__}: {e}"
+        finally:
+            done.set()
+
     def _score_group(self, sampling: str, group):
         from videoitg_tpu.data.prefetch import decode_ahead
 
-        items = [(i, req.get("video_path", ""), (req, box, done))
-                 for i, (req, box, done) in enumerate(group)]
+        misses = []
+        for req, box, done in group:
+            key = self._encode_key(req.get("video_path", ""), sampling)
+            entry = self._cache_get(key) if self.encode_cache else None
+            if entry is not None:
+                with self._lock:
+                    self.cache_hits += 1
+                self._respond(req, box, done, *entry)
+            else:
+                misses.append((key, req, box, done))
+
+        items = [(key, req.get("video_path", ""), (req, box, done))
+                 for key, req, box, done in misses]
         # Decode ahead across the whole queued burst: host decode of
         # request i+1 overlaps the chip scoring request i.
         for dec in decode_ahead(
@@ -129,22 +198,19 @@ class SelectionServer:
                 workers=self.decode_workers, ahead=self.decode_ahead,
                 post=self.engine.preprocess_ahead):
             req, box, done = dec.meta
-            try:
-                if dec.error is not None:
-                    raise dec.error
-                res = self.engine.select(
-                    dec.frames, dec.sampled, req["prompt"],
-                    video_path=req.get("video_path", ""),
-                    doc_id=req.get("doc_id"))
-                out = res.to_reference_json()
-                out["selected"] = res.topk(int(req.get("topk", 32)))
-                box.update(out)
-                with self._lock:
-                    self.served += 1
-            except Exception as e:  # per-request isolation
-                box["error"] = f"{type(e).__name__}: {e}"
-            finally:
+            if dec.error is not None:
+                box["error"] = f"{type(dec.error).__name__}: {dec.error}"
                 done.set()
+                continue
+            try:
+                enc = self.engine.encode_video(dec.frames)
+            except Exception as e:
+                box["error"] = f"{type(e).__name__}: {e}"
+                done.set()
+                continue
+            if self.encode_cache:
+                self._cache_put(dec.key, (enc, dec.sampled))
+            self._respond(req, box, done, enc, dec.sampled)
 
 
 def make_handler(server: SelectionServer):
@@ -164,7 +230,8 @@ def make_handler(server: SelectionServer):
             if self.path == "/healthz":
                 self._reply(200, {"ok": True,
                                   "pending": server.requests.qsize(),
-                                  "served": server.served})
+                                  "served": server.served,
+                                  "encode_cache_hits": server.cache_hits})
             elif self.path == "/stats":
                 self._reply(200, server.engine.timer.summary())
             else:
@@ -238,7 +305,8 @@ def main(argv=None) -> int:
               f"(first compiles)...", file=sys.stderr)
         warmup(engine, buckets)
     server = SelectionServer(engine, decode_workers=args.decode_workers,
-                             decode_ahead=args.decode_ahead)
+                             decode_ahead=args.decode_ahead,
+                             encode_cache=args.encode_cache)
     httpd = ThreadingHTTPServer((args.host, args.port), make_handler(server))
     print(f"[videoitg-serve] listening on {args.host}:{httpd.server_address[1]}",
           file=sys.stderr)

@@ -51,6 +51,27 @@ class PreprocessedVideo(NamedTuple):
         return (self.t_real,) + tuple(self.pix.shape[1:])
 
 
+class EncodedVideo(NamedTuple):
+    """A video's frozen-tower features, resident on device.
+
+    The vision tower does not see the instruction (grounding_qwen2.py:129
+    encodes frames before the text splice), so its output is reusable
+    across every question asked of the same video. The reference re-runs
+    the full model per (prompt, video) call (infer.py:53-79); with the
+    VideoITG-40K ratio of ~12 annotations/video — and 3 questions/video on
+    Video-MME — reusing features turns the dominant tower cost into a
+    one-time cost per video. Produced by SelectionEngine.encode_video,
+    consumed by score_encoded / select_many.
+    """
+
+    feats: object        # jax.Array [t_bucket, P, C], model dtype
+    t_real: int
+
+    @property
+    def t_bucket(self) -> int:
+        return self.feats.shape[0]
+
+
 @dataclasses.dataclass
 class SelectionResult:
     """Full score-ranked frame listing for one video.
@@ -148,6 +169,8 @@ class SelectionEngine:
 
         self._score_fns: Dict[Tuple[int, int, int], object] = {}
         self._pre_fns: Dict[Tuple[int, int, int], object] = {}
+        self._tower_fns: Dict[int, object] = {}
+        self._feat_fns: Dict[Tuple[int, int], object] = {}
         from videoitg_tpu.utils.profiling import StageTimer
 
         self.timer = StageTimer()
@@ -172,6 +195,66 @@ class SelectionEngine:
 
             self._score_fns[key] = jax.jit(fn)
         return self._score_fns[key]
+
+    def _tower_fn(self, t_bucket: int):
+        """Jitted vision tower: [t_bucket, S, S, 3] -> [t_bucket, P, C].
+
+        Mirrors the tower stage of _scoring_fn exactly (same chunked
+        lax.map at vision_chunk) so encoded features reproduce the fused
+        program's numerics.
+        """
+        if t_bucket not in self._tower_fns:
+            from videoitg_tpu.models import siglip as siglip_mod
+
+            cfg, use_flash = self.cfg, self.use_flash
+            chunk = self.vision_chunk if t_bucket > self.vision_chunk else 0
+            if chunk and t_bucket % chunk != 0:
+                chunk = 0
+
+            def fn(params, pix):
+                if chunk:
+                    chunked = pix.reshape((t_bucket // chunk, chunk)
+                                          + pix.shape[1:])
+                    feats = jax.lax.map(
+                        lambda fr: siglip_mod.siglip_features(
+                            params["vision"], fr, cfg.vision,
+                            use_flash=use_flash),
+                        chunked,
+                    )
+                    return feats.reshape((t_bucket,) + feats.shape[2:])
+                return siglip_mod.siglip_features(
+                    params["vision"], pix, cfg.vision, use_flash=use_flash)
+
+            self._tower_fns[t_bucket] = jax.jit(fn)
+        return self._tower_fns[t_bucket]
+
+    def _feature_scoring_fn(self, t_bucket: int, hw: int):
+        """Jitted projector+LM+head over precomputed tower features (b=1)."""
+        key = (t_bucket, hw)
+        if key not in self._feat_fns:
+            cfg, use_flash = self.cfg, self.use_flash
+
+            def fn(params, feats, frame_valid, text_ids, text_valid):
+                batch = GroundingBatch(
+                    frames=feats[None], frame_valid=frame_valid,
+                    text_ids=text_ids, text_valid=text_valid,
+                )
+                logits = grounding_logits(params, batch, cfg, hw=hw,
+                                          use_flash=use_flash)
+                return jax.nn.sigmoid(logits.astype(jnp.float32))
+
+            self._feat_fns[key] = jax.jit(fn)
+        return self._feat_fns[key]
+
+    def _tokenize(self, instructions: Sequence[str]):
+        ids = np.zeros((len(instructions), self.cfg.max_text_len), np.int32)
+        valid = np.zeros_like(ids, dtype=bool)
+        for i, instr in enumerate(instructions):
+            tok = grounding_text_ids(instr, self.tokenizer,
+                                     self.cfg.max_text_len)
+            ids[i, : len(tok)] = tok
+            valid[i, : len(tok)] = True
+        return ids, valid
 
     def _preprocess(self, frames_u8, t_bucket: int) -> jax.Array:
         """uint8 frames (RGB [T, H, W, 3] or YUVFrames) -> [t_bucket, S, S, 3]
@@ -236,6 +319,92 @@ class SelectionEngine:
             t_bucket = frame_bucket(t_real, self.buckets)
         return PreprocessedVideo(self._preprocess(frames, t_bucket), t_real)
 
+    def encode_video(self, frames, t_bucket: Optional[int] = None
+                     ) -> EncodedVideo:
+        """Run preprocess + vision tower once; reuse across questions.
+
+        frames: [T, H, W, 3] uint8, data.video.YUVFrames, or a
+        PreprocessedVideo from preprocess_ahead.
+        """
+        t_real = (frames.t_real if isinstance(frames, PreprocessedVideo)
+                  else frames.shape[0])
+        if t_bucket is None:
+            t_bucket = frame_bucket(t_real, self.buckets)
+        with self.timer.stage("preprocess"):
+            pix = self._preprocess(frames, t_bucket)
+        fn = self._tower_fn(t_bucket)
+        with self.timer.stage("tower"):
+            if self.mesh is not None:
+                with par_context.attention_mesh(self.mesh):
+                    feats = fn(self.params, pix)
+            else:
+                feats = fn(self.params, pix)
+        return EncodedVideo(feats, t_real)
+
+    def score_encoded(
+        self, enc: EncodedVideo, instructions: Sequence[str]
+    ) -> List[np.ndarray]:
+        """Score N instructions against one encoded video (tower skipped).
+
+        All N LM programs are dispatched before the first readback, so
+        host-side tokenization overlaps device compute.
+        """
+        t_bucket = enc.t_bucket
+        hw = inference_hw(self.cfg.projector, enc.t_real,
+                          self.cfg.vision.num_patches_per_side)
+        fn = self._feature_scoring_fn(t_bucket, hw)
+        frame_valid = np.zeros((1, t_bucket), dtype=bool)
+        frame_valid[0, : enc.t_real] = True
+        fv = jnp.asarray(frame_valid)
+        ids, valid = self._tokenize(instructions)
+        outs = []
+        with self.timer.stage("score"):
+            for i in range(len(instructions)):
+                args = (self.params, enc.feats, fv,
+                        jnp.asarray(ids[i : i + 1]),
+                        jnp.asarray(valid[i : i + 1]))
+                if self.mesh is not None:
+                    with par_context.attention_mesh(self.mesh):
+                        outs.append(fn(*args))
+                else:
+                    outs.append(fn(*args))
+            probs = [np.asarray(p)[0, : enc.t_real] for p in outs]
+        return probs
+
+    def select_many(
+        self,
+        frames,
+        sampled_frames: Sequence[int],
+        instructions: Sequence[str],
+        video_path: str = "",
+        doc_ids: Optional[Sequence[object]] = None,
+    ) -> List[SelectionResult]:
+        """Score many questions against ONE video, encoding it once.
+
+        The reference re-runs decode+tower+LM per (prompt, video)
+        (infer.py:53-79); here the tower runs once and only the
+        projector+LM+head program repeats per question.
+        """
+        if doc_ids is None:
+            doc_ids = [None] * len(instructions)
+        if self.mesh is not None and self.mesh.shape.get("dp", 1) > 1:
+            # dp shards the batch axis; the feature path is b=1 by design.
+            # Score questions through the batched program instead.
+            scores = self.score_frames([frames] * len(instructions),
+                                       list(instructions))
+        else:
+            enc = self.encode_video(frames)
+            scores = self.score_encoded(enc, instructions)
+        out = []
+        for instr, doc_id, sc in zip(instructions, doc_ids, scores):
+            index, logits = self.rank_frames(sc, sampled_frames)
+            out.append(SelectionResult(
+                index=index, logits=logits, num_frames=1, contexts=instr,
+                video_path=video_path, doc_id=doc_id,
+                sampled_frames=list(sampled_frames), raw_scores=sc,
+            ))
+        return out
+
     def score_frames(
         self, videos: Sequence[np.ndarray], instructions: Sequence[str]
     ) -> List[np.ndarray]:
@@ -273,12 +442,7 @@ class SelectionEngine:
             for i, t in enumerate(t_reals):
                 frame_valid[i, :t] = True
 
-            ids = np.zeros((b, self.cfg.max_text_len), dtype=np.int32)
-            text_valid = np.zeros((b, self.cfg.max_text_len), dtype=bool)
-            for i, instr in enumerate(instructions):
-                tok = grounding_text_ids(instr, self.tokenizer, self.cfg.max_text_len)
-                ids[i, : len(tok)] = tok
-                text_valid[i, : len(tok)] = True
+            ids, text_valid = self._tokenize(instructions)
 
         fn = self._scoring_fn(t_bucket, hw, b)
         inputs = (pix, jnp.asarray(frame_valid), jnp.asarray(ids), jnp.asarray(text_valid))

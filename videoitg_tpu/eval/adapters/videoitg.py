@@ -144,7 +144,14 @@ class VideoITGAdapter(ModelAdapter):
         from videoitg_tpu.models.projector import inference_hw
 
         responses = {}
-        work = []
+        # Group docs by video: benchmarks ask several questions of the same
+        # video (Video-MME: 3/video; VideoITG-40K: ~12 annotations/video).
+        # The tower never sees the question, so one decode+encode serves
+        # every question of that video (engine.select_many); the reference
+        # re-runs the whole model per doc (lmms_eval/models/videoitg.py
+        # generate_until loop, infer.py:53-79).
+        by_video: dict = {}
+        order: List[str] = []
         for doc_id, doc in items:
             if writer is not None and writer.is_done(doc_id):
                 # Resume: reconstruct the response from the stored selection
@@ -154,30 +161,36 @@ class VideoITGAdapter(ModelAdapter):
                 continue
             video_path = _call_with_root(task.doc_to_visual, doc, self.data_root)
             contexts = task.doc_text(doc, self.data_root, self.model_name)
-            work.append((doc_id, video_path,
-                         {"contexts": contexts, "video_path": video_path}))
+            if video_path not in by_video:
+                by_video[video_path] = []
+                order.append(video_path)
+            by_video[video_path].append((doc_id, contexts))
+        work = [(vp, vp, by_video[vp]) for vp in order]
 
         # Same-shape videos are scored together: grouped by (bucket, HW) so
         # one compiled program serves the whole group (512-frame workloads
         # collapse to a single group).
         pending: dict = {}
 
+        def emit(doc_id, video_path, contexts, index, logits):
+            row = {
+                "index": index, "logits": logits, "num_frames": 1,
+                "contexts": contexts, "video_path": video_path,
+                "doc_id": doc_id,
+            }
+            if writer is not None:
+                writer.write(row)
+            responses[doc_id] = json.dumps({"index": index[:8]})
+
         def flush(group):
             decs = pending.pop(group, [])
             if not decs:
                 return
             scores = self.engine.score_frames(
-                [d.frames for d in decs], [d.meta["contexts"] for d in decs])
+                [d.frames for d in decs], [d.meta[0][1] for d in decs])
             for d, sc in zip(decs, scores):
                 index, logits = self.engine.rank_frames(sc, d.sampled)
-                row = {
-                    "index": index, "logits": logits, "num_frames": 1,
-                    "contexts": d.meta["contexts"],
-                    "video_path": d.meta["video_path"], "doc_id": d.key,
-                }
-                if writer is not None:
-                    writer.write(row)
-                responses[d.key] = json.dumps({"index": index[:8]})
+                emit(d.meta[0][0], d.key, d.meta[0][1], index, logits)
 
         # Host decode runs ahead of device scoring on a thread pool.
         for dec in decode_ahead(
@@ -188,9 +201,20 @@ class VideoITGAdapter(ModelAdapter):
             post=self.engine.preprocess_ahead,
         ):
             if dec.error is not None:
-                print(f"[videoitg adapter] decode failed for doc {dec.key}: "
+                print(f"[videoitg adapter] decode failed for {dec.key}: "
                       f"{dec.error}", file=sys.stderr)
-                responses[dec.key] = "[decode-error]"
+                for doc_id, _ctx in dec.meta:
+                    responses[doc_id] = "[decode-error]"
+                continue
+            if len(dec.meta) > 1:
+                # Multi-question video: encode once, score per question.
+                results = self.engine.select_many(
+                    dec.frames, dec.sampled,
+                    [ctx for _d, ctx in dec.meta], video_path=dec.key,
+                    doc_ids=[d for d, _ctx in dec.meta])
+                for r in results:
+                    emit(r.doc_id, r.video_path, r.contexts, r.index,
+                         r.logits)
                 continue
             t = dec.frames.shape[0]
             group = (frame_bucket(t, self.engine.buckets),
