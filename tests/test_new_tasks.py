@@ -179,3 +179,47 @@ def test_mmworld_prompt_scoring_and_rollups():
     assert out["mmworld_accuracy"] == 50.0
     assert out["mmworld_accuracy_Science"] == 100.0
     assert out["mmworld_accuracy_Game"] == 0.0
+
+
+def test_vitatecs_shuffle_matching_and_rollup():
+    """Reference lmms_eval/tasks/vitatecs/utils.py:92-140 semantics."""
+    from videoitg_tpu.eval.api import GROUP_REGISTRY, get_task
+
+    t = get_task("vitatecs_direction")
+    # seed 25 -> random.random() <= 0.5 -> counterfactual is option A,
+    # answer is (B) <caption> (verified against the reference's
+    # random.seed + random.random draw).
+    doc = {"caption": "A cat jumps up.", "counterfactual": "A cat jumps down.",
+           "src_dataset": "VATEX", "video_name": "v1.mp4",
+           "aspect": "Direction"}
+    text = t.doc_to_text(doc)
+    assert "(A) A cat jumps down." in text and "(B) A cat jumps up." in text
+    assert text.endswith("Please response with a single letter (A or B):")
+
+    # option-text containment beats letter rules
+    assert t.process_results(doc, "a cat jumps up")["rating"] == 1
+    assert t.process_results(doc, "a cat jumps down")["rating"] == 0
+    # bare letter / prefixes
+    assert t.process_results(doc, "B")["rating"] == 1
+    assert t.process_results(doc, "A")["rating"] == 0
+    assert t.process_results(doc, "B. because")["rating"] == 1
+    # reference quirk (utils.py:131-132): the "(A)"/"(B)" branch compares
+    # the text AFTER the paren to the letter, so "(B) since" scores 0 but
+    # still counts as rule-matched; reproduced faithfully.
+    r = t.process_results(doc, "(B) since")
+    assert r["rating"] == 0 and r["match_success"]
+    miss = t.process_results(doc, "neither honestly")
+    assert miss["rating"] == 0 and not miss["match_success"]
+
+    # seed 27 -> draw > 0.5 -> caption is option A (capitalized + period)
+    doc2 = {"caption": "the man walks left",
+            "counterfactual": "the man walks right",
+            "src_dataset": "MSRVTT", "video_name": "v2.mp4",
+            "aspect": "Direction"}
+    assert "(A) The man walks left." in t.doc_to_text(doc2)
+
+    out = t.aggregate([t.process_results(doc, "B"),
+                       t.process_results(doc2, "B")])
+    assert out["vitatecs_accuracy"] == 50.0
+    assert out["vitatecs_match_rate"] == 100.0
+    assert len(GROUP_REGISTRY["vitatecs"]) == 6

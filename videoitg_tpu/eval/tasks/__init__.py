@@ -15,6 +15,7 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     temporalbench,
     videomme,
     vinoground,
+    vitatecs,
 )
 
 # The reference paper's headline benchmark family (README.md:61-74).
