@@ -13,9 +13,11 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     perceptiontest,
     tempcompass,
     temporalbench,
+    vatex,
     videomme,
     vinoground,
     vitatecs,
+    youcook2,
 )
 
 # The reference paper's headline benchmark family (README.md:61-74).
