@@ -223,3 +223,55 @@ def test_vitatecs_shuffle_matching_and_rollup():
     assert out["vitatecs_accuracy"] == 50.0
     assert out["vitatecs_match_rate"] == 100.0
     assert len(GROUP_REGISTRY["vitatecs"]) == 6
+
+
+def test_worldqa_mc_filter_and_inference():
+    """Reference worldqa custom filter (utils.py:250-298) + evaluator
+    rules (worldqa_mc_evaluator.py:44-114)."""
+    from videoitg_tpu.eval.api import GROUP_REGISTRY, get_task
+    from videoitg_tpu.eval.tasks.worldqa import can_infer_option
+
+    t = get_task("worldqa_mc")
+    doc = {"video_idx": "v1", "question": "What happens next?",
+           "option": ["A. the man jumps", "B. the man sits",
+                      "C. the man runs", "D. the man sleeps"],
+           "answer": "B. the man sits", "question_idx": 7,
+           "object_description": "man"}
+    text = t.doc_to_text(doc)
+    assert "A. the man jumps" in text
+    assert text.endswith("letter from the given choices directly.")
+
+    # choice-text containment maps back to the letter via the filter
+    assert t.process_results(doc, "I think the man sits.")["rating"] == 1
+    # bare letter
+    assert t.process_results(doc, "B")["rating"] == 1
+    assert t.process_results(doc, "A")["rating"] == 0
+    # 'A' as an article in a long response must not match (quantifier guard)
+    r = t.process_results(doc, "A person does something unclear entirely")
+    assert r["rating"] == 0 and not r["match_success"]
+    # "(B)" form: punctuation is stripped by the filter first -> bare B
+    assert t.process_results(doc, "(B)")["rating"] == 1
+    assert can_infer_option("B.", num_choice=4) == "B"
+    assert can_infer_option("nothing here", num_choice=4) is False
+
+    out = t.aggregate([t.process_results(doc, "B"),
+                       t.process_results(doc, "A")])
+    assert out["worldqa_mc_accuracy"] == 0.5
+    assert GROUP_REGISTRY["worldqa"] == ["worldqa_mc", "worldqa_mc_ppl"]
+
+
+def test_worldqa_mc_ppl_expansion():
+    from videoitg_tpu.eval.api import get_task
+    from videoitg_tpu.eval.tasks.worldqa import _ll_load  # noqa
+
+    t = get_task("worldqa_mc_ppl")
+    doc = {"video_idx": "v1", "question": "What happens next?",
+           "option": ["A. jumps", "B. sits"], "answer": "B. sits",
+           "question_idx": 7, "_choice": 1, "_ll_id": "7::1"}
+    assert t.doc_to_text(doc) == "What happens next?"
+    assert t.doc_to_target(doc) == " sits"
+    rec_good = t.process_results(doc, (-1.0, False))
+    rec_bad = t.process_results({**doc, "_choice": 0, "_ll_id": "7::0"},
+                                (-5.0, False))
+    out = t.aggregate([rec_good, rec_bad])
+    assert out["worldqa_mc_ppl_acc"] == 100.0

@@ -17,6 +17,7 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     videomme,
     vinoground,
     vitatecs,
+    worldqa,
     youcook2,
 )
 
