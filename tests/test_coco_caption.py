@@ -115,3 +115,21 @@ def test_youcook2_task_grouping_and_bleu_collapse():
     # identity preds: per-video ROUGE_L = 1 -> x100
     assert out["youcook2_ROUGE_L"] == pytest.approx(100.0, abs=1e-4)
     assert out["youcook2_CIDEr"] >= 0.0
+
+
+def test_funqa_task_fixed_key_mean():
+    """Reference funqa_aggregate_results (utils.py:303-330): fixed 8-task
+    dict, absent tasks contribute 0 with denominator 8."""
+    from videoitg_tpu.eval.api import get_task
+
+    t = get_task("funqa_test")
+    doc = {"video_name": "h.mp4", "question": "Why funny?",
+           "answer": "the dog slips on ice", "task": "H2"}
+    assert t.doc_to_text(doc) == "Why funny?"
+    rec = t.process_results(doc, "the dog slips on ice")
+    out = t.aggregate([rec])
+    # perfect H2 -> per-task 1.0 for ROUGE; overall mean = 1/8
+    assert out["funqa_ROUGE_H2"] == pytest.approx(1.0, abs=1e-6)
+    assert out["funqa_ROUGE"] == pytest.approx(1.0 / 8.0, abs=1e-6)
+    assert out["funqa_BLEU_C2"] == 0.0
+    assert 0.0 < out["funqa_BLEU_H2"] <= 1.0

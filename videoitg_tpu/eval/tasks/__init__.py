@@ -5,6 +5,7 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     cgbench,
     cinepile,
     egoschema,
+    funqa,
     longvideobench,
     mlvu,
     mmworld,
