@@ -72,6 +72,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--hub_model_name", default=None,
                    help="model name used in repo paths (default: --model "
                         "plus the pretrained= arg when present)")
+    p.add_argument("--judge", default=None, metavar="SPEC",
+                   help="LLM judge for judge-scored tasks: exact-match "
+                        "(offline default), http:<model>, hf:<path>, "
+                        "static:<text> (eval/judge.py)")
     p.add_argument("--cpu", action="store_true")
     return p
 
@@ -87,6 +91,11 @@ def main(argv=None) -> int:
     from videoitg_tpu.eval.api import (
         expand_task_names, get_adapter, get_task, parse_model_args,
     )
+
+    if args.judge:
+        from videoitg_tpu.eval.judge import set_default_judge
+
+        set_default_judge(args.judge)
 
     if args.check_integrity:
         from videoitg_tpu.eval.api import check_registry_integrity

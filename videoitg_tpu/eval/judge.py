@@ -1,0 +1,190 @@
+"""Pluggable LLM-judge backends for judge-scored tasks.
+
+The reference's open-ended video-QA tasks (activitynetqa, videochatgpt,
+moviechat, cvrr, vdc, ...) score predictions by POSTing an OpenAI-style
+chat payload to an external API from inside process_results (e.g.
+lmms_eval/tasks/activitynetqa/utils.py:93-155). That hard-wires scoring
+to network egress and a proprietary model. This rebuild factors the
+judge into an interface with interchangeable backends:
+
+* ``http:<model>`` — the reference contract: OpenAI-compatible chat
+  completions via requests, retry loop + sleep, temperature 0. Matches
+  the reference payloads field-for-field so scores are comparable when
+  egress exists.
+* ``hf:<path-or-id>`` — a local transformers causal LM running the SAME
+  judge prompts offline (chat template + greedy decode). Any
+  instruction-tuned checkpoint on disk works; no network needed.
+* ``exact-match`` — deterministic heuristic fallback (normalized
+  exact/containment match -> {'pred': 'yes'/'no', 'score': 5/0}); NOT
+  the reference metric, but keeps judge tasks runnable with zero
+  dependencies. Records carry judge_model so provenance is explicit.
+* ``static:<text>`` — fixed response; test/plumbing backend.
+
+Select with ``videoitg-eval --judge SPEC`` (or VIDEOITG_JUDGE env);
+default is exact-match.
+"""
+
+from __future__ import annotations
+
+import os
+import string
+import time
+from typing import Dict, List, Optional
+
+Message = Dict[str, str]  # {"role": ..., "content": ...}
+
+
+class Judge:
+    """Callable judge: chat messages -> raw response text."""
+
+    name = "judge"
+
+    def __call__(self, messages: List[Message], max_tokens: int = 64) -> str:
+        raise NotImplementedError
+
+
+class StaticJudge(Judge):
+    def __init__(self, response: str):
+        self.response = response
+        self.name = "static"
+
+    def __call__(self, messages, max_tokens: int = 64) -> str:
+        return self.response
+
+
+class ExactMatchJudge(Judge):
+    """Deterministic offline stand-in: yes + 5 when the normalized gold
+    answer appears in the normalized prediction (or vice versa for
+    multi-word golds), else no + 0. Divergence from the reference's GPT
+    scores is expected and documented; use http:/hf: for parity runs."""
+
+    name = "exact-match"
+
+    @staticmethod
+    def _norm(s: str) -> str:
+        s = s.lower().strip()
+        return "".join(c for c in s if c not in string.punctuation).strip()
+
+    def __call__(self, messages, max_tokens: int = 64) -> str:
+        # pull "Correct Answer:"/"Predicted Answer:" out of the user turn
+        user = next((m["content"] for m in messages
+                     if m.get("role") == "user"), "")
+        answer = pred = None
+        for line in user.splitlines():
+            low = line.lower()
+            if low.startswith("correct answer:"):
+                answer = line.split(":", 1)[1]
+            elif low.startswith("predicted answer:"):
+                pred = line.split(":", 1)[1]
+        if answer is None or pred is None:
+            return "{'pred': 'no', 'score': 0}"
+        a, p = self._norm(answer), self._norm(pred)
+        hit = bool(a) and (a in p or (len(a.split()) > 1 and p in a and p))
+        return ("{'pred': 'yes', 'score': 5}" if hit
+                else "{'pred': 'no', 'score': 0}")
+
+
+class HttpJudge(Judge):
+    """OpenAI-compatible chat completions over HTTP — the reference's
+    exact request shape (activitynetqa/utils.py:118-155: temperature 0,
+    retry loop with NUM_SECONDS_TO_SLEEP between attempts)."""
+
+    def __init__(self, model: str, api_url: Optional[str] = None,
+                 api_key: Optional[str] = None, retries: int = 5,
+                 sleep_s: float = 5.0, timeout_s: float = 60.0):
+        self.model = model
+        self.api_url = api_url or os.environ.get(
+            "OPENAI_API_URL", "https://api.openai.com/v1/chat/completions")
+        self.api_key = api_key or os.environ.get("OPENAI_API_KEY", "")
+        self.retries = retries
+        self.sleep_s = sleep_s
+        self.timeout_s = timeout_s
+        self.name = f"http:{model}"
+
+    def __call__(self, messages, max_tokens: int = 64) -> str:
+        import requests
+
+        payload = {"model": self.model, "messages": messages,
+                   "temperature": 0, "max_tokens": max_tokens}
+        headers = {"Authorization": f"Bearer {self.api_key}",
+                   "Content-Type": "application/json"}
+        for attempt in range(self.retries):
+            try:
+                r = requests.post(self.api_url, headers=headers,
+                                  json=payload, timeout=self.timeout_s)
+                r.raise_for_status()
+                content = r.json()["choices"][0]["message"]["content"].strip()
+                if content:
+                    return content
+            except Exception:
+                if attempt == self.retries - 1:
+                    return ""
+                time.sleep(self.sleep_s)
+        return ""
+
+
+class HFJudge(Judge):
+    """Local transformers causal LM as judge (offline). Greedy decode of
+    the chat-templated judge prompt; any instruction-tuned checkpoint
+    directory works."""
+
+    def __init__(self, model_path: str, device: str = "cpu"):
+        import torch  # noqa: F401
+        from transformers import AutoModelForCausalLM, AutoTokenizer
+
+        self.tokenizer = AutoTokenizer.from_pretrained(model_path)
+        self.model = AutoModelForCausalLM.from_pretrained(model_path)
+        self.model.eval()
+        self.name = f"hf:{os.path.basename(os.path.normpath(model_path))}"
+
+    def __call__(self, messages, max_tokens: int = 64) -> str:
+        import torch
+
+        tok = self.tokenizer
+        if getattr(tok, "chat_template", None):
+            ids = tok.apply_chat_template(
+                messages, add_generation_prompt=True, return_tensors="pt")
+        else:
+            text = "\n\n".join(f"{m['role']}: {m['content']}"
+                               for m in messages) + "\nassistant:"
+            ids = tok(text, return_tensors="pt").input_ids
+        with torch.no_grad():
+            out = self.model.generate(
+                ids, max_new_tokens=max_tokens, do_sample=False,
+                pad_token_id=tok.pad_token_id or tok.eos_token_id)
+        return tok.decode(out[0, ids.shape[1]:],
+                          skip_special_tokens=True).strip()
+
+
+def build_judge(spec: str) -> Judge:
+    """'exact-match' | 'static:<text>' | 'http:<model>' | 'hf:<path>'."""
+    if spec == "exact-match":
+        return ExactMatchJudge()
+    kind, _, arg = spec.partition(":")
+    if kind == "static":
+        return StaticJudge(arg)
+    if kind == "http" and arg:
+        return HttpJudge(arg)
+    if kind == "hf" and arg:
+        return HFJudge(arg)
+    raise ValueError(
+        f"unknown judge spec {spec!r}; expected exact-match, "
+        "static:<text>, http:<model>, or hf:<path>")
+
+
+_DEFAULT: Optional[Judge] = None
+
+
+def set_default_judge(spec_or_judge) -> Judge:
+    global _DEFAULT
+    _DEFAULT = (spec_or_judge if isinstance(spec_or_judge, Judge)
+                else build_judge(spec_or_judge))
+    return _DEFAULT
+
+
+def get_judge() -> Judge:
+    global _DEFAULT
+    if _DEFAULT is None:
+        _DEFAULT = build_judge(os.environ.get("VIDEOITG_JUDGE",
+                                              "exact-match"))
+    return _DEFAULT

@@ -2,6 +2,7 @@
 
 from videoitg_tpu.eval.api import register_group
 from videoitg_tpu.eval.tasks import (  # noqa: F401
+    activitynetqa,
     cgbench,
     cinepile,
     egoschema,
