@@ -94,3 +94,54 @@ def test_hf_judge_on_fixture_checkpoint(tmp_path):
     out = j([{"role": "user", "content": "the answer is yes"}],
             max_tokens=4)
     assert isinstance(out, str)
+
+
+def test_videochatgpt_generic_and_temporal():
+    from videoitg_tpu.eval.api import GROUP_REGISTRY, get_task
+    from videoitg_tpu.eval.tasks.videochatgpt import (
+        dimension_messages, parse_score as vcg_parse,
+    )
+
+    # reference parse_score (utils.py:428-442): bare literal_eval
+    assert vcg_parse("{'score': 4.8}") == 4
+    assert vcg_parse("{'pred': 'yes', 'score': 3}") == 3
+    assert vcg_parse("garbage") == 0
+
+    msgs = dimension_messages("correctness", "what?", "red", "red")
+    assert msgs[0]["role"] == "system"
+    assert "factual accuracy" in msgs[1]["content"]
+    assert "{''score': 4.8}" in msgs[1]["content"]  # reference typo kept
+
+    t = get_task("videochatgpt_generic")
+    doc = {"video_name": "v3", "question": "what color", "answer": "red"}
+    rec = t.process_results(doc, "red")
+    assert rec["score_correctness"] == 5  # exact-match offline judge
+    out = t.aggregate([rec])
+    assert out["videochatgpt_correctness"] == 5.0
+    assert out["videochatgpt_context"] == 5.0
+
+    tt = get_task("videochatgpt_temporal")
+    rec2 = tt.process_results(doc, "blue")
+    assert rec2["score_temporal"] == 0
+    assert tt.aggregate([rec2])["videochatgpt_temporal"] == 0.0
+    assert "videochatgpt" in GROUP_REGISTRY
+
+
+def test_videochatgpt_consistency_pairing():
+    from videoitg_tpu.eval.api import get_task
+
+    t = get_task("videochatgpt_consistency")
+    d1 = {"video_name": "v", "question_1": "what color is the car",
+          "question_2": "None", "answer": "red"}
+    d2 = {"video_name": "v", "question_1": "None",
+          "question_2": "which color does the car have"}
+    d2["answer"] = "red"
+    assert t.doc_to_text(d1) == "what color is the car"
+    assert t.doc_to_text(d2) == "which color does the car have"
+    r1 = t.process_results(d1, "red")
+    r2 = t.process_results(d2, "red")
+    out = t.aggregate([r1, r2])
+    assert out["videochatgpt_consistency"] == 5.0
+    # one inconsistent answer -> exact-match judge fails the pair
+    out2 = t.aggregate([r1, t.process_results(d2, "blue")])
+    assert out2["videochatgpt_consistency"] == 0.0

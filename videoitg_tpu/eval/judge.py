@@ -69,17 +69,25 @@ class ExactMatchJudge(Judge):
         # pull "Correct Answer:"/"Predicted Answer:" out of the user turn
         user = next((m["content"] for m in messages
                      if m.get("role") == "user"), "")
-        answer = pred = None
+        answer = None
+        preds = []
         for line in user.splitlines():
             low = line.lower()
             if low.startswith("correct answer:"):
                 answer = line.split(":", 1)[1]
-            elif low.startswith("predicted answer:"):
-                pred = line.split(":", 1)[1]
-        if answer is None or pred is None:
+            elif low.startswith("predicted answer"):
+                # covers "Predicted Answer:" and the consistency pair's
+                # "Predicted Answer to Question N:"
+                preds.append(line.split(":", 1)[1])
+        if answer is None or not preds:
             return "{'pred': 'no', 'score': 0}"
-        a, p = self._norm(answer), self._norm(pred)
-        hit = bool(a) and (a in p or (len(a.split()) > 1 and p in a and p))
+        a = self._norm(answer)
+
+        def match(p):
+            return bool(a) and (a in p or (len(a.split()) > 1
+                                           and p and p in a))
+
+        hit = all(match(self._norm(p)) for p in preds)
         return ("{'pred': 'yes', 'score': 5}" if hit
                 else "{'pred': 'no', 'score': 0}")
 

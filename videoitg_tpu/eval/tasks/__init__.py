@@ -16,6 +16,7 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     tempcompass,
     temporalbench,
     vatex,
+    videochatgpt,
     videomme,
     vinoground,
     vitatecs,
