@@ -180,3 +180,61 @@ def test_llava_ov_chat_dedupes_indices(video_root, tiny_llava, tmp_path):
         num_frame=3, data_root=video_root, dtype="bfloat16")
     _, qids = qwen.frames_for_doc(0, video_root + "/data/vid0.mp4")
     assert qids == [1, 5, 5]
+
+
+def test_window_frame_span_units():
+    from videoitg_tpu.eval.adapters.downstream import _window_frame_span
+
+    # seconds scale by fps; frame unit is direct
+    assert _window_frame_span((1.5, 1.0), 10.0, 30) == (10, 20)
+    assert _window_frame_span((10, 4, "frame"), 10.0, 30) == (8, 12)
+    # clamped to the video; degenerate span -> None (fallback)
+    assert _window_frame_span((0.0, 1.0), 10.0, 30) == (0, 5)
+    assert _window_frame_span((100.0, 0.2), 10.0, 30) is None
+    # missing fps: seconds treated as frames (fps or 1.0)
+    assert _window_frame_span((10.0, 4.0), None, 30) == (8, 12)
+
+
+def test_windowed_sampling_and_itg_precedence(video_root, selection_jsonl):
+    """Task.visual_window clamps uniform sampling to the span; stage-A ITG
+    selections (scored over the whole video) take precedence over it."""
+    adapter = get_adapter("echo-answer")(num_frame=4, data_root=video_root)
+    # vid0.mp4: 30 frames at 10 fps; window 1.0-2.0 s -> frames 10..20
+    frames, ids = adapter.frames_for_doc(
+        0, video_root + "/data/vid0.mp4", window=(1.5, 1.0))
+    assert len(ids) == 4 and all(10 <= i <= 20 for i in ids)
+    assert frames.shape[0] == 4
+    # degenerate window -> whole-video uniform fallback
+    _, fb = adapter.frames_for_doc(
+        0, video_root + "/data/vid0.mp4", window=(100.0, 0.2))
+    assert fb == np.linspace(0, 29, 4, dtype=int).tolist()
+    # a doc with an ITG selection ignores the window entirely
+    sel = get_adapter("echo-answer")(
+        frame_indices_jsonl=selection_jsonl, num_frame=3,
+        data_root=video_root)
+    _, sids = sel.frames_for_doc(
+        0, video_root + "/data/vid0.mp4", window=(1.5, 1.0))
+    assert sids == [1, 5, 9]
+    # ...but an unselected doc inside the same run honors it
+    _, wids = sel.frames_for_doc(
+        99, video_root + "/data/vid0.mp4", window=(1.5, 1.0))
+    assert all(10 <= i <= 20 for i in wids)
+
+
+def test_generate_until_passes_visual_window(video_root):
+    from videoitg_tpu.eval.api import Task
+
+    task = Task(
+        name="_bp_probe",
+        doc_to_visual=lambda doc, data_root="": os.path.join(
+            data_root, "data", doc["video"]),
+        doc_to_text=lambda doc: doc["q"],
+        process_results=lambda doc, r: {"r": r},
+        aggregate=lambda recs: {"n": float(len(recs))},
+        visual_window=lambda doc: (doc["t"], 6, "frame"),
+    )
+    adapter = get_adapter("echo-answer")(num_frame=3, data_root=video_root)
+    out = adapter.generate_until(
+        [(0, {"video": "vid0.mp4", "q": "?", "t": 15})], task)
+    ids = json.loads(out[0].split("frames=")[1].rstrip(")"))
+    assert len(ids) == 3 and all(12 <= i <= 18 for i in ids)

@@ -145,3 +145,51 @@ def test_videochatgpt_consistency_pairing():
     # one inconsistent answer -> exact-match judge fails the pair
     out2 = t.aggregate([r1, t.process_results(d2, "blue")])
     assert out2["videochatgpt_consistency"] == 0.0
+
+
+def test_moviechat_parse_and_task_flow():
+    """moviechat parsers are DIRECT literal_eval (utils.py:171-215) — no
+    brace extraction, so noisy judge replies score 0/'no'."""
+    from videoitg_tpu.eval.api import GROUP_REGISTRY, get_task
+    from videoitg_tpu.eval.tasks.moviechat import (
+        PRE_PROMPT, parse_acc, parse_score, visual_window,
+    )
+
+    assert parse_score("{'pred': 'yes', 'score': 4.8}") == 4
+    assert parse_score("noise {'score': 3}") == 0  # no brace extraction
+    assert parse_score("{}") == 0 and parse_score("") == 0
+    assert parse_acc("{'pred': 'yes', 'score': 5}") == "yes"
+    assert parse_acc("{'score': 5}") == "no"
+    assert parse_acc("garbage") == "no"
+
+    t = get_task("moviechat_global")
+    doc = {"video_name": "movie1.mp4", "question": "what happens",
+           "answer": "a chase"}
+    assert t.doc_to_text(doc) == PRE_PROMPT + "what happens"
+    rec = t.process_results(doc, "a chase")
+    assert rec["score"] == 5 and rec["acc"] == "yes"
+    bad = t.process_results(doc, "nothing")
+    out = t.aggregate([rec, bad])
+    # score is a 0-5 mean, acc a 0-1 fraction — neither x100 (utils.py:261-285)
+    assert out["moviechat_global_score"] == 2.5
+    assert out["moviechat_global_acc"] == 0.5
+    assert t.visual_window is None
+
+    bp = get_task("moviechat_breakpoint")
+    assert bp.visual_window is visual_window
+    assert visual_window({"time": 200}) == (200.0, 450.0, "frame")
+    assert visual_window({}) is None
+    assert GROUP_REGISTRY["moviechat"] == ["moviechat_global",
+                                           "moviechat_breakpoint"]
+
+
+def test_moviechat_visual_fallback_chain(tmp_path):
+    """mp4 -> MP4 -> mkv rename chain (moviechat utils.py:52-79)."""
+    from videoitg_tpu.eval.tasks.moviechat import doc_to_visual
+
+    (tmp_path / "Test_Videos").mkdir()
+    (tmp_path / "Test_Videos" / "clip.mkv").write_bytes(b"x")
+    got = doc_to_visual({"video_name": "clip.mp4"}, str(tmp_path))
+    assert got.endswith("clip.mkv")
+    with pytest.raises(FileNotFoundError):
+        doc_to_visual({"video_name": "absent.mp4"}, str(tmp_path))

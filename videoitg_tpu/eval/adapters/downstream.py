@@ -65,6 +65,22 @@ def select_frame_ids(
                        dtype=int).tolist()
 
 
+def _window_frame_span(window, fps, total_frames: int):
+    """Clamp a Task.visual_window hint to valid frame ids.
+
+    window is (center, width) in seconds or (center, width, "frame");
+    returns inclusive (lo, hi) frame ids, or None when the window is
+    empty/degenerate (callers then fall back to whole-video sampling)."""
+    center, width = float(window[0]), float(window[1])
+    unit = window[2] if len(window) > 2 else "s"
+    if unit != "frame":
+        scale = fps or 1.0
+        center, width = center * scale, width * scale
+    lo = max(0, int(round(center - width / 2)))
+    hi = min(total_frames - 1, int(round(center + width / 2)))
+    return (lo, hi) if hi >= lo else None
+
+
 class FrameSelectionConsumer(ModelAdapter):
     """Base class implementing the selection-consumption protocol."""
 
@@ -83,13 +99,27 @@ class FrameSelectionConsumer(ModelAdapter):
         self.data_root = data_root
         self.dedupe = dedupe
 
-    def frames_for_doc(self, doc_id, video_path: str):
+    def frames_for_doc(self, doc_id, video_path: str, window=None):
+        """window: optional temporal focus from Task.visual_window —
+        (center, width) in seconds or (center, width, "frame") — uniform
+        sampling is clamped to that span (breakpoint-mode tasks). Stage-A
+        ITG selections take precedence: they were scored over the whole
+        video, so a doc present in indices_map ignores the window."""
         from videoitg_tpu.data.video import VideoReader
 
         with VideoReader(video_path) as vr:
             total = len(vr)
-            ids = select_frame_ids(self.indices_map, doc_id, self.num_frame, total,
-                                   dedupe=self.dedupe)
+            span = (_window_frame_span(window, vr.fps, total)
+                    if window is not None and doc_id not in self.indices_map
+                    else None)
+            if span is not None:
+                lo, hi = span
+                ids = np.linspace(lo, hi, min(self.num_frame, hi - lo + 1),
+                                  dtype=int).tolist()
+            else:
+                ids = select_frame_ids(self.indices_map, doc_id,
+                                       self.num_frame, total,
+                                       dedupe=self.dedupe)
             frames = vr.get_batch(ids)
             # Video metadata for processor-based downstreams (the reference
             # builds the same dict, qwen3_vl.py:234-241).
@@ -120,7 +150,8 @@ class FrameSelectionConsumer(ModelAdapter):
         for doc_id, doc in items:
             video_path = _call_with_root(task.doc_to_visual, doc, self.data_root)
             question = task.doc_text(doc, self.data_root, self.model_name)
-            frames, ids = self.frames_for_doc(doc_id, video_path)
+            window = task.visual_window(doc) if task.visual_window else None
+            frames, ids = self.frames_for_doc(doc_id, video_path, window=window)
             responses.append(self.answer(doc_id, doc, frames, ids, question, task))
         return responses
 

@@ -169,7 +169,9 @@ class NativeVLMAdapter(FrameSelectionConsumer):
             question = self.strip_inline_image_slots(
                 task.doc_text(doc, self.data_root, self.model_name))
             cont = self.tokenizer(task.doc_to_target(doc)).input_ids
-            frames, _ids = self.frames_for_doc(doc_id, video_path)
+            window = task.visual_window(doc) if task.visual_window else None
+            frames, _ids = self.frames_for_doc(doc_id, video_path,
+                                               window=window)
             batch, hw = self._packed_batch(frames, question, post_extra=cont,
                                            post_labels=cont)
             ll, greedy = vlm_loglikelihood(self.params, batch, self.cfg, hw=hw,

@@ -60,6 +60,14 @@ class Task:
     # (filter_name, kwargs_or_None) components (reference filter_list /
     # build_filter_ensemble; see eval/filters.py).
     filters: List[tuple] = field(default_factory=list)
+    # Optional temporal focus hint: doc -> (center, width) in SECONDS, or
+    # (center, width, "frame") in frame ids, or None. Frame-consuming
+    # adapters restrict uniform sampling to that span (reference
+    # breakpoint-mode visuals, moviechat/utils.py:67-79 returning
+    # {"video_path", "timestep"} — which the reference's own VideoITG-path
+    # wrappers never consume; honoring the window here is deliberate).
+    # Stage-A ITG selections, when present, take precedence over the window.
+    visual_window: Optional[Callable[[dict], Optional[tuple]]] = None
 
     def docs_with_ids(self, docs: Sequence[dict]) -> List[tuple]:
         return [

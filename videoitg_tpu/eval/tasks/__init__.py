@@ -10,6 +10,7 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     longvideobench,
     mlvu,
     mmworld,
+    moviechat,
     mvbench,
     nextqa,
     perceptiontest,
