@@ -275,3 +275,171 @@ def test_worldqa_mc_ppl_expansion():
                                 (-5.0, False))
     out = t.aggregate([rec_good, rec_bad])
     assert out["worldqa_mc_ppl_acc"] == 100.0
+
+
+@pytest.fixture()
+def _exact_judge():
+    from videoitg_tpu.eval.judge import set_default_judge
+
+    set_default_judge("exact-match")
+    yield
+    set_default_judge("exact-match")
+
+
+def test_video_dc499_flow(_exact_judge):
+    from videoitg_tpu.eval.tasks.video_detail_description import parse_score
+
+    assert parse_score("{'score': 4.8}") == 4
+    assert parse_score("noise {'score': 3}") == 0  # direct literal_eval
+    t = get_task("video_dc499")
+    doc = {"video_name": "v1", "question": "describe the video",
+           "answer": "a red square"}
+    assert t.doc_to_text(doc) == "describe the video"
+    good = t.process_results(doc, "a red square appears")
+    bad = t.process_results(doc, "nothing")
+    assert good["score"] == 5 and bad["score"] == 0
+    assert t.aggregate([good, bad])["video_dc499_score"] == 2.5
+
+
+def test_cvrr_dimensions_and_scoring(_exact_judge):
+    from videoitg_tpu.eval.tasks.cvrr import (
+        DIMENSIONS, judge_messages, parse_score,
+    )
+
+    assert len(DIMENSIONS) == 11
+    assert GROUP_REGISTRY["cvrr"] == [f"cvrr_{d}"
+                                      for d in DIMENSIONS.values()]
+    # reference parse triple (utils.py:171-189)
+    assert parse_score("{'pred': 'correct', 'score': 4.8, 'reason': 'r'}") \
+        == ("correct", 4, "r")
+    assert parse_score("garbage") == ("incorrect", 0, "")
+    msgs = judge_messages("q", "a", "p")
+    assert "Ground truth correct Answer: a" in msgs[1]["content"]
+    assert "'correct' or 'incorrect'" in msgs[1]["content"]
+
+    t = get_task("cvrr_partial_actions")
+    doc = {"VideoID": "1.mp4", "Q": "what action",
+           "A": "opens the door", "DimensionName": "Partial actions"}
+    good = t.process_results(doc, "he opens the door slowly")
+    bad = t.process_results(doc, "jumps")
+    assert good["correctness"] == "correct" and good["score"] == 5
+    assert bad["correctness"] == "incorrect"
+    out = t.aggregate([good, bad])
+    assert out["cvrr_partial_actions_accuracy"] == 50.0
+    assert out["cvrr_partial_actions_score"] == 2.5
+
+
+def test_cvrr_doc_to_visual_dimension_dirs(tmp_path):
+    from videoitg_tpu.eval.tasks.cvrr import doc_to_visual
+
+    d = tmp_path / "CVRR-ES" / "time_order_understanding"
+    d.mkdir(parents=True)
+    (d / "7.mp4").write_bytes(b"x")
+    doc = {"VideoID": "7.mp4",
+           "DimensionName": "Time order understanding"}
+    assert doc_to_visual(doc, str(tmp_path)).endswith(
+        "time_order_understanding/7.mp4")
+
+
+def test_cuva_prompts_and_metrics():
+    from videoitg_tpu.eval.tasks.cuva import QUESTIONS
+
+    t = get_task("cuva_test")
+    assert t.doc_to_text({"task": "Cause"}) == QUESTIONS["Cause"]
+    recs = [
+        t.process_results({"task": c, "answer": "the man falls from the "
+                           "ladder onto the ground", "video_name": "v"},
+                          "the man falls from the ladder onto the ground")
+        for c in ("Description", "Cause", "Result")
+    ]
+    out = t.aggregate(recs)
+    # identical pred == answer -> BLEU-4 and ROUGE-L of 1.0 per category
+    assert out["cuva_BLEU"] == pytest.approx(1.0, abs=1e-6)
+    assert out["cuva_ROUGE"] == pytest.approx(1.0, abs=1e-6)
+    assert "cuva_BLEURT" not in out  # env-gated, no checkpoint here
+    # a missing category contributes 0 to the mean-of-means
+    out2 = t.aggregate(recs[:1])
+    assert out2["cuva_ROUGE"] == pytest.approx(1.0 / 3.0, abs=1e-6)
+
+
+def test_mix_evals_prompts_and_freeform(_exact_judge):
+    from videoitg_tpu.eval.tasks.mix_evals import (
+        doc_to_text, parse_judge_score,
+    )
+
+    doc = {"query": "what color", "options": ["red", "green"],
+           "reference_answer": ["0"], "input_file": ["v.mp4"]}
+    text = doc_to_text(doc, pre_prompt="PRE", post_prompt="POST")
+    assert text == ("PRE\nwhat color\nHere are the options:\n"
+                    "A. red\nB. green\nPOST")
+    # single option -> no options block (reference len(options) > 1 gate)
+    assert doc_to_text({"query": "q", "options": ["x"]},
+                       pre_prompt="", post_prompt="") == "q"
+
+    assert parse_judge_score("The correctness score: [[0.5]]") == 0.5
+    assert parse_judge_score("score: [0.7]") == 0.7  # backup pattern
+    assert parse_judge_score("no score at all") == 0.0  # deterministic
+
+    t = get_task("mix_evals_video2text_freeform")
+    fdoc = {"id": 3, "query": "who is assisted up",
+            "reference_answer": ["boy"], "input_file": ["v.mp4"]}
+    good = t.process_results(fdoc, "Boy.")
+    bad = t.process_results(fdoc, "Nothing.")
+    assert good["score"] == 1.0 and bad["score"] == 0.0
+    assert t.aggregate([good, bad])[
+        "mix_evals_video2text_freeform_gpt_eval"] == 0.5
+
+
+def test_mix_evals_mc_filter_pipeline(_exact_judge):
+    from videoitg_tpu.eval.filters import apply_task_filters
+
+    t = get_task("mix_evals_video2text_mc")
+    assert t.filters == [("gpt_mc_extract", None)]
+    docs = [
+        {"query": "What did he do to the car?",
+         "options": ["Paint the car", "Put plastic over the car"],
+         "reference_answer": "1", "input_file": ["v.mp4"]},
+        {"query": "Which letter?",
+         "options": ["alpha", "beta", "gamma"],
+         "reference_answer": "0", "input_file": ["v.mp4"]},
+    ]
+    filtered = apply_task_filters(
+        t, ["put plastic over the car.", "A."], docs)
+    assert filtered == ["1", "0"]  # paraphrase -> B -> "1"; bare letter
+    recs = [t.process_results(d, f) for d, f in zip(docs, filtered)]
+    assert all(r["exact_match"] == 1.0 for r in recs)
+    assert t.aggregate(recs)["mix_evals_video2text_mc_exact_match"] == 1.0
+    # per-model prompt overrides present for the gpt4v family
+    assert t.resolve_prompt_kwargs("gpt4v")["post_prompt"].startswith(
+        "Answer with the option's letter")
+
+
+def test_vdc_two_phase_judging(_exact_judge):
+    from videoitg_tpu.eval.tasks.vdc import SUBTASKS, gen_messages
+
+    assert set(GROUP_REGISTRY["vdc"]) == set(SUBTASKS)
+    t = get_task("vdc_short")
+    # deterministic per-doc prompt choice from the subtask pool
+    p1 = t.doc_to_text({"video_name": "a"})
+    assert p1 in SUBTASKS["vdc_short"]
+    assert t.doc_to_text({"video_name": "a"}) == p1
+
+    msgs = gen_messages("cap text", "the question")
+    assert "detailed description: cap text, question: the question" in \
+        msgs[1]["content"]
+
+    doc = {"video_name": "v",
+           "caption": "gold",
+           "qa_list": [
+               {"question": "what color is the car", "answer": "red"},
+               {"question": "who drives", "answer": "a clown"},
+           ]}
+    # predicted caption answers Q1 (sentence contains 'red') but not Q2
+    rec = t.process_results(
+        doc, "The car is red. A man drives away quickly.")
+    assert rec["acc"] == 0.5 and rec["score"] == 2.5
+    empty = t.process_results({"video_name": "v", "qa_list": []}, "x")
+    assert empty["acc"] == 0.0
+    out = t.aggregate([rec, empty])
+    assert out["vdc_short_acc"] == 0.25
+    assert out["vdc_short_score"] == 1.25

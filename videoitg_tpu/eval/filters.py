@@ -145,7 +145,38 @@ class MultiChoiceRegexFilter(RegexFilter):
         return out
 
 
+class GPTMultiChoiceExtractFilter(Filter):
+    """mix_evals option extractor (reference mix_evals/video2text/
+    utils.py:351-422 GPTMultiChoiceFilter): ask the judge which option
+    letter the model's free-text answer corresponds to, reply format
+    "[[letter]]", and emit the option INDEX as a string ("0", "1", ...)
+    for the exact_match metric against reference_answer. Judge failures
+    and unparseable replies fall back to "0" (reference result = 0).
+    Routes through eval/judge.py instead of a hard-wired OpenAI client,
+    so it runs offline under the exact-match stand-in."""
+
+    _LETTER = re.compile(r"\[\[([A-Z])\]\]")
+
+    def apply(self, resps, docs):
+        from videoitg_tpu.eval.judge import get_judge
+        from videoitg_tpu.eval.tasks.mix_evals import mc_extract_messages
+
+        judge = get_judge()
+        out = []
+        for r, doc in zip(resps, docs):
+            filtered = []
+            for response in r:
+                reply = judge(mc_extract_messages(doc, response),
+                              max_tokens=999)
+                m = self._LETTER.search(reply or "")
+                filtered.append(str(ord(m.group(1)) - ord("A")) if m
+                                else "0")
+            out.append(filtered)
+        return out
+
+
 FILTER_REGISTRY: Dict[str, Callable[..., Filter]] = {
+    "gpt_mc_extract": GPTMultiChoiceExtractFilter,
     "take_first": TakeFirstFilter,
     "take_first_k": TakeKFilter,
     "majority_vote": MajorityVoteFilter,

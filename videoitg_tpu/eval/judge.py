@@ -27,11 +27,15 @@ default is exact-match.
 from __future__ import annotations
 
 import os
+import re
 import string
 import time
 from typing import Dict, List, Optional
 
 Message = Dict[str, str]  # {"role": ..., "content": ...}
+
+_OPTION_RE = re.compile(r"\s*([A-Z])\.\s*(.*)")
+_BARE_LETTER_RE = re.compile(r"\s*([A-Z])\b")
 
 
 class Judge:
@@ -56,7 +60,14 @@ class ExactMatchJudge(Judge):
     """Deterministic offline stand-in: yes + 5 when the normalized gold
     answer appears in the normalized prediction (or vice versa for
     multi-word golds), else no + 0. Divergence from the reference's GPT
-    scores is expected and documented; use http:/hf: for parity runs."""
+    scores is expected and documented; use http:/hf: for parity runs.
+
+    Schema-aware: like the instruction-following model it replaces, it
+    reads the requested reply format out of the prompt — the
+    {'pred','score'} dict (activitynetqa/moviechat/videochatgpt/vdc
+    style), the cvrr {'pred': 'correct'/'incorrect', 'score', 'reason'}
+    dict, the mix_evals freeform "[[0.0..1.0]]" correctness score, and
+    the mix_evals multiple-choice "[[letter]]" option extraction."""
 
     name = "exact-match"
 
@@ -65,29 +76,105 @@ class ExactMatchJudge(Judge):
         s = s.lower().strip()
         return "".join(c for c in s if c not in string.punctuation).strip()
 
+    # labels marking the gold answer / prediction lines across the
+    # reference judge prompt families
+    _ANSWER_LABELS = ("correct answer:", "ground truth correct answer:",
+                      "golden answer(s):")
+    _PRED_LABELS = ("predicted answer", "model's answer:")
+
+    def _mc_extract(self, user: str) -> str:
+        """Emulate the mix_evals option extractor (video2text/utils.py:
+        300-330): map the model's answer to an option letter."""
+        lines = user.splitlines()
+        options: List[tuple] = []  # (letter, text)
+        answer = ""
+        in_options = False
+        for line in lines:
+            low = line.lower()
+            if low.startswith("options:"):
+                in_options = True
+                options = []  # keep only the final (queried) options block
+                continue
+            if low.startswith("model's answer:"):
+                answer = line.split(":", 1)[1].strip()
+                in_options = False
+                continue
+            if in_options:
+                m = _OPTION_RE.match(line)
+                if m:
+                    options.append((m.group(1), m.group(2).strip()))
+                elif line.strip():
+                    in_options = False
+        letter = options[0][0] if options else "A"
+        m = _BARE_LETTER_RE.match(answer)
+        valid = {l for l, _ in options}
+        if m and (not valid or m.group(1) in valid):
+            letter = m.group(1)
+        else:
+            a = self._norm(answer)
+            for l, text in options:
+                t = self._norm(text)
+                if a and t and (a in t or t in a):
+                    letter = l
+                    break
+        return f"The option chosen by the model: [[{letter}]]"
+
+    def _caption_qa(self, user: str) -> str:
+        """Emulate the vdc caption-QA generation step (vdc/utils.py:
+        201-225): answer a question from a detailed description. Returns
+        the description sentence sharing the most words with the
+        question (the whole description when it is one sentence)."""
+        m = re.search(r"detailed description:\s*(.*),\s*question:\s*(.*?)"
+                      r"(?:DO NOT|$)", user, re.S)
+        if not m:
+            return ""
+        description, question = m.group(1), m.group(2)
+        sentences = [s.strip() for s in re.split(r"(?<=[.!?])\s+",
+                                                 description) if s.strip()]
+        if len(sentences) <= 1:
+            return description.strip()
+        qwords = set(self._norm(question).split())
+        return max(sentences,
+                   key=lambda s: len(qwords & set(self._norm(s).split())))
+
     def __call__(self, messages, max_tokens: int = 64) -> str:
-        # pull "Correct Answer:"/"Predicted Answer:" out of the user turn
         user = next((m["content"] for m in messages
                      if m.get("role") == "user"), "")
+        if '"[[option letter]]"' in user:
+            return self._mc_extract(user)
+        if "detailed description:" in user and "question:" in user:
+            return self._caption_qa(user)
         answer = None
         preds = []
         for line in user.splitlines():
             low = line.lower()
-            if low.startswith("correct answer:"):
+            if low.startswith(self._ANSWER_LABELS):
+                # few-shot prompts (mix_evals) repeat these labels per
+                # example: keep only the final (queried) block
                 answer = line.split(":", 1)[1]
-            elif low.startswith("predicted answer"):
-                # covers "Predicted Answer:" and the consistency pair's
+                preds = []
+            elif low.startswith(self._PRED_LABELS):
+                # "predicted answer" also covers the consistency pair's
                 # "Predicted Answer to Question N:"
                 preds.append(line.split(":", 1)[1])
+        scored01 = '"[[score]]"' in user  # mix_evals freeform format
+        cvrr = "'correct' or 'incorrect'" in user
         if answer is None or not preds:
-            return "{'pred': 'no', 'score': 0}"
-        a = self._norm(answer)
+            hit = False
+        else:
+            a = self._norm(answer)
 
-        def match(p):
-            return bool(a) and (a in p or (len(a.split()) > 1
-                                           and p and p in a))
+            def match(p):
+                return bool(a) and (a in p or (len(a.split()) > 1
+                                               and p and p in a))
 
-        hit = all(match(self._norm(p)) for p in preds)
+            hit = all(match(self._norm(p)) for p in preds)
+        if scored01:
+            return (f"The correctness score: [[{'1.0' if hit else '0.0'}]]")
+        if cvrr:
+            return ("{'pred': 'correct', 'score': 5, 'reason': 'match'}"
+                    if hit else
+                    "{'pred': 'incorrect', 'score': 0, 'reason': 'mismatch'}")
         return ("{'pred': 'yes', 'score': 5}" if hit
                 else "{'pred': 'no', 'score': 0}")
 

@@ -5,9 +5,12 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     activitynetqa,
     cgbench,
     cinepile,
+    cuva,
+    cvrr,
     egoschema,
     funqa,
     longvideobench,
+    mix_evals,
     mlvu,
     mmworld,
     moviechat,
@@ -17,6 +20,8 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     tempcompass,
     temporalbench,
     vatex,
+    vdc,
+    video_detail_description,
     videochatgpt,
     videomme,
     vinoground,
