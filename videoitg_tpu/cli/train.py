@@ -101,6 +101,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="sequence-parallel axis size: the grounding LM's "
                         "long sequence trains as custom-VJP ring attention "
                         "over this many chips (no reference counterpart)")
+    p.add_argument("--pp", type=int, default=1,
+                   help="pipeline-parallel stages: the decoder stack is "
+                        "layer-sharded over this many chips and microbatch-"
+                        "pipelined (parallel/pipeline.py; no reference "
+                        "counterpart). Per-chip batch must be divisible by "
+                        "--pp-microbatches (default pp)")
+    p.add_argument("--pp-microbatches", type=int, default=None,
+                   help="microbatches per pipeline step (default: pp size)")
     p.add_argument("--offload-optimizer", action="store_true",
                    help="park optimizer state in pinned host memory between "
                         "steps (ZeRO-3-offload equivalent; TPU only)")
@@ -265,11 +273,13 @@ def main(argv=None) -> int:
     if n_devices > 1:
         from videoitg_tpu.parallel.sharding import adapt_specs_to_params
 
-        mesh = make_mesh(dp=args.dp, tp=args.tp, sp=args.sp)
+        mesh = make_mesh(dp=args.dp, tp=args.tp, sp=args.sp, pp=args.pp)
         dp = mesh.shape["dp"]
         batch_size = batch_size * dp
         params = shard_params(
-            params, adapt_specs_to_params(grounding_param_specs(), params),
+            params,
+            adapt_specs_to_params(
+                grounding_param_specs(pp=args.pp > 1), params),
             mesh)
 
     total_steps = args.total_steps or max(
@@ -371,7 +381,8 @@ def main(argv=None) -> int:
                     fn = make_train_step(cfg, tx, hw=hw, use_flash=not on_cpu,
                                          remat=True)
                 step_fns[key] = offload_wrap(fn) if offload_wrap else fn
-            state, metrics = run_step(step_fns[key], state, batch, mesh=mesh)
+            state, metrics = run_step(step_fns[key], state, batch, mesh=mesh,
+                                      microbatches=args.pp_microbatches)
             step = int(state.step)
             if step % args.logging_steps == 0:
                 m = {k: float(v) for k, v in metrics.items()}

@@ -109,7 +109,24 @@ def qwen2_hidden_states(
     use_flash: bool = False,
     remat: bool = False,
 ) -> jax.Array:
-    """Run the decoder stack; returns final-norm hidden states [B, S, H]."""
+    """Run the decoder stack; returns final-norm hidden states [B, S, H].
+
+    Under an active pipeline context (parallel/context.pipeline_mesh) the
+    stack runs as a microbatched GPipe pipeline over the mesh's pp axis
+    instead of the local scan (parallel/pipeline.py).
+    """
+    from videoitg_tpu.parallel import context as par_context
+
+    pctx = par_context.current_pipeline()
+    if pctx is not None and pctx[0].shape[pctx[1]] > 1:
+        from videoitg_tpu.parallel.pipeline import pipeline_hidden_states
+
+        mesh, pp_axis, dp_axis, microbatches = pctx
+        return pipeline_hidden_states(
+            params, inputs_embeds, positions, valid, cfg,
+            use_flash=use_flash, remat=remat, mesh=mesh, pp_axis=pp_axis,
+            dp_axis=dp_axis, microbatches=microbatches)
+
     x = inputs_embeds
     layers = slice_layer_params(params["layers"], cfg.num_layers)
 

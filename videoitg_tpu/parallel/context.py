@@ -40,3 +40,42 @@ def attention_mesh(mesh: Mesh, dp_axis: str = "dp", tp_axis: str = "tp",
 
 def current_attention_mesh() -> Optional[Tuple[Mesh, str, str, Optional[str]]]:
     return _ACTIVE
+
+
+@contextlib.contextmanager
+def no_attention_mesh():
+    """Suppress the ambient attention mesh (used inside manual shard_map
+    islands, where ops/attention.mha must run per-device instead of
+    opening a nested island)."""
+    global _ACTIVE
+    prev = _ACTIVE
+    _ACTIVE = None
+    try:
+        yield
+    finally:
+        _ACTIVE = prev
+
+
+# ---- pipeline parallelism (pp) -------------------------------------------
+# (mesh, pp_axis, dp_axis, microbatches) — consulted by
+# models/qwen2.qwen2_hidden_states; see parallel/pipeline.py.
+_PIPELINE: Optional[Tuple[Mesh, str, str, Optional[int]]] = None
+
+
+@contextlib.contextmanager
+def pipeline_mesh(mesh: Mesh, pp_axis: str = "pp", dp_axis: str = "dp",
+                  microbatches: Optional[int] = None):
+    """While active, the LM decoder stack runs as a GPipe-style microbatch
+    pipeline over mesh's pp axis (parallel/pipeline.py). microbatches=None
+    defaults to the pp size."""
+    global _PIPELINE
+    prev = _PIPELINE
+    _PIPELINE = (mesh, pp_axis, dp_axis, microbatches)
+    try:
+        yield
+    finally:
+        _PIPELINE = prev
+
+
+def current_pipeline() -> Optional[Tuple[Mesh, str, str, Optional[int]]]:
+    return _PIPELINE

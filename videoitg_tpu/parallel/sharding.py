@@ -22,24 +22,30 @@ from typing import Any
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from videoitg_tpu.parallel.mesh import TP_AXIS
+from videoitg_tpu.parallel.mesh import PP_AXIS, TP_AXIS
 
 
-def qwen2_param_specs() -> dict:
-    """PartitionSpecs mirroring models/qwen2 param tree (stacked layers)."""
+def qwen2_param_specs(pp: bool = False) -> dict:
+    """PartitionSpecs mirroring models/qwen2 param tree (stacked layers).
+
+    pp=True additionally shards the stacked-layer (leading) axis over the
+    mesh's pp axis — each pipeline stage stores only its own layers
+    (parallel/pipeline.py); composes with the tp column/row specs.
+    """
     t = TP_AXIS
+    s0 = PP_AXIS if pp else None
     return {
         "embed": {"w": P(t, None)},
         "layers": {
-            "input_norm": {"scale": P(None, None)},
-            "post_attn_norm": {"scale": P(None, None)},
-            "q": {"w": P(None, None, t), "b": P(None, t)},
-            "k": {"w": P(None, None, t), "b": P(None, t)},
-            "v": {"w": P(None, None, t), "b": P(None, t)},
-            "o": {"w": P(None, t, None)},
-            "gate": {"w": P(None, None, t)},
-            "up": {"w": P(None, None, t)},
-            "down": {"w": P(None, t, None)},
+            "input_norm": {"scale": P(s0, None)},
+            "post_attn_norm": {"scale": P(s0, None)},
+            "q": {"w": P(s0, None, t), "b": P(s0, t)},
+            "k": {"w": P(s0, None, t), "b": P(s0, t)},
+            "v": {"w": P(s0, None, t), "b": P(s0, t)},
+            "o": {"w": P(s0, t, None)},
+            "gate": {"w": P(s0, None, t)},
+            "up": {"w": P(s0, None, t)},
+            "down": {"w": P(s0, t, None)},
         },
         "final_norm": {"scale": P(None)},
     }
@@ -64,7 +70,7 @@ def siglip_param_specs() -> dict:
     }
 
 
-def grounding_param_specs(with_lm_head: bool = False) -> dict:
+def grounding_param_specs(with_lm_head: bool = False, pp: bool = False) -> dict:
     t = TP_AXIS
     specs = {
         "vision": siglip_param_specs(),
@@ -72,7 +78,7 @@ def grounding_param_specs(with_lm_head: bool = False) -> dict:
             "fc1": {"w": P(None, t), "b": P(t)},
             "fc2": {"w": P(t, None), "b": P(None)},
         },
-        "lm": qwen2_param_specs(),
+        "lm": qwen2_param_specs(pp=pp),
         "out_proj": {"w": P(None, None), "b": P(None)},
     }
     if with_lm_head:

@@ -79,9 +79,18 @@ def make_train_step(
     return step_fn
 
 
-def run_step(step_fn, state, batch, mesh=None):
-    """Execute one step, with the flash kernel shard-mapped when on a mesh."""
+def run_step(step_fn, state, batch, mesh=None, microbatches=None):
+    """Execute one step, with the flash kernel shard-mapped when on a mesh.
+
+    A mesh carrying a pp axis > 1 additionally runs the decoder stack as a
+    microbatch pipeline (parallel/pipeline.py); microbatches defaults to
+    the pp size inside the pipeline.
+    """
     if mesh is not None:
+        if "pp" in mesh.shape and mesh.shape["pp"] > 1:
+            with par_context.pipeline_mesh(mesh, microbatches=microbatches), \
+                    par_context.attention_mesh(mesh):
+                return step_fn(state, batch)
         with par_context.attention_mesh(mesh):
             return step_fn(state, batch)
     return step_fn(state, batch)
