@@ -286,3 +286,28 @@ def test_preprocess_ahead_matches_inline(tiny_setup):
                            use_flash=False, buckets=(4,), num_frames=4)
     with pytest.raises(ValueError):
         eng2.score_frames([pre], ["q"])
+
+
+def test_engine_on_pp_mesh_matches_single_device(tiny_setup):
+    """pp serving: layer-sharded decoder running as a microbatch pipeline
+    (parallel/pipeline.py) scores identically to the single-device engine.
+    The reference's closest analogue is internvl2.py:143-181's sequential
+    layer->GPU device map."""
+    cfg, params = tiny_setup
+    mesh = make_mesh(pp=2, dp=2, tp=2, devices=jax.devices()[:8])
+
+    rng = np.random.default_rng(21)
+    vids = [_frames(rng, 4), _frames(rng, 4)]
+    instrs = ["q one", "q two"]
+
+    eng1 = SelectionEngine(params, cfg, ToyTokenizer(), dtype=jnp.float32,
+                           use_flash=False, buckets=(4,))
+    engm = SelectionEngine(params, cfg, ToyTokenizer(), mesh=mesh,
+                           dtype=jnp.float32, use_flash=False, buckets=(4,))
+    want = eng1.score_frames(vids, instrs)
+    got = engm.score_frames(vids, instrs)
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(g, w, atol=2e-5, rtol=1e-5)
+    # the LM really lives layer-sharded over pp on the serving mesh
+    qw = engm.params["lm"]["layers"]["q"]["w"]
+    assert "pp" in qw.sharding.spec

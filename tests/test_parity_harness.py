@@ -39,7 +39,7 @@ def test_parity_harness_selftest_8b_geometry(tmp_path):
         sys.path.pop(0)
 
     reports = parity_vs_torch.selftest_8b(
-        str(tmp_path), frames=6, budget=768, flash_budget=768)
+        str(tmp_path), frames=4, budget=512, flash_budget=256)
     for arm in ("oracle", "flash"):
         assert reports[arm]["pass"], arm
         assert reports[arm]["max_abs_score_diff"] < 1e-4, arm

@@ -58,6 +58,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="tensor-parallel mesh axis (heads/ffn sharding)")
     p.add_argument("--sp", type=int, default=1,
                    help="sequence-parallel axis (ring attention)")
+    p.add_argument("--pp", type=int, default=1,
+                   help="pipeline-parallel stages (layer-sharded decoder, "
+                        "microbatch pipeline)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--decode-workers", type=int, default=2)
@@ -266,10 +269,11 @@ def build_engine(args):
         args.model, args.preset, args.random_init, dtype,
         quantize=args.quantize, tool="videoitg-serve")
     mesh = None
-    if args.dp is not None or args.tp is not None or args.sp > 1:
+    if (args.dp is not None or args.tp is not None or args.sp > 1
+            or args.pp > 1):
         from videoitg_tpu.parallel.mesh import make_mesh
 
-        mesh = make_mesh(dp=args.dp, tp=args.tp, sp=args.sp)
+        mesh = make_mesh(dp=args.dp, tp=args.tp, sp=args.sp, pp=args.pp)
     return SelectionEngine(params, cfg, tokenizer, dtype=dtype, mesh=mesh,
                            num_frames=args.num_frames,
                            target_fps=args.target_fps,

@@ -158,10 +158,14 @@ class SelectionEngine:
                     )
         if mesh is not None:
             # Dense specs adapted to the actual tree: int8 w_q shards like w,
-            # scales follow the out axis — int8 and tp/dp compose.
+            # scales follow the out axis — int8 and tp/dp compose. A pp axis
+            # additionally layer-shards the stacked LM decoder (the scoring
+            # program then runs it as a microbatch pipeline,
+            # parallel/pipeline.py).
             params = cast_params(params, dtype)
             specs = sharding_lib.adapt_specs_to_params(
-                sharding_lib.grounding_param_specs(), params
+                sharding_lib.grounding_param_specs(
+                    pp=mesh.shape.get("pp", 1) > 1), params
             )
             self.params = sharding_lib.shard_params(params, specs, mesh)
         else:
@@ -174,6 +178,18 @@ class SelectionEngine:
         from videoitg_tpu.utils.profiling import StageTimer
 
         self.timer = StageTimer()
+
+    def _mesh_ctx(self):
+        """Ambient contexts for a mesh-backed program: the flash-kernel
+        island always; plus the decoder microbatch pipeline when the mesh
+        carries a pp axis (parallel/pipeline.py)."""
+        import contextlib
+
+        stack = contextlib.ExitStack()
+        stack.enter_context(par_context.attention_mesh(self.mesh))
+        if self.mesh.shape.get("pp", 1) > 1:
+            stack.enter_context(par_context.pipeline_mesh(self.mesh))
+        return stack
 
     # ---- compiled stages ----
 
@@ -335,7 +351,7 @@ class SelectionEngine:
         fn = self._tower_fn(t_bucket)
         with self.timer.stage("tower"):
             if self.mesh is not None:
-                with par_context.attention_mesh(self.mesh):
+                with self._mesh_ctx():
                     feats = fn(self.params, pix)
             else:
                 feats = fn(self.params, pix)
@@ -364,7 +380,7 @@ class SelectionEngine:
                         jnp.asarray(ids[i : i + 1]),
                         jnp.asarray(valid[i : i + 1]))
                 if self.mesh is not None:
-                    with par_context.attention_mesh(self.mesh):
+                    with self._mesh_ctx():
                         outs.append(fn(*args))
                 else:
                     outs.append(fn(*args))
@@ -454,7 +470,7 @@ class SelectionEngine:
             if self.mesh is not None:
                 # shard_map takes the mesh explicitly; jit shardings propagate
                 # from the placed params/inputs — no ambient mesh needed.
-                with par_context.attention_mesh(self.mesh):
+                with self._mesh_ctx():
                     probs = np.asarray(fn(*args))
             else:
                 probs = np.asarray(fn(*args))

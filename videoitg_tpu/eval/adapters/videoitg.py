@@ -35,6 +35,7 @@ class VideoITGAdapter(ModelAdapter):
         dp: Optional[int] = None,
         tp: Optional[int] = None,
         sp: int = 1,
+        pp: int = 1,
         decode_workers: int = 4,
         decode_ahead: int = 4,
         frame_cache_dir: Optional[str] = None,
@@ -116,10 +117,10 @@ class VideoITGAdapter(ModelAdapter):
             params = apply_full_int8(params)
 
         mesh = None
-        if dp is not None or tp is not None or sp > 1:
+        if dp is not None or tp is not None or sp > 1 or pp > 1:
             from videoitg_tpu.parallel.mesh import make_mesh
 
-            mesh = make_mesh(dp=dp, tp=tp, sp=sp)
+            mesh = make_mesh(dp=dp, tp=tp, sp=sp, pp=pp)
 
         self.engine = SelectionEngine(
             params, cfg, tokenizer, mesh=mesh, num_frames=num_frames,
