@@ -311,3 +311,29 @@ def test_engine_on_pp_mesh_matches_single_device(tiny_setup):
     # the LM really lives layer-sharded over pp on the serving mesh
     qw = engm.params["lm"]["layers"]["q"]["w"]
     assert "pp" in qw.sharding.spec
+
+
+def test_engine_int8_on_pp_mesh_matches_single_device(tiny_setup):
+    """The quantized serving tier composes with pp: adapt_specs_to_params
+    maps the pp-leading stacked specs onto w_q/scale trees, and the
+    pipelined program reproduces single-device int8 scores."""
+    from videoitg_tpu.ops.quant import quantize_grounding_int8
+
+    cfg, params = tiny_setup
+    qparams = quantize_grounding_int8(params)
+    mesh = make_mesh(pp=2, dp=1, tp=2, devices=jax.devices()[:4])
+
+    rng = np.random.default_rng(23)
+    vids = [_frames(rng, 4)]
+    instrs = ["what happens?"]
+
+    eng1 = SelectionEngine(qparams, cfg, ToyTokenizer(), dtype=jnp.float32,
+                           use_flash=False, buckets=(4,))
+    engm = SelectionEngine(qparams, cfg, ToyTokenizer(), mesh=mesh,
+                           dtype=jnp.float32, use_flash=False, buckets=(4,))
+    qw = engm.params["lm"]["layers"]["q"]["w_q"]
+    assert qw.dtype == jnp.int8 and "pp" in qw.sharding.spec
+    want = eng1.score_frames(vids, instrs)
+    got = engm.score_frames(vids, instrs)
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(g, w, atol=2e-5, rtol=1e-5)

@@ -154,3 +154,70 @@ def test_train_step_on_pp_mesh_matches_unpipelined():
     # layer weights (and thus Adam state) really live sharded over pp
     qw = state_pp.params["lm"]["layers"]["q"]["w"]
     assert "pp" in qw.sharding.spec
+
+
+def test_qlora_train_step_on_pp_mesh():
+    """QLoRA (int8 frozen base + LoRA adapters) trains through the pipeline:
+    adapted pp specs place the quantized stacked leaves per stage, the
+    island differentiates through ppermute, and the int8 base stays frozen."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from videoitg_tpu.models.grounding import init_grounding
+    from videoitg_tpu.ops.quant import quantize_grounding_int8
+    from videoitg_tpu.parallel.mesh import batch_sharding, make_mesh
+    from videoitg_tpu.parallel.sharding import (
+        adapt_specs_to_params, grounding_param_specs, shard_params,
+    )
+    from videoitg_tpu.train.collate import collate_grounding
+    from videoitg_tpu.train.dataset import GroundingSample
+    from videoitg_tpu.train.lora import add_lora, make_lora_optimizer
+    from videoitg_tpu.train.train_step import (
+        create_train_state, make_train_step, run_step,
+    )
+
+    cfg = dataclasses.replace(
+        GroundingConfig.tiny(),
+        lm=dataclasses.replace(GroundingConfig.tiny().lm, num_layers=2))
+    mesh = make_mesh(pp=2, dp=2, tp=1, devices=jax.devices()[:4])
+
+    qparams = add_lora(
+        quantize_grounding_int8(
+            init_grounding(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)),
+        jax.random.PRNGKey(1), rank=4)
+    specs = adapt_specs_to_params(grounding_param_specs(pp=True), qparams)
+    qparams = shard_params(qparams, specs, mesh)
+    base_q = np.asarray(
+        jax.device_get(qparams["lm"]["layers"]["q"]["w_q"])).copy()
+
+    rng = np.random.default_rng(0)
+    t = 2
+    samples = []
+    for _ in range(4):
+        frames = rng.integers(
+            0, 256, size=(t, cfg.vision.image_size, cfg.vision.image_size, 3),
+            dtype=np.uint8)
+        labels = np.zeros(t, dtype=np.float32)
+        labels[0] = 1.0
+        samples.append(GroundingSample(frames, [1], labels, "pp-qlora"))
+    batch = collate_grounding(samples, t_bucket=t, cfg=cfg, dtype=jnp.float32)
+    batch = jax.tree.map(
+        lambda a: jax.device_put(a, batch_sharding(mesh)), batch)
+
+    tx = make_lora_optimizer(qparams, learning_rate=1e-3, total_steps=4,
+                             schedule="constant", warmup_ratio=0.0)
+    state = create_train_state(qparams, tx)
+    step_fn = make_train_step(cfg, tx, hw=1, use_flash=False, remat=True)
+    # two steps: every schedule warms up from lr=0 at step 0
+    state, metrics = run_step(step_fn, state, batch, mesh=mesh)
+    state, metrics = run_step(step_fn, state, batch, mesh=mesh)
+    assert np.isfinite(float(metrics["loss"]))
+    # frozen quantized base is bit-identical; adapters moved
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(state.params["lm"]["layers"]["q"]["w_q"])),
+        base_q)
+    # lora_b inits at zero, so step 1 moves lora_b (dL/dlora_a is 0 then)
+    lb0 = jax.device_get(qparams["lm"]["layers"]["q"]["lora_b"])
+    lb1 = jax.device_get(state.params["lm"]["layers"]["q"]["lora_b"])
+    assert np.abs(np.asarray(lb1) - np.asarray(lb0)).max() > 0
