@@ -337,3 +337,32 @@ def test_engine_int8_on_pp_mesh_matches_single_device(tiny_setup):
     got = engm.score_frames(vids, instrs)
     for w, g in zip(want, got):
         np.testing.assert_allclose(g, w, atol=2e-5, rtol=1e-5)
+
+
+def test_engine_pp_mesh_odd_batches_and_encoded_path(tiny_setup):
+    """Regression (code-review round 3): a pp mesh must handle batches that
+    are not multiples of pp/dp (adapter flush leftovers) and the b=1
+    encode_video/score_encoded path videoitg-serve uses — the microbatch
+    default adapts to any batch."""
+    cfg, params = tiny_setup
+    mesh = make_mesh(pp=2, dp=2, tp=1, devices=jax.devices()[:4])
+    eng1 = SelectionEngine(params, cfg, ToyTokenizer(), dtype=jnp.float32,
+                           use_flash=False, buckets=(4,))
+    engm = SelectionEngine(params, cfg, ToyTokenizer(), mesh=mesh,
+                           dtype=jnp.float32, use_flash=False, buckets=(4,))
+    rng = np.random.default_rng(29)
+    for b in (1, 3):
+        vids = [_frames(rng, 4) for _ in range(b)]
+        instrs = [f"q{i}" for i in range(b)]
+        want = eng1.score_frames(vids, instrs)
+        got = engm.score_frames(vids, instrs)
+        assert len(got) == b
+        for w, g in zip(want, got):
+            np.testing.assert_allclose(g, w, atol=2e-5, rtol=1e-5)
+    # serve daemon path: tower once, per-question LM pass at b=1
+    frames = _frames(rng, 4)
+    enc1 = eng1.encode_video(frames)
+    encm = engm.encode_video(frames)
+    want = eng1.score_encoded(enc1, ["what happens?"])
+    got = engm.score_encoded(encm, ["what happens?"])
+    np.testing.assert_allclose(got[0], want[0], atol=2e-5, rtol=1e-5)

@@ -105,10 +105,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pipeline-parallel stages: the decoder stack is "
                         "layer-sharded over this many chips and microbatch-"
                         "pipelined (parallel/pipeline.py; no reference "
-                        "counterpart). Per-chip batch must be divisible by "
-                        "--pp-microbatches (default pp)")
+                        "counterpart). Global batch must be divisible by "
+                        "--pp-microbatches when set")
     p.add_argument("--pp-microbatches", type=int, default=None,
-                   help="microbatches per pipeline step (default: pp size)")
+                   help="microbatches per pipeline step (default: largest "
+                        "divisor of the global batch <= pp)")
     p.add_argument("--offload-optimizer", action="store_true",
                    help="park optimizer state in pinned host memory between "
                         "steps (ZeRO-3-offload equivalent; TPU only)")

@@ -121,11 +121,11 @@ def qwen2_hidden_states(
     if pctx is not None and pctx[0].shape[pctx[1]] > 1:
         from videoitg_tpu.parallel.pipeline import pipeline_hidden_states
 
-        mesh, pp_axis, dp_axis, microbatches = pctx
+        mesh, pp_axis, microbatches = pctx
         return pipeline_hidden_states(
             params, inputs_embeds, positions, valid, cfg,
             use_flash=use_flash, remat=remat, mesh=mesh, pp_axis=pp_axis,
-            dp_axis=dp_axis, microbatches=microbatches)
+            microbatches=microbatches)
 
     x = inputs_embeds
     layers = slice_layer_params(params["layers"], cfg.num_layers)

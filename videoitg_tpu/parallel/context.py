@@ -57,25 +57,25 @@ def no_attention_mesh():
 
 
 # ---- pipeline parallelism (pp) -------------------------------------------
-# (mesh, pp_axis, dp_axis, microbatches) — consulted by
+# (mesh, pp_axis, microbatches) — consulted by
 # models/qwen2.qwen2_hidden_states; see parallel/pipeline.py.
-_PIPELINE: Optional[Tuple[Mesh, str, str, Optional[int]]] = None
+_PIPELINE: Optional[Tuple[Mesh, str, Optional[int]]] = None
 
 
 @contextlib.contextmanager
-def pipeline_mesh(mesh: Mesh, pp_axis: str = "pp", dp_axis: str = "dp",
+def pipeline_mesh(mesh: Mesh, pp_axis: str = "pp",
                   microbatches: Optional[int] = None):
     """While active, the LM decoder stack runs as a GPipe-style microbatch
     pipeline over mesh's pp axis (parallel/pipeline.py). microbatches=None
-    defaults to the pp size."""
+    defaults to the largest divisor of the batch <= pp."""
     global _PIPELINE
     prev = _PIPELINE
-    _PIPELINE = (mesh, pp_axis, dp_axis, microbatches)
+    _PIPELINE = (mesh, pp_axis, microbatches)
     try:
         yield
     finally:
         _PIPELINE = prev
 
 
-def current_pipeline() -> Optional[Tuple[Mesh, str, str, Optional[int]]]:
+def current_pipeline() -> Optional[Tuple[Mesh, str, Optional[int]]]:
     return _PIPELINE

@@ -10,9 +10,13 @@ with no overlap). This module is the TPU-native version done properly:
     layers [i*L/P, (i+1)*L/P) and 1/P of the LM weight + optimizer memory,
     the same memory relief as the reference's ZeRO-3 but with activations,
     not parameters, on the wire;
-  * inside one jax.shard_map island the batch is split into M microbatches
-    that flow stage-to-stage via lax.ppermute (one hop per step — the only
-    collective; ideal for cross-slice DCN where all-reduce is expensive);
+  * inside one jax.shard_map island — manual over the pp axis ONLY
+    (axis_names={'pp'}) — the batch is split into M microbatches that flow
+    stage-to-stage via lax.ppermute (one hop per step, ideal for
+    cross-slice DCN where all-reduce is expensive). Every other mesh axis
+    stays automatic: GSPMD keeps the Megatron tp sharding of each stage's
+    weights (and the dp batch sharding) live inside the island, so pp
+    composes with tp/dp without gathering weights;
   * the schedule is the classic (M + P - 1)-step GPipe diagram: stage s
     processes microbatch t - s at step t; bubbles compute garbage that is
     masked out of the output, so every device runs the identical program
@@ -21,6 +25,11 @@ with no overlap). This module is the TPU-native version done properly:
 Differentiable end to end (ppermute/psum/scan transpose cleanly), so the
 same code path serves scoring and training; jax.checkpoint remat applies
 per layer inside each stage exactly as in the unpipelined scan.
+
+Known limit: inside the island the ambient attention-mesh context is
+suppressed (a nested kernel island over auto axes is not attempted), so
+under pp the LM's attention runs through XLA rather than the in-tree
+Pallas kernels — revisit if/when pp runs on real multi-slice hardware.
 """
 
 from __future__ import annotations
@@ -37,18 +46,13 @@ from videoitg_tpu.parallel import context as par_context
 PP_AXIS = "pp"
 
 
-def pp_stacked_specs(layer_specs: dict, pp_axis: str = PP_AXIS) -> dict:
-    """Prepend the pp axis to every stacked-layer leaf spec.
-
-    qwen2 layer leaves are stacked [L, ...]; under pipeline parallelism the
-    leading (layer) axis is sharded over pp so each stage stores only its
-    own layers. Composes with the tp column/row specs on the inner axes.
-    """
-
-    def add(spec):
-        return P(pp_axis, *tuple(spec))
-
-    return jax.tree.map(add, layer_specs, is_leaf=lambda x: isinstance(x, P))
+def default_microbatches(batch: int, pp: int) -> int:
+    """Largest divisor of `batch` that is <= pp (so the default never
+    violates the batch % M == 0 requirement, whatever the batch)."""
+    m = min(batch, pp)
+    while batch % m:
+        m -= 1
+    return m
 
 
 def pipeline_hidden_states(
@@ -62,27 +66,24 @@ def pipeline_hidden_states(
     *,
     mesh: Mesh,
     pp_axis: str = PP_AXIS,
-    dp_axis: str = "dp",
     microbatches: Optional[int] = None,
 ) -> jax.Array:
     """Drop-in pipelined replacement for qwen2.qwen2_hidden_states.
 
-    Requires cfg.num_layers % pp == 0 and (per-dp-shard) batch % M == 0.
+    Requires cfg.num_layers % pp == 0 and batch % M == 0 (M defaults to
+    the largest divisor of the batch <= pp, which always exists).
     The final RMSNorm stays outside the island (tiny, replicated).
     """
     from videoitg_tpu.models import qwen2 as qwen2_mod
     from videoitg_tpu.models.common import rms_norm, slice_layer_params
 
     pp = mesh.shape[pp_axis]
-    dp = mesh.shape.get(dp_axis, 1)
     n_layers = cfg.num_layers
     assert n_layers % pp == 0, f"layers ({n_layers}) % pp ({pp}) != 0"
     b, s, h = inputs_embeds.shape
-    assert b % dp == 0, f"batch ({b}) % dp ({dp}) != 0"
-    b_loc = b // dp
-    m = microbatches if microbatches is not None else min(pp, b_loc)
-    assert b_loc % m == 0, (
-        f"per-dp batch ({b_loc}) % microbatches ({m}) != 0")
+    m = microbatches if microbatches is not None else default_microbatches(b, pp)
+    if b % m:
+        raise ValueError(f"batch ({b}) % microbatches ({m}) != 0")
 
     if valid is None:
         valid = jnp.ones((b, s), dtype=bool)
@@ -95,9 +96,11 @@ def pipeline_hidden_states(
             policy=jax.checkpoint_policies.nothing_saveable)
 
     def island(layers_loc, x, pos, val):
-        # per-device view: layers_loc [L/pp, ...], x [b_loc, S, H]
+        # Manual over pp only: layers_loc holds THIS stage's [L/pp, ...]
+        # slice; x/pos/val keep their global batch shape (dp/tp stay
+        # GSPMD-automatic in here).
         stage = jax.lax.axis_index(pp_axis)
-        mb = b_loc // m
+        mb = b // m
         xm = x.reshape((m, mb) + x.shape[1:])
         pm = pos.reshape((m, mb) + pos.shape[1:])
         vm = val.reshape((m, mb) + val.shape[1:])
@@ -128,25 +131,32 @@ def pipeline_hidden_states(
                 y, pp_axis, [(i, (i + 1) % pp) for i in range(pp)])
             return (nxt, outs), None
 
-        init = (jnp.zeros_like(xm[0]), jnp.zeros_like(xm))
+        # VMA: the carry becomes varying over pp inside the loop (each
+        # stage computes different values); mark the zero init accordingly.
+        init = jax.tree.map(
+            lambda a: jax.lax.pcast(a, (pp_axis,), to="varying"),
+            (jnp.zeros_like(xm[0]), jnp.zeros_like(xm)))
         (_, outs), _ = jax.lax.scan(step, init,
                                     jnp.arange(m + pp - 1, dtype=jnp.int32))
         # Only the last stage holds real outputs; psum over the one-hot
         # stage mask replicates them across pp (out_specs say so).
         outs = jax.lax.psum(
             jnp.where(stage == pp - 1, outs, jnp.zeros_like(outs)), pp_axis)
-        return outs.reshape((b_loc,) + x.shape[1:])
+        return outs.reshape((b,) + x.shape[1:])
 
     layer_specs = jax.tree.map(lambda _: P(pp_axis), layers)
     f = jax.shard_map(
         island,
         mesh=mesh,
-        in_specs=(layer_specs, P(dp_axis), P(dp_axis), P(dp_axis)),
-        out_specs=P(dp_axis),
-        check_vma=False,
+        in_specs=(layer_specs, P(), P(), P()),
+        out_specs=P(),
+        # partial-manual (axis_names) requires VMA tracking ON: the body's
+        # values are varying over pp until the final psum makes the output
+        # invariant, which is exactly what out_specs=P() asserts.
+        axis_names=frozenset({pp_axis}),
     )
-    # Inside the island attention must run per-device — suppress the ambient
-    # attention mesh so mha doesn't open a nested shard_map.
+    # Inside the island attention must not open a nested kernel island —
+    # suppress the ambient attention mesh (see module docstring).
     with par_context.no_attention_mesh():
         hidden = f(layers, inputs_embeds, positions, valid)
     return rms_norm(params["final_norm"], hidden, cfg.rms_norm_eps)
