@@ -221,3 +221,63 @@ def test_qlora_train_step_on_pp_mesh():
     lb0 = jax.device_get(qparams["lm"]["layers"]["q"]["lora_b"])
     lb1 = jax.device_get(state.params["lm"]["layers"]["q"]["lora_b"])
     assert np.abs(np.asarray(lb1) - np.asarray(lb0)).max() > 0
+
+
+def test_vlm_sft_train_step_on_pp_mesh():
+    """The causal VLM-SFT objective routes through the same pipeline
+    (models/vlm.py:106 uses qwen2_hidden_states): loss on a pp2 x dp2 mesh
+    equals the unpipelined step."""
+    from videoitg_tpu.config import LMConfig
+    from videoitg_tpu.models.grounding import init_grounding
+    from videoitg_tpu.parallel.mesh import batch_sharding, make_mesh
+    from videoitg_tpu.parallel.sharding import (
+        grounding_param_specs, shard_params,
+    )
+    from videoitg_tpu.train.optimizer import make_grounding_optimizer
+    from videoitg_tpu.train.train_step import create_train_state, run_step
+    from videoitg_tpu.train.vlm_sft import (
+        VLMSample, collate_vlm, make_vlm_train_step,
+    )
+
+    base = GroundingConfig.tiny()
+    cfg = GroundingConfig(
+        vision=base.vision, projector=base.projector,
+        lm=LMConfig(**{**base.lm.__dict__, "causal": True,
+                       "tie_word_embeddings": True}),
+        max_text_len=base.max_text_len,
+    )
+    rng = np.random.default_rng(5)
+    samples = [
+        VLMSample(
+            frames=rng.integers(0, 256, size=(2, 56, 56, 3), dtype=np.uint8),
+            pre_ids=[7, 8], post_ids=[9, 10, 11],
+            post_labels=[-100, 10, 11],
+        )
+        for _ in range(2)
+    ]
+    batch = collate_vlm(samples, t_bucket=2, cfg=cfg, max_pre=4, max_post=6,
+                        dtype=jnp.float32)
+
+    def one_step(mesh):
+        params = init_grounding(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        if mesh is not None:
+            params = shard_params(params, grounding_param_specs(pp=True),
+                                  mesh)
+        tx = make_grounding_optimizer(params, learning_rate=5e-3,
+                                      total_steps=4, schedule="constant",
+                                      warmup_ratio=0.0, max_grad_norm=None)
+        state = create_train_state(params, tx)
+        step_fn = make_vlm_train_step(cfg, tx, hw=1, use_flash=False,
+                                      remat=True)
+        b = batch
+        if mesh is not None:
+            b = jax.tree.map(
+                lambda a: jax.device_put(a, batch_sharding(mesh)), b)
+        state, metrics = run_step(step_fn, state, b, mesh=mesh)
+        return float(metrics["loss"])
+
+    mesh = make_mesh(pp=2, dp=2, tp=1, devices=jax.devices()[:4])
+    loss_pp = one_step(mesh)
+    loss_ref = one_step(None)
+    assert np.isfinite(loss_pp)
+    np.testing.assert_allclose(loss_pp, loss_ref, rtol=1e-5)
