@@ -443,3 +443,66 @@ def test_vdc_two_phase_judging(_exact_judge):
     out = t.aggregate([rec, empty])
     assert out["vdc_short_acc"] == 0.25
     assert out["vdc_short_score"] == 1.25
+
+
+def test_vdc_raw_scores_and_unparseable_pairs_excluded(_exact_judge):
+    """Reference llm_eval keeps the judge's score RAW (floats like 4.8 are
+    normal — its own few-shot example uses one) and counts only pairs whose
+    reply parses with both keys; malformed replies leave the denominator."""
+    from videoitg_tpu.eval.judge import Judge, set_default_judge
+    from videoitg_tpu.eval.api import get_task
+
+    class Scripted(Judge):
+        name = "scripted"
+        replies = iter([
+            "answer one",                      # phase-1 gen (pair 1)
+            "{'pred': 'yes', 'score': 4.8}",   # phase-2 score (pair 1)
+            "answer two",                      # phase-1 gen (pair 2)
+            "not a dict at all",               # phase-2 unparseable
+            "answer three",                    # phase-1 gen (pair 3)
+            "{'pred': 'no', 'score': 1}",      # phase-2 score (pair 3)
+        ])
+
+        def __call__(self, messages, max_tokens=64):
+            return next(self.replies)
+
+    import videoitg_tpu.eval.judge as judge_mod
+    judge_mod._DEFAULT = Scripted()
+    try:
+        t = get_task("vdc_short")
+        doc = {"video_name": "v", "caption": "g", "qa_list": [
+            {"question": "q1", "answer": "a1"},
+            {"question": "q2", "answer": "a2"},
+            {"question": "q3", "answer": "a3"},
+        ]}
+        rec = t.process_results(doc, "pred caption")
+        # pair 2 excluded: means over the 2 parsed pairs, raw float kept
+        assert rec["score"] == (4.8 + 1) / 2
+        assert rec["acc"] == 0.5
+    finally:
+        set_default_judge("exact-match")
+
+
+def test_mix_evals_templates_match_reference_bytes():
+    """The judge prompt templates must be byte-identical to the reference
+    f-strings, trailing spaces included (video2text/utils.py:49-84,
+    300-349) — an http: parity run sends the exact reference payloads."""
+    import os
+
+    import videoitg_tpu.eval.tasks.mix_evals as me
+
+    ref_path = "/root/reference/lmms_eval/tasks/mix_evals/video2text/utils.py"
+    if not os.path.exists(ref_path):
+        pytest.skip("reference tree not available")
+    ref = open(ref_path).read()
+
+    def extract(marker):
+        i = ref.index(marker)
+        j = ref.index('f"""', i) + 4
+        k = ref.index('"""', j)
+        return ref[j:k].encode().decode("unicode_escape")
+
+    assert me.FREEFORM_USER_TEMPLATE == extract(
+        "video2text_gpt_judge_for_closeended_freeform")
+    assert me.MC_USER_TEMPLATE == extract(
+        "video2text_gpt_judge_for_closeended_multiplechoice")

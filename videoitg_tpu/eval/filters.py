@@ -164,14 +164,12 @@ class GPTMultiChoiceExtractFilter(Filter):
         judge = get_judge()
         out = []
         for r, doc in zip(resps, docs):
-            filtered = []
-            for response in r:
-                reply = judge(mc_extract_messages(doc, response),
-                              max_tokens=999)
-                m = self._LETTER.search(reply or "")
-                filtered.append(str(ord(m.group(1)) - ord("A")) if m
-                                else "0")
-            out.append(filtered)
+            # The reference formats the WHOLE per-instance resps list into
+            # the judge prompt ("Model's Answer: ['foo']",
+            # video2text/utils.py:373-375) and emits one result per doc.
+            reply = judge(mc_extract_messages(doc, r), max_tokens=999)
+            m = self._LETTER.search(reply or "")
+            out.append([str(ord(m.group(1)) - ord("A")) if m else "0"])
         return out
 
 

@@ -97,6 +97,16 @@ class ExactMatchJudge(Judge):
                 continue
             if low.startswith("model's answer:"):
                 answer = line.split(":", 1)[1].strip()
+                # the mc filter embeds the whole resps LIST repr (reference
+                # utils.py:373-375) — unwrap it to the first response
+                if answer.startswith("[") and answer.endswith("]"):
+                    try:
+                        import ast
+                        v = ast.literal_eval(answer)
+                        if isinstance(v, list) and v:
+                            answer = str(v[0])
+                    except Exception:
+                        pass
                 in_options = False
                 continue
             if in_options:

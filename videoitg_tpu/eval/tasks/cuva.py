@@ -131,7 +131,7 @@ register_task(Task(
     load_docs=load_docs,
     doc_id_key=None,
     primary_metric="cuva_BLEU",
-    generation_kwargs={"max_new_tokens": 256, "temperature": 0,
+    generation_kwargs={"max_new_tokens": 1024, "temperature": 0,
                        "do_sample": False},
 ))
 

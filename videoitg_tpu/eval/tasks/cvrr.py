@@ -156,7 +156,7 @@ for _dim in DIMENSIONS.values():
         load_docs=_load(_dim),
         doc_id_key=None,
         primary_metric=f"{_name}_accuracy",
-        generation_kwargs={"max_new_tokens": 256, "temperature": 0,
+        generation_kwargs={"max_new_tokens": 1024, "temperature": 0,
                            "do_sample": False},
     ))
 

@@ -68,6 +68,11 @@ Golden Answer(s): {gold_ans}
 Model's Answer: {response}
 Your Judgment:
 """
+# Byte-parity with the reference f-string (utils.py:53-79): it carries
+# trailing spaces editors would silently strip from a literal here.
+FREEFORM_USER_TEMPLATE = FREEFORM_USER_TEMPLATE.replace(
+    "Below are some examples.\n", "Below are some examples. \n").replace(
+    "Your Judgment:\n", "Your Judgment: \n")
 
 MC_SYSTEM = "In this task, I want you to act as an option extractor."
 
@@ -116,6 +121,12 @@ Options:
 Model's Answer: {response}
 Your Judgment:
 """
+# Same trailing-space byte-parity for the extractor (utils.py:300-346).
+MC_USER_TEMPLATE = MC_USER_TEMPLATE.replace(
+    "Below are some examples.\n", "Below are some examples. \n").replace(
+    "for the below case.\n", "for the below case. \n").replace(
+    "Options:\n{options}", "Options: \n{options}").replace(
+    "Your Judgment:\n", "Your Judgment: \n")
 
 _SCORE_RE = re.compile(r"\[\[(\d+\.?\d*)\]\]")
 _SCORE_BACKUP_RE = re.compile(r"\[(\d+\.?\d*)\]")

@@ -55,15 +55,11 @@ def parse_score(review: str) -> int:
         return 0
 
 
-def doc_to_visual(doc, data_root: str = ""):
-    base = (os.path.join(data_root, "Test_Videos") if data_root
-            else "Test_Videos")
-    name = str(doc["video_name"]) + ".mp4"
-    for cand in (name, name.replace("mp4", "MP4"), name.replace("mp4", "mkv")):
-        path = os.path.join(base, cand)
-        if os.path.exists(path):
-            return path
-    raise FileNotFoundError(os.path.join(base, name))
+# Same Test_Videos/<video_name>.{mp4,MP4,mkv} lookup as videochatgpt
+# (one shared implementation; reference vdc/utils.py:165-180 does the same
+# probe via str.replace, which also mangles mid-name "mp4" substrings — the
+# extension-append form is equivalent for real corpus names).
+from videoitg_tpu.eval.tasks.videochatgpt import doc_to_visual  # noqa: E402
 
 
 def doc_to_text(doc, pre_prompt: str = "", post_prompt: str = ""):
@@ -108,6 +104,6 @@ register_task(Task(
     load_docs=load_docs,
     doc_id_key=None,
     primary_metric="video_dc499_score",
-    generation_kwargs={"max_new_tokens": 256, "temperature": 0,
+    generation_kwargs={"max_new_tokens": 1024, "temperature": 0,
                        "do_sample": False},
 ))

@@ -331,7 +331,7 @@ for _name, _subset, _text, _proc, _agg, _metric in (
         load_docs=_load(_subset),
         doc_id_key=None,
         primary_metric=_metric,
-        generation_kwargs={"max_new_tokens": 256, "temperature": 0,
+        generation_kwargs={"max_new_tokens": 1024, "temperature": 0,
                            "do_sample": False},
     ))
 
