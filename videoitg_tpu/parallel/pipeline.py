@@ -26,10 +26,13 @@ Differentiable end to end (ppermute/psum/scan transpose cleanly), so the
 same code path serves scoring and training; jax.checkpoint remat applies
 per layer inside each stage exactly as in the unpipelined scan.
 
-Known limit: inside the island the ambient attention-mesh context is
+Known limits: inside the island the ambient attention-mesh context is
 suppressed (a nested kernel island over auto axes is not attempted), so
 under pp the LM's attention runs through XLA rather than the in-tree
-Pallas kernels — revisit if/when pp runs on real multi-slice hardware.
+Pallas kernels, and ring attention (sp) does not apply to the pipelined
+LM — an sp axis on a pp mesh is harmless but idle for the decoder
+(the vision tower outside the island still uses both). Revisit both
+if/when pp runs on real multi-slice hardware.
 """
 
 from __future__ import annotations
