@@ -41,6 +41,21 @@ DEFAULT_BLOCK_K = 1024
 _NEG_BIG = -1e30
 
 
+
+def kernel_out_vma(*arrays):
+    """Union of the operands' varying-manual-axes (vma) sets.
+
+    Inside a partial-manual shard_map (parallel/pipeline.py's pp island)
+    pallas_call must declare how its outputs vary across the manual mesh
+    axes (check_vma=True); outside any island this is the empty set and
+    has no effect. Passing it unconditionally keeps every kernel usable
+    both standalone and inside manual regions.
+    """
+    out = frozenset()
+    for a in arrays:
+        out = out | getattr(jax.typeof(a), "vma", frozenset())
+    return out
+
 def _flash_kernel(
     q_ref, k_ref, v_ref, kbias_ref, qvalid_ref, o_ref, acc_ref, m_ref, l_ref,
     *, sm_scale: float, causal: bool, block_q: int, block_k: int,
@@ -155,6 +170,14 @@ def flash_mha(
     import os
 
     probe = os.environ.get("VIDEOITG_LM_SOFTMAX") == "probe0"
+    if kernel_out_vma(q, k, v):
+        # Inside a partial-manual shard_map region (parallel/pipeline.py)
+        # the jit wrapper lowers as closed_call, which this JAX version
+        # cannot lower with varying-manual-axes operands — call the
+        # implementation inline (we are inside a jit anyway there).
+        return _flash_mha_jit.__wrapped__(
+            q, k, v, valid, causal=causal, block_q=block_q,
+            block_k=block_k, interpret=interpret, probe=probe)
     return _flash_mha_jit(q, k, v, valid, causal=causal, block_q=block_q,
                           block_k=block_k, interpret=interpret, probe=probe)
 
@@ -244,7 +267,8 @@ def _flash_mha_jit(
             (1, 1, block_q, d_pad), lambda b_, h, iq, ik: (b_, h, iq, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, hq, s_pad, d_pad), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, hq, s_pad, d_pad), q.dtype,
+                                       vma=kernel_out_vma(q, k, v)),
         scratch_shapes=[
             pltpu.VMEM((block_q, d_pad), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),

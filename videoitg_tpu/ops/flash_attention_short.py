@@ -51,6 +51,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from videoitg_tpu.ops.flash_attention import kernel_out_vma
+
 
 def _fast_exp2(x: jax.Array) -> jax.Array:
     """2^x for x <= 0 via exponent-bit assembly + degree-6 Taylor on the
@@ -218,6 +220,7 @@ def _flash_mha_short_jit(
         grid=(b // frames, h // group),
         in_specs=[spec, k_spec, spec],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, s, d), q.dtype,
+                                       vma=kernel_out_vma(q, k, v)),
         interpret=interpret,
     )(q, k, v)

@@ -32,6 +32,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from videoitg_tpu.ops.flash_attention import kernel_out_vma
+
 _NEG_BIG = -1e30
 DEFAULT_BLOCK = 512
 
@@ -260,8 +262,10 @@ def _fwd(q, k, v, kbias, qvalid, causal, block_q, block_k, interpret):
             pl.BlockSpec((1, 1, block_q, 8), lambda b_, h, iq, ik: (b_, h, iq, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, hq, s_pad, d_pad), q.dtype),
-            jax.ShapeDtypeStruct((b, hq, s_pad, 8), jnp.float32),
+            jax.ShapeDtypeStruct((b, hq, s_pad, d_pad), q.dtype,
+                                 vma=kernel_out_vma(q, k, v)),
+            jax.ShapeDtypeStruct((b, hq, s_pad, 8), jnp.float32,
+                                 vma=kernel_out_vma(q, k, v)),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, d_pad), jnp.float32),
@@ -330,7 +334,8 @@ def _bwd(q, k, v, kbias, qvalid, o, lse, do, causal, block_q, block_k, interpret
         ],
         out_specs=pl.BlockSpec((1, 1, block_q, d_pad),
                                lambda b_, h, iq, ik: (b_, h, iq, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, hq, s_pad, d_pad), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, hq, s_pad, d_pad), q.dtype,
+                                       vma=kernel_out_vma(q, k, v, do)),
         scratch_shapes=[pltpu.VMEM((block_q, d_pad), jnp.float32)],
         interpret=interpret,
     )(qp, kp_t, kp, vp_t, kbias_p, dop, lse_c, delta_c)
@@ -365,8 +370,10 @@ def _bwd(q, k, v, kbias, qvalid, o, lse, do, causal, block_q, block_k, interpret
             pl.BlockSpec((1, 1, block_k, d_pad), lambda b_, h, ik, t: (b_, h, ik, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, hkv, s_pad, d_pad), k.dtype),
-            jax.ShapeDtypeStruct((b, hkv, s_pad, d_pad), v.dtype),
+            jax.ShapeDtypeStruct((b, hkv, s_pad, d_pad), k.dtype,
+                                 vma=kernel_out_vma(q, k, v, do)),
+            jax.ShapeDtypeStruct((b, hkv, s_pad, d_pad), v.dtype,
+                                 vma=kernel_out_vma(q, k, v, do)),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_k, d_pad), jnp.float32),

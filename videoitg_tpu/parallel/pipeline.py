@@ -26,13 +26,23 @@ Differentiable end to end (ppermute/psum/scan transpose cleanly), so the
 same code path serves scoring and training; jax.checkpoint remat applies
 per layer inside each stage exactly as in the unpipelined scan.
 
-Known limits: inside the island the ambient attention-mesh context is
-suppressed (a nested kernel island over auto axes is not attempted), so
-under pp the LM's attention runs through XLA rather than the in-tree
-Pallas kernels, and ring attention (sp) does not apply to the pipelined
-LM — an sp axis on a pp mesh is harmless but idle for the decoder
-(the vision tower outside the island still uses both). Revisit both
-if/when pp runs on real multi-slice hardware.
+Known limits (probed, round-3 session-3): the LM's attention inside the
+island defaults to XLA, not the in-tree Pallas kernels. The full ledger:
+(a) a nested dp/tp kernel island cannot open inside a partial-manual
+region on this JAX version (concrete mesh rejected; the ambient abstract
+mesh mis-lifts the inner in_specs by the outer manual axis); (b) direct
+kernel calls need vma-declared out ShapeDtypeStructs (added to all flash
+kernels, ops/flash_attention*.py) AND an unjitted call path (jit lowers
+as closed_call, which fails to lower with varying operands); (c) with
+both in place the Mosaic path is plausible but unvalidated (no multi-chip
+hardware), while interpret mode still trips vma strictness inside the
+Pallas HLO interpreter — so kernels stay opt-in via VIDEOITG_PP_FLASH=1,
+to be validated when pp reaches real multi-slice silicon. At the
+512-frame bucket that flag is REQUIRED (unfused attention materializes
+an ~18 GB score tensor); short training buckets are fine on XLA.
+Ring attention (sp) does not apply to the pipelined LM (an sp axis on a
+pp mesh is harmless but idle for the decoder; the vision tower outside
+the island still uses both).
 """
 
 from __future__ import annotations
@@ -88,6 +98,17 @@ def pipeline_hidden_states(
     if b % m:
         raise ValueError(f"batch ({b}) % microbatches ({m}) != 0")
 
+    import os
+
+    if use_flash and os.environ.get("VIDEOITG_PP_FLASH") != "1":
+        # Default to XLA attention inside the island: the in-tree kernels
+        # carry vma declarations and a jit-bypass for manual regions, but
+        # interpret mode (CPU) still trips a vma-strictness issue inside
+        # the Pallas HLO interpreter, and the Mosaic path has no multi-chip
+        # hardware to validate on this round. VIDEOITG_PP_FLASH=1 opts the
+        # kernels back in (required for the 512-frame bucket, where
+        # unfused attention materializes an ~18 GB score tensor).
+        use_flash = False
     if valid is None:
         valid = jnp.ones((b, s), dtype=bool)
     layers = slice_layer_params(params["layers"], n_layers)
