@@ -24,6 +24,14 @@ import sys
 import time
 
 BASELINE_FRAMES_PER_SEC = 2000.0
+# FLOP-level reconciliation (BASELINE.md "North-star accounting",
+# docs/PERF.md:334-340): one 512-frame video costs ~530 TFLOP, so a literal
+# 2,000 f/s *per chip* needs ~2.1 PFLOP/s — >5x a v5e chip's int8 peak (394
+# TOP/s) and >10x its bf16 peak. The physically defensible reading of the
+# north star is AGGREGATE on v5e-8: >= 250 f/s/chip so that 8 chips clear
+# 2k. vs_baseline keeps the literal denominator for cross-round continuity;
+# vs_chip_bound reports against the per-chip silicon-consistent target.
+CHIP_BOUND_FRAMES_PER_SEC = 250.0
 
 
 def _build_params(model: str, dtype, act_int8: bool):
@@ -129,6 +137,7 @@ def run_bench(model: str, num_frames: int, iters: int, text_len: int,
         "value": round(fps, 1),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FRAMES_PER_SEC, 3),
+        "vs_chip_bound": round(fps / CHIP_BOUND_FRAMES_PER_SEC, 3),
         "model": model,
         "batch": batch,
         "num_frames": num_frames,
@@ -404,6 +413,8 @@ def main() -> int:
             if result.get("reuse_fps_q12"):
                 result["vs_baseline_q12"] = round(
                     result["reuse_fps_q12"] / BASELINE_FRAMES_PER_SEC, 3)
+                result["vs_chip_bound_q12"] = round(
+                    result["reuse_fps_q12"] / CHIP_BOUND_FRAMES_PER_SEC, 3)
         except Exception as e:
             result["reuse_bench_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(result))

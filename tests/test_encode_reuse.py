@@ -81,6 +81,67 @@ def test_encode_accepts_preprocessed(eng):
                                np.asarray(enc_raw.feats), rtol=1e-6)
 
 
+@pytest.mark.parametrize("mesh_kw", [
+    dict(dp=2, tp=2),                 # the deployment that used to fall back
+    dict(dp=4, tp=2),                 # Q=3 < dp: padding inside one group
+    dict(pp=2, dp=2, tp=2),           # reuse through the microbatch pipeline
+])
+def test_score_encoded_on_mesh_matches_single_device(eng, mesh_kw):
+    """Cross-question reuse must survive scale-out: one encode on a dp/tp/pp
+    mesh, Q=3 questions scored off it, matching the single-device reuse path
+    (VERDICT r3 item 1 — the old code re-encoded per question under dp>1)."""
+    from videoitg_tpu.parallel.mesh import make_mesh
+
+    n = 1
+    for v in mesh_kw.values():
+        n *= v
+    mesh = make_mesh(devices=jax.devices()[:n], **mesh_kw)
+
+    cfg = GroundingConfig.tiny()
+    params = init_grounding(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    engm = SelectionEngine(params, cfg, ToyTokenizer(), mesh=mesh,
+                           dtype=jnp.float32, use_flash=False,
+                           buckets=(4, 8), num_frames=8)
+
+    rng = np.random.default_rng(5)
+    frames = _frames(rng, 6)
+    prompts = ["what happens?", "who is there?", "when does it end?"]
+
+    want = eng.score_encoded(eng.encode_video(frames), prompts)
+    enc = engm.encode_video(frames)
+    got = engm.score_encoded(enc, prompts)
+    assert len(got) == 3
+    for w, g in zip(want, got):
+        assert g.shape == (6,)
+        np.testing.assert_allclose(g, w, atol=2e-5, rtol=1e-5)
+
+    # select_many rides the same path (no re-encoding fallback anymore).
+    many = engm.select_many(frames, list(range(6)), prompts)
+    for r, w in zip(many, want):
+        np.testing.assert_allclose(r.raw_scores, w, atol=2e-5, rtol=1e-5)
+
+
+def test_tower_dp_shards_frames(eng):
+    """Under dp the encode itself spreads frames over the dp axis instead of
+    replicating tower work per dp group."""
+    from jax.sharding import PartitionSpec as P
+    from videoitg_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(dp=2, tp=2, devices=jax.devices()[:4])
+    cfg = GroundingConfig.tiny()
+    params = init_grounding(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    engm = SelectionEngine(params, cfg, ToyTokenizer(), mesh=mesh,
+                           dtype=jnp.float32, use_flash=False,
+                           buckets=(4, 8), num_frames=8)
+    rng = np.random.default_rng(6)
+    frames = _frames(rng, 8)
+    enc = engm.encode_video(frames)
+    assert enc.feats.sharding.spec == P("dp")
+    np.testing.assert_allclose(np.asarray(enc.feats),
+                               np.asarray(eng.encode_video(frames).feats),
+                               atol=2e-5, rtol=1e-5)
+
+
 def test_adapter_groups_docs_by_video(tmp_path):
     """Two docs sharing a video take the select_many path; results match
     the per-doc contract (one row per doc, correct contexts)."""

@@ -199,3 +199,32 @@ def test_quantize_siglip_int8_runs():
     assert got.shape == want.shape and np.all(np.isfinite(got))
     corr = np.corrcoef(got.ravel(), want.ravel())[0, 1]
     assert corr > 0.5, corr  # random weights: softmax chaos bounds what is testable
+
+
+def test_act8_gemm_pallas_matches_xla_path():
+    """The fused quantize-into-GEMM kernel (ops/quant_gemm, the headroom-#2
+    probe) must reproduce the XLA act8 linear bit-for-bit up to fp32 scale
+    multiply order. Interpret mode on CPU; silicon timing in
+    scripts/bench_quant_gemm.py (ledger: docs/PERF.md)."""
+    from videoitg_tpu.ops.quant import quantized_linear
+    from videoitg_tpu.ops.quant_gemm import act8_linear, shapes_supported
+
+    rng = np.random.default_rng(0)
+    k, n, m = 512, 512, 70  # one k/n block, m pads 70 -> 256
+    lin = quantize_linear_int8(
+        {"w": jnp.asarray(rng.standard_normal((k, n)), jnp.float32) * k**-0.5,
+         "b": jnp.asarray(rng.standard_normal(n), jnp.float32)})
+    lin["act_q"] = None
+    assert shapes_supported(lin, None)
+
+    x = jnp.asarray(rng.standard_normal((2, m // 2, k)), jnp.float32)
+    want = np.asarray(quantized_linear(lin, x))
+    got = np.asarray(act8_linear(lin, x, interpret=True))
+    assert got.shape == want.shape == (2, m // 2, n)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    # zero rows: scale-1 path, no NaNs
+    x0 = x.at[0, 0].set(0.0)
+    got0 = np.asarray(act8_linear(lin, x0, interpret=True))
+    want0 = np.asarray(quantized_linear(lin, x0))
+    np.testing.assert_allclose(got0, want0, rtol=1e-6, atol=1e-6)

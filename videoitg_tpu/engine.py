@@ -212,12 +212,19 @@ class SelectionEngine:
             self._score_fns[key] = jax.jit(fn)
         return self._score_fns[key]
 
+    def _dp_size(self) -> int:
+        if self.mesh is None:
+            return 1
+        return self.mesh.shape.get("dp", 1)
+
     def _tower_fn(self, t_bucket: int):
         """Jitted vision tower: [t_bucket, S, S, 3] -> [t_bucket, P, C].
 
         Mirrors the tower stage of _scoring_fn exactly (same chunked
         lax.map at vision_chunk) so encoded features reproduce the fused
-        program's numerics.
+        program's numerics. Under a dp mesh the FRAME axis is sharded over
+        dp (the tower is per-frame embarrassingly parallel), so one encode
+        uses the whole mesh instead of replicating tower work per dp group.
         """
         if t_bucket not in self._tower_fns:
             from videoitg_tpu.models import siglip as siglip_mod
@@ -226,37 +233,86 @@ class SelectionEngine:
             chunk = self.vision_chunk if t_bucket > self.vision_chunk else 0
             if chunk and t_bucket % chunk != 0:
                 chunk = 0
+            dp = self._dp_size()
+            # Frame-axis sharding needs every lax.map step's chunk (or the
+            # whole bucket, unchunked) to split evenly over dp.
+            shard_frames = dp > 1 and (chunk % dp == 0 if chunk
+                                       else t_bucket % dp == 0)
+            frame_sharding = (
+                mesh_lib.NamedSharding(self.mesh, mesh_lib.P(mesh_lib.DP_AXIS))
+                if shard_frames else None)
 
             def fn(params, pix):
                 if chunk:
                     chunked = pix.reshape((t_bucket // chunk, chunk)
                                           + pix.shape[1:])
+                    if frame_sharding is not None:
+                        # dp splits each scan step's chunk, not the (serial)
+                        # scan axis.
+                        chunked = jax.lax.with_sharding_constraint(
+                            chunked,
+                            mesh_lib.NamedSharding(
+                                self.mesh, mesh_lib.P(None, mesh_lib.DP_AXIS)))
                     feats = jax.lax.map(
                         lambda fr: siglip_mod.siglip_features(
                             params["vision"], fr, cfg.vision,
                             use_flash=use_flash),
                         chunked,
                     )
-                    return feats.reshape((t_bucket,) + feats.shape[2:])
-                return siglip_mod.siglip_features(
-                    params["vision"], pix, cfg.vision, use_flash=use_flash)
+                    feats = feats.reshape((t_bucket,) + feats.shape[2:])
+                else:
+                    feats = siglip_mod.siglip_features(
+                        params["vision"], pix, cfg.vision, use_flash=use_flash)
+                if frame_sharding is not None:
+                    feats = jax.lax.with_sharding_constraint(
+                        feats, frame_sharding)
+                return feats
 
-            self._tower_fns[t_bucket] = jax.jit(fn)
+            self._tower_fns[t_bucket] = (jax.jit(fn), frame_sharding)
         return self._tower_fns[t_bucket]
 
-    def _feature_scoring_fn(self, t_bucket: int, hw: int):
-        """Jitted projector+LM+head over precomputed tower features (b=1)."""
-        key = (t_bucket, hw)
+    def _feature_scoring_fn(self, t_bucket: int, hw: int, b: int = 1):
+        """Jitted projector+LM+head over precomputed tower features.
+
+        Scores b instructions against ONE video's features [T, P, C]: the
+        projector runs once per video (dp-sharded along frames when the
+        features arrive frame-sharded), the projected tokens broadcast over
+        the question batch, and the LM runs with the QUESTION batch sharded
+        along dp — so cross-question tower amortization composes with
+        dp/tp/pp meshes instead of degrading to full re-encoding
+        (the reference re-runs everything per prompt, infer.py:53-79).
+        """
+        key = (t_bucket, hw, b)
         if key not in self._feat_fns:
+            from videoitg_tpu.models.grounding import (
+                grounding_logits_from_tokens,
+            )
+            from videoitg_tpu.models.projector import (
+                apply_projector,
+                frame_token_count,
+            )
+
             cfg, use_flash = self.cfg, self.use_flash
+            batch_sh = (mesh_lib.batch_sharding(self.mesh)
+                        if self._dp_size() > 1 else None)
 
             def fn(params, feats, frame_valid, text_ids, text_valid):
-                batch = GroundingBatch(
-                    frames=feats[None], frame_valid=frame_valid,
-                    text_ids=text_ids, text_valid=text_valid,
-                )
-                logits = grounding_logits(params, batch, cfg, hw=hw,
-                                          use_flash=use_flash)
+                img = apply_projector(params["projector"], feats,
+                                      cfg.projector, hw=hw)  # [T, n_pf, D]
+                n_pf = frame_token_count(cfg.projector, hw,
+                                         cfg.vision.num_patches)
+                d = img.shape[-1]
+                img_tokens = jnp.broadcast_to(
+                    img.reshape(1, t_bucket * n_pf, d),
+                    (b, t_bucket * n_pf, d))
+                fv = jnp.broadcast_to(frame_valid, (b, t_bucket))
+                if batch_sh is not None:
+                    img_tokens = jax.lax.with_sharding_constraint(
+                        img_tokens, batch_sh)
+                    fv = jax.lax.with_sharding_constraint(fv, batch_sh)
+                logits = grounding_logits_from_tokens(
+                    params, img_tokens, fv, text_ids, text_valid, cfg,
+                    n_pf=n_pf, use_flash=use_flash)
                 return jax.nn.sigmoid(logits.astype(jnp.float32))
 
             self._feat_fns[key] = jax.jit(fn)
@@ -348,9 +404,12 @@ class SelectionEngine:
             t_bucket = frame_bucket(t_real, self.buckets)
         with self.timer.stage("preprocess"):
             pix = self._preprocess(frames, t_bucket)
-        fn = self._tower_fn(t_bucket)
+        fn, frame_sharding = self._tower_fn(t_bucket)
         with self.timer.stage("tower"):
             if self.mesh is not None:
+                pix = jax.device_put(
+                    pix, frame_sharding if frame_sharding is not None
+                    else mesh_lib.replicated(self.mesh))
                 with self._mesh_ctx():
                     feats = fn(self.params, pix)
             else:
@@ -362,29 +421,41 @@ class SelectionEngine:
     ) -> List[np.ndarray]:
         """Score N instructions against one encoded video (tower skipped).
 
-        All N LM programs are dispatched before the first readback, so
-        host-side tokenization overlaps device compute.
+        Single device: one b=1 program per question, all dispatched before
+        the first readback (host tokenization overlaps device compute).
+        dp mesh: questions run dp-at-a-time through a question-batched
+        program (feats stay put; text shards along dp), padding the last
+        group by repeating its final question.
         """
         t_bucket = enc.t_bucket
         hw = inference_hw(self.cfg.projector, enc.t_real,
                           self.cfg.vision.num_patches_per_side)
-        fn = self._feature_scoring_fn(t_bucket, hw)
+        dp = self._dp_size()
+        fn = self._feature_scoring_fn(t_bucket, hw, b=dp)
         frame_valid = np.zeros((1, t_bucket), dtype=bool)
         frame_valid[0, : enc.t_real] = True
         fv = jnp.asarray(frame_valid)
+        if self.mesh is not None:
+            fv = jax.device_put(fv, mesh_lib.replicated(self.mesh))
+        n = len(instructions)
         ids, valid = self._tokenize(instructions)
+        if n % dp:
+            pad = dp - n % dp
+            ids = np.concatenate([ids, np.repeat(ids[-1:], pad, 0)])
+            valid = np.concatenate([valid, np.repeat(valid[-1:], pad, 0)])
         outs = []
         with self.timer.stage("score"):
-            for i in range(len(instructions)):
-                args = (self.params, enc.feats, fv,
-                        jnp.asarray(ids[i : i + 1]),
-                        jnp.asarray(valid[i : i + 1]))
+            for i in range(0, len(ids), dp):
+                tid, tva = jnp.asarray(ids[i : i + dp]), jnp.asarray(valid[i : i + dp])
                 if self.mesh is not None:
+                    bs = mesh_lib.batch_sharding(self.mesh)
+                    tid, tva = jax.device_put(tid, bs), jax.device_put(tva, bs)
                     with self._mesh_ctx():
-                        outs.append(fn(*args))
+                        outs.append(fn(self.params, enc.feats, fv, tid, tva))
                 else:
-                    outs.append(fn(*args))
-            probs = [np.asarray(p)[0, : enc.t_real] for p in outs]
+                    outs.append(fn(self.params, enc.feats, fv, tid, tva))
+            flat = np.concatenate([np.asarray(p) for p in outs], axis=0)
+            probs = [flat[i, : enc.t_real] for i in range(n)]
         return probs
 
     def select_many(
@@ -403,14 +474,8 @@ class SelectionEngine:
         """
         if doc_ids is None:
             doc_ids = [None] * len(instructions)
-        if self.mesh is not None and self.mesh.shape.get("dp", 1) > 1:
-            # dp shards the batch axis; the feature path is b=1 by design.
-            # Score questions through the batched program instead.
-            scores = self.score_frames([frames] * len(instructions),
-                                       list(instructions))
-        else:
-            enc = self.encode_video(frames)
-            scores = self.score_encoded(enc, instructions)
+        enc = self.encode_video(frames)
+        scores = self.score_encoded(enc, instructions)
         out = []
         for instr, doc_id, sc in zip(instructions, doc_ids, scores):
             index, logits = self.rank_frames(sc, sampled_frames)

@@ -132,12 +132,42 @@ def grounding_logits(
                                  hw=hw)  # [B*T, n_pf, D]
     img_tokens = img_tokens.reshape(b, n_img, -1)
 
-    txt_tokens = qwen2_mod.embed_tokens(params["lm"], jnp.maximum(batch.text_ids, 0))
+    return grounding_logits_from_tokens(
+        params, img_tokens, batch.frame_valid, batch.text_ids,
+        batch.text_valid, cfg, n_pf=n_pf, use_flash=use_flash, remat=remat,
+    )
+
+
+def grounding_logits_from_tokens(
+    params: dict,
+    img_tokens: jax.Array,
+    frame_valid: jax.Array,
+    text_ids: jax.Array,
+    text_valid: jax.Array,
+    cfg: GroundingConfig,
+    n_pf: int,
+    use_flash: bool = False,
+    remat: bool = False,
+) -> jax.Array:
+    """LM + head over already-projected image tokens [B, T*n_pf, D].
+
+    The tail of grounding_logits after the projector. Exposed so the
+    engine's cross-question reuse path (engine.score_encoded) can apply the
+    projector ONCE per video and broadcast the projected tokens over a
+    question batch — sharded along dp — without re-running tower/projector
+    per question (the reference re-runs the full model per (prompt, video),
+    infer.py:53-79).
+    """
+    b, t = frame_valid.shape
+    l_txt = text_ids.shape[1]
+    n_img = t * n_pf
+
+    txt_tokens = qwen2_mod.embed_tokens(params["lm"], jnp.maximum(text_ids, 0))
 
     x = jnp.concatenate([img_tokens, txt_tokens.astype(img_tokens.dtype)], axis=1)
 
-    img_valid = jnp.repeat(batch.frame_valid, n_pf, axis=1)  # [B, n_img]
-    valid = jnp.concatenate([img_valid, batch.text_valid], axis=1)  # [B, S]
+    img_valid = jnp.repeat(frame_valid, n_pf, axis=1)  # [B, n_img]
+    valid = jnp.concatenate([img_valid, text_valid], axis=1)  # [B, S]
 
     # Packed positions: valid image tokens form a prefix, so image slot i has
     # position i; text token j follows the last valid image token.
@@ -158,7 +188,7 @@ def grounding_logits(
         frame_hidden @ params["out_proj"]["w"].astype(jnp.float32)
         + params["out_proj"]["b"].astype(jnp.float32)
     )[..., 0]
-    return jnp.where(batch.frame_valid, logits, -jnp.inf)
+    return jnp.where(frame_valid, logits, -jnp.inf)
 
 
 def grounding_loss(

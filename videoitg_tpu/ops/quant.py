@@ -86,7 +86,18 @@ def quantized_linear(lin: dict, x: jax.Array) -> jax.Array:
     so the faithful serving tier leaves it off. (The marker's value is None
     so the flag lives in the pytree STRUCTURE — static under jit — rather
     than as a traced leaf.)
+
+    VIDEOITG_QGEMM=1 routes act_q linears through the Pallas fused
+    quantize-into-GEMM kernel (ops/quant_gemm.py) — a measured probe, off
+    by default (ledger in docs/PERF.md).
     """
+    import os
+
+    if "act_q" in lin and os.environ.get("VIDEOITG_QGEMM") == "1":
+        from videoitg_tpu.ops.quant_gemm import act8_linear, shapes_supported
+
+        if shapes_supported(lin, x):
+            return act8_linear(lin, x)
     return _int_weight_matmul(lin["w_q"], lin["scale"], x, lin.get("b"),
                               act_q="act_q" in lin)
 
