@@ -95,8 +95,47 @@ def main() -> int:
                      atol=float(np.max(np.abs(np.asarray(b, np.float32))))
                      * 5e-3 + 1e-2)
 
+    ok &= check_pp_flash_island(rng)
+
     print("ALL OK" if ok else "FAILURES above")
     return 0 if ok else 1
+
+
+def check_pp_flash_island(rng) -> bool:
+    """VIDEOITG_PP_FLASH validation as far as one chip allows (VERDICT r3
+    item 3a): a pp=1-DEGENERATE partial-manual shard_map island (the exact
+    parallel/pipeline.py code path — manual pp axis, vma tracking ON,
+    ppermute/psum schedule) running the REAL Mosaic-compiled flash kernels
+    inside, at the 8B LM widths. This exercises the two mechanisms the flag
+    depends on — vma-declared kernel outs (ops/flash_attention.kernel_out_vma)
+    and the unjitted kernel call inside a manual region — on silicon, which
+    is most of the flag's risk; only the cross-stage hop itself needs real
+    multi-chip hardware. Oracle: the identical kernels OUTSIDE the island.
+    """
+    from jax.sharding import Mesh
+
+    from videoitg_tpu.config import GroundingConfig
+    from videoitg_tpu.models.qwen2 import init_qwen2, qwen2_hidden_states
+    from videoitg_tpu.parallel.pipeline import pipeline_hidden_states
+
+    os.environ["VIDEOITG_PP_FLASH"] = "1"
+    cfg = GroundingConfig.videoitg_8b_shallow().lm
+    params = init_qwen2(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16,
+                        with_lm_head=False)
+    b, s = 1, 2048
+    x = jnp.asarray(rng.standard_normal((b, s, cfg.hidden_size)) * 0.05,
+                    jnp.bfloat16)
+    pos = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (b, s))
+    valid = jnp.asarray(rng.random((b, s)) > 0.1)
+    mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1), ("pp", "dp"))
+
+    want = jax.jit(lambda p, xx, po, va: qwen2_hidden_states(
+        p, xx, po, va, cfg, use_flash=True))(params, x, pos, valid)
+    got = jax.jit(lambda p, xx, po, va: pipeline_hidden_states(
+        p, xx, po, va, cfg, use_flash=True, mesh=mesh))(params, x, pos, valid)
+    # Same kernels, same accumulation order — only island mechanics differ.
+    return _check("pp-island Mosaic flash (VIDEOITG_PP_FLASH=1, pp=1)",
+                  got, want, atol=2e-2)
 
 
 if __name__ == "__main__":

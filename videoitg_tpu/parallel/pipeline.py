@@ -33,13 +33,21 @@ region on this JAX version (concrete mesh rejected; the ambient abstract
 mesh mis-lifts the inner in_specs by the outer manual axis); (b) direct
 kernel calls need vma-declared out ShapeDtypeStructs (added to all flash
 kernels, ops/flash_attention*.py) AND an unjitted call path (jit lowers
-as closed_call, which fails to lower with varying operands); (c) with
-both in place the Mosaic path is plausible but unvalidated (no multi-chip
-hardware), while interpret mode still trips vma strictness inside the
-Pallas HLO interpreter — so kernels stay opt-in via VIDEOITG_PP_FLASH=1,
-to be validated when pp reaches real multi-slice silicon. At the
-512-frame bucket that flag is REQUIRED (unfused attention materializes
-an ~18 GB score tensor); short training buckets are fine on XLA.
+as closed_call, which fails to lower with varying operands); (c) ROUND 4:
+the Mosaic path is now validated on silicon by a pp=1-DEGENERATE island
+(scripts/tpu_smoke.py check_pp_flash_island — the exact partial-manual
+shard_map below with the real compiled kernels inside; only the
+cross-stage ppermute hop itself still needs multi-chip hardware), and the
+interpret-mode failure is pinned to a minimal committed repro
+(scripts/repro_pallas_interpret_vma.py): the Pallas HLO interpreter is
+vma-unaware end to end — literals in the kernel body are vma-invariant,
+and even literal-free kernels fail because the interpreter's internal
+grid while_loop seeds output buffers invariant (jax 0.9.0, 2/2
+reproduce) — a jax-side issue no call-site annotation can fix, so CPU
+tests cannot execute the flag. Kernels stay opt-in via
+VIDEOITG_PP_FLASH=1. At the 512-frame bucket that flag is REQUIRED
+(unfused attention materializes an ~18 GB score tensor); short training
+buckets are fine on XLA.
 Ring attention (sp) does not apply to the pipelined LM (an sp axis on a
 pp mesh is harmless but idle for the decoder; the vision tower outside
 the island still uses both).
