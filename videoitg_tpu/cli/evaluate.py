@@ -77,7 +77,25 @@ def build_parser() -> argparse.ArgumentParser:
                         "(offline default), http:<model>, hf:<path>, "
                         "static:<text> (eval/judge.py)")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--allow_download", action="store_true",
+                   help="authorize media acquisition for tasks with a hub "
+                        "MediaSpec: snapshot-download the dataset repo and "
+                        "extract its video zips/tars into $HF_HOME/"
+                        "<cache_dir> (reference api/task.py:876-1010 does "
+                        "this implicitly at task init; here it is opt-in)")
+    p.add_argument("--force_unzip", action="store_true",
+                   help="re-extract archives even if the media cache is "
+                        "already populated (reference force_unzip)")
     return p
+
+
+def _set_data_root(adapter, root: str) -> None:
+    """Point the (possibly cache-wrapped) adapter at a per-task media root."""
+    inner = adapter
+    while not hasattr(inner, "data_root") and hasattr(inner, "inner"):
+        inner = inner.inner
+    if hasattr(inner, "data_root"):
+        inner.data_root = root
 
 
 def main(argv=None) -> int:
@@ -138,6 +156,15 @@ def main(argv=None) -> int:
     task_names = expand_task_names([t.strip() for t in args.tasks.split(",")])
     for task_name in task_names:
         task = get_task(task_name)
+        # Per-task media acquisition (opt-in via --allow_download; an
+        # explicit --data_root always wins; see eval/acquire.py).
+        data_root = args.data_root
+        if task.media is not None and not task.media.from_youtube:
+            from videoitg_tpu.eval.acquire import resolve_task_media
+
+            data_root = resolve_task_media(
+                task, args.data_root, allow_download=args.allow_download,
+                force_unzip=args.force_unzip)
         if args.docs_json:
             with open(args.docs_json) as f:
                 docs = json.load(f)
@@ -152,7 +179,7 @@ def main(argv=None) -> int:
 
                 os.makedirs(args.cache_requests, exist_ok=True)
                 key = hashlib.sha1(
-                    f"{task.name}|{args.split}|{args.data_root}".encode()
+                    f"{task.name}|{args.split}|{data_root}".encode()
                 ).hexdigest()[:16]
                 cache_file = os.path.join(args.cache_requests,
                                           f"docs.{task.name}.{key}.json")
@@ -161,11 +188,23 @@ def main(argv=None) -> int:
                     docs = json.load(f)
                 print(f"[eval] loaded {len(docs)} docs from request cache")
             else:
-                docs = (task.load_docs(args.data_root, args.split)
-                        if args.split else task.load_docs(args.data_root))
+                docs = (task.load_docs(data_root, args.split)
+                        if args.split else task.load_docs(data_root))
                 if cache_file:
                     with open(cache_file, "w") as f:
                         json.dump(docs, f, default=str)
+
+        if (task.media is not None and task.media.from_youtube
+                and not args.data_root):
+            # YouTube sentinel path: download per-doc videos (if authorized),
+            # then shrink the doc list to ids whose video landed
+            # (reference api/task.py:920-931).
+            from videoitg_tpu.eval.acquire import acquire_youtube
+
+            data_root, docs = acquire_youtube(
+                task.media, docs, allow_download=args.allow_download)
+        if data_root != args.data_root:
+            _set_data_root(adapter, data_root)
 
         out_dir = os.path.join(args.output_path, task.name)
         report = evaluate_task(

@@ -15,6 +15,8 @@ import itertools
 from dataclasses import dataclass, field
 from typing import Any, Callable, Dict, List, Optional, Sequence
 
+from videoitg_tpu.eval.acquire import MediaSpec
+
 TASK_REGISTRY: Dict[str, "Task"] = {}
 ADAPTER_REGISTRY: Dict[str, Callable[..., "ModelAdapter"]] = {}
 # group name -> member task names. A group expands to its members and, when
@@ -60,6 +62,11 @@ class Task:
     # (filter_name, kwargs_or_None) components (reference filter_list /
     # build_filter_ensemble; see eval/filters.py).
     filters: List[tuple] = field(default_factory=list)
+    # Hub location of this task's video blobs (reference dataset_kwargs:
+    # dataset_path + cache_dir [+ From_YouTube], api/task.py:876-1010).
+    # Consumed by eval/acquire.py behind --allow_download; None = the task
+    # only ever reads local --data_root data.
+    media: Optional["MediaSpec"] = None
     # Optional temporal focus hint: doc -> (center, width) in SECONDS, or
     # (center, width, "frame") in frame ids, or None. Frame-consuming
     # adapters restrict uniform sampling to that span (reference

@@ -34,3 +34,67 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
 register_group("videoitg_bench", [
     "longvideobench_val_v", "mlvu", "videomme", "cgbench_subtitles",
 ])
+
+# ---------------------------------------------------------------------------
+# Hub media specs (reference dataset_kwargs: dataset_path + cache_dir per
+# task yaml, consumed by api/task.py:876-1010's download()). Attached
+# centrally so the mapping is auditable in one place; eval/acquire.py turns
+# these into extracted video caches behind --allow_download. The cache_dir
+# values are byte-identical to the reference yamls so an existing lmms-eval
+# $HF_HOME media cache is picked up as-is.
+# ---------------------------------------------------------------------------
+from videoitg_tpu.eval.acquire import MediaSpec  # noqa: E402
+from videoitg_tpu.eval.api import TASK_REGISTRY  # noqa: E402
+
+
+def _attach_media(spec: MediaSpec, *task_names: str) -> None:
+    for _name in task_names:
+        TASK_REGISTRY[_name].media = spec  # KeyError = typo, fail loud
+
+
+_attach_media(MediaSpec("lmms-lab/Video-MME", "videomme"),
+              "videomme", "videomme_w_subtitle")
+_attach_media(MediaSpec("lmms-lab/egoschema", "egoschema"),
+              "egoschema_subset")
+_attach_media(MediaSpec("OpenGVLab/MVBench", "mvbench_video"), "mvbench")
+_attach_media(MediaSpec("lmms-lab/PerceptionTest_Val", "perceptiontest_val"),
+              "perceptiontest_val_mc", "perceptiontest_val_mcppl")
+_attach_media(MediaSpec("lmms-lab/ActivityNetQA", "activitynetqa"),
+              "activitynetqa")
+_attach_media(MediaSpec("fesvhtr/CUVA_LMMs", "cuva"), "cuva_test")
+_attach_media(MediaSpec("lmms-lab/CVRR-ES", "cvrr-es"),
+              *[t for t in TASK_REGISTRY if t.startswith("cvrr_")])
+_attach_media(MediaSpec("fesvhtr/FunQA_LMMs", "funqa"), "funqa_test")
+_attach_media(MediaSpec("Enxin/lmms_MovieChat_test", "moviechat_1k_test"),
+              "moviechat_global", "moviechat_breakpoint")
+_attach_media(MediaSpec("lmms-lab/NExTQA", "nextqa"),
+              "nextqa_mc_test", "nextqa_mc_ll")
+_attach_media(MediaSpec("lmms-lab/TempCompass", "tempcompass"),
+              *[t for t in TASK_REGISTRY if t.startswith("tempcompass_")])
+_attach_media(MediaSpec("microsoft/TemporalBench", "temporalbench"),
+              "temporalbench_short_qa", "temporalbench_long_qa")
+_attach_media(MediaSpec("lmms-lab/VATEX", "vatex_test"), "vatex_test")
+_attach_media(MediaSpec("wchai/lmms_VDC_test", "vdc_test"),
+              *[t for t in TASK_REGISTRY if t.startswith("vdc_")])
+_attach_media(MediaSpec("lmms-lab/VideoDetailDescription", "videochatgpt"),
+              "video_dc499")
+_attach_media(MediaSpec("lmms-lab/VideoChatGPT", "videochatgpt"),
+              *[t for t in TASK_REGISTRY if t.startswith("videochatgpt_")])
+_attach_media(MediaSpec("lmms-lab/worldqa", "multi-hop-reasoning"),
+              "worldqa_mc", "worldqa_mc_ppl")
+_attach_media(MediaSpec("lmms-lab/YouCook2", "YouCookIIVideos"),
+              "youcook2_val")
+_attach_media(MediaSpec("longvideobench/LongVideoBench", "longvideobench"),
+              "longvideobench_val_v", "longvideobench_val_i")
+_attach_media(MediaSpec("sy1998/temp", "mlvu"), "mlvu")
+_attach_media(MediaSpec("sy1998/MLVU_dev", "mlvu"), "mlvu_dev")
+_attach_media(MediaSpec("HanSolo9682/Vinoground", "vinoground"), "vinoground")
+_attach_media(MediaSpec("MMWorld/MMWorld", "mmworld"), "mmworld")
+_attach_media(MediaSpec("tomg-group-umd/cinepile", "cinepile_cache"),
+              "cinepile")
+_attach_media(MediaSpec("CG-Bench/CG-Bench", "cg_videos_720p"),
+              "cgbench_subtitles")
+_attach_media(MediaSpec("MixEval/MixEval-X", "mix_evals_video2text"),
+              *[t for t in TASK_REGISTRY if t.startswith("mix_evals_")])
+_attach_media(MediaSpec("lscpku/VITATECS", "vitatecs"),
+              *[t for t in TASK_REGISTRY if t.startswith("vitatecs_")])
