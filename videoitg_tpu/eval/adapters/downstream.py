@@ -90,6 +90,10 @@ class FrameSelectionConsumer(ModelAdapter):
         num_frame: int = 32,
         data_root: str = "",
         dedupe: bool = False,
+        sampling: str = "uniform",
+        fps: Optional[float] = None,
+        min_frames: Optional[int] = None,
+        max_frames: Optional[int] = None,
         **_ignored,
     ):
         self.indices_map = (
@@ -98,6 +102,16 @@ class FrameSelectionConsumer(ModelAdapter):
         self.num_frame = num_frame
         self.data_root = data_root
         self.dedupe = dedupe
+        if sampling not in ("uniform", "qwen_fps"):
+            raise ValueError(f"unknown sampling mode {sampling!r}")
+        # "qwen_fps": frame count follows the Qwen-VL protocol — clip
+        # duration x target fps, FRAME_FACTOR-rounded and clamped
+        # (eagle/vision_utils.py smart_nframes, used by its fetch_video);
+        # model_args: sampling=qwen_fps,fps=2,min_frames=4,max_frames=768.
+        self.sampling = sampling
+        self.fps = fps
+        self.min_frames = min_frames
+        self.max_frames = max_frames
 
     def frames_for_doc(self, doc_id, video_path: str, window=None):
         """window: optional temporal focus from Task.visual_window —
@@ -117,9 +131,18 @@ class FrameSelectionConsumer(ModelAdapter):
                 ids = np.linspace(lo, hi, min(self.num_frame, hi - lo + 1),
                                   dtype=int).tolist()
             else:
+                n = self.num_frame
+                if self.sampling == "qwen_fps" and doc_id not in self.indices_map:
+                    from videoitg_tpu.data.qwen_sizing import (
+                        FRAME_FACTOR, smart_nframes,
+                    )
+
+                    n = (total if total < FRAME_FACTOR else
+                         smart_nframes(total, vr.fps, fps=self.fps,
+                                       min_frames=self.min_frames,
+                                       max_frames=self.max_frames))
                 ids = select_frame_ids(self.indices_map, doc_id,
-                                       self.num_frame, total,
-                                       dedupe=self.dedupe)
+                                       n, total, dedupe=self.dedupe)
             frames = vr.get_batch(ids)
             # Video metadata for processor-based downstreams (the reference
             # builds the same dict, qwen3_vl.py:234-241).
