@@ -42,6 +42,34 @@ def timeit(fn, *args, iters=5):
     return min(ts) * 1e3
 
 
+def timeit_looped(fn, x, *rest, loop=16, iters=3):
+    """Amortized timing: apply fn `loop` times inside ONE jitted program.
+
+    The tunnel adds ~30 ms of dispatch+readback to every call — at these
+    GEMM sizes that's larger than the op itself, so per-call timings
+    (timeit) can't rank variants. The carry perturbs x by the running
+    output's mean so XLA cannot CSE the iterations into one."""
+
+    @jax.jit
+    def run(x, *rest):
+        def body(_, carry):
+            xi, acc = carry
+            y = fn(xi, *rest)
+            m = jnp.mean(y).astype(x.dtype)
+            return xi + m * 1e-6, acc + m.astype(jnp.float32)
+
+        _, acc = jax.lax.fori_loop(0, loop, body, (x, jnp.float32(0)))
+        return acc
+
+    _ = float(run(x, *rest))
+    ts = []
+    for _ in range(iters):
+        t0 = time.time()
+        _ = float(run(x, *rest))
+        ts.append(time.time() - t0)
+    return min(ts) * 1e3 / loop
+
+
 def xla_act8(x, w_q, scale):
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
     x_scale = jnp.where(amax == 0, 1.0, amax / 127.0)
@@ -66,6 +94,9 @@ def main():
                                                    "512,512,512",
                                                    "256,1024,512"])
     p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--loop", type=int, default=0,
+                   help="N>0: amortize N applications inside one jitted "
+                        "program (tunnel-noise-free per-op timing)")
     p.add_argument("--in-situ", action="store_true",
                    help="also time the full scoring program QGEMM on/off")
     args = p.parse_args()
@@ -83,7 +114,11 @@ def main():
                                     jnp.float32) * k**-0.5})
         w_q, scale = lin["w_q"], lin["scale"]
 
-        t_xla = timeit(jax.jit(xla_act8), x, w_q, scale, iters=args.iters)
+        if args.loop:
+            t_xla = timeit_looped(xla_act8, x, w_q, scale, loop=args.loop,
+                                  iters=args.iters)
+        else:
+            t_xla = timeit(jax.jit(xla_act8), x, w_q, scale, iters=args.iters)
         ref = np.asarray(jax.jit(xla_act8)(x, w_q, scale), np.float32)
         print(f"[{k}x{n}] xla_act8 {t_xla:8.2f} ms")
         for spec in args.blocks:
@@ -94,7 +129,13 @@ def main():
             try:
                 fn = jax.jit(lambda x, w, s, bm=bm, bn=bn, bk=bk:
                              pallas_act8(x, w, s, bm, bn, bk))
-                t_pl = timeit(fn, x, w_q, scale, iters=args.iters)
+                if args.loop:
+                    t_pl = timeit_looped(
+                        lambda x, w, s, bm=bm, bn=bn, bk=bk:
+                        pallas_act8(x, w, s, bm, bn, bk),
+                        x, w_q, scale, loop=args.loop, iters=args.iters)
+                else:
+                    t_pl = timeit(fn, x, w_q, scale, iters=args.iters)
                 got = np.asarray(fn(x, w_q, scale), np.float32)
                 err = float(np.max(np.abs(got - ref)) /
                             (np.max(np.abs(ref)) + 1e-9))
