@@ -128,14 +128,36 @@ def check_pp_flash_island(rng) -> bool:
     pos = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (b, s))
     valid = jnp.asarray(rng.random((b, s)) > 0.1)
     mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1), ("pp", "dp"))
+    rowmask = np.asarray(valid, np.float32)[:, :, None]
 
-    want = jax.jit(lambda p, xx, po, va: qwen2_hidden_states(
-        p, xx, po, va, cfg, use_flash=True))(params, x, pos, valid)
-    got = jax.jit(lambda p, xx, po, va: pipeline_hidden_states(
-        p, xx, po, va, cfg, use_flash=True, mesh=mesh))(params, x, pos, valid)
-    # Same kernels, same accumulation order — only island mechanics differ.
-    return _check("pp-island Mosaic flash (VIDEOITG_PP_FLASH=1, pp=1)",
-                  got, want, atol=2e-2)
+    def run(fn):
+        # Invalid rows are don't-care (masked downstream); compare valid
+        # rows only, in fp32.
+        return np.asarray(jax.jit(fn)(params, x, pos, valid),
+                          np.float32) * rowmask
+
+    # Self-calibrating oracle: the bf16 LM at these widths drifts between
+    # ANY two program orderings (island vs plain, flash vs XLA) by the same
+    # ~1% — measured round 4 (probe: A'=B'=C'=D'=6.25e-2 at scale 5.25 over
+    # 2 layers / 2048 tokens). So a fixed atol can't separate "kernel broke
+    # in the island" from inherent reordering drift; instead require the
+    # flash island-vs-plain drift to stay within 2x the XLA island-vs-plain
+    # drift (the numerics floor measured in the same run).
+    plain_xla = run(lambda p, xx, po, va: qwen2_hidden_states(
+        p, xx, po, va, cfg, use_flash=False))
+    isl_xla = run(lambda p, xx, po, va: pipeline_hidden_states(
+        p, xx, po, va, cfg, use_flash=False, mesh=mesh))
+    plain_fl = run(lambda p, xx, po, va: qwen2_hidden_states(
+        p, xx, po, va, cfg, use_flash=True))
+    isl_fl = run(lambda p, xx, po, va: pipeline_hidden_states(
+        p, xx, po, va, cfg, use_flash=True, mesh=mesh))
+    floor = float(np.max(np.abs(isl_xla - plain_xla)))
+    err = float(np.max(np.abs(isl_fl - plain_fl)))
+    ok = err <= 2.0 * floor + 1e-3
+    print(f"{'OK ' if ok else 'FAIL'} "
+          f"{'pp-island Mosaic flash (VIDEOITG_PP_FLASH=1, pp=1)':<42} "
+          f"max|diff|={err:.3e} (xla-island floor {floor:.3e})")
+    return ok
 
 
 if __name__ == "__main__":

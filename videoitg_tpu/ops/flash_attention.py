@@ -146,6 +146,53 @@ def _pad_to(x: jax.Array, size: int, axis: int, value=0):
     return jnp.pad(x, widths, constant_values=value)
 
 
+def nest_in_manual_region(call, q, k, v, valid=None):
+    """Run `call(q, k, v, valid)` inside a nested shard_map that flips the
+    context mesh's remaining AUTO axes to Manual.
+
+    Why: GSPMD refuses to auto-partition Mosaic custom calls — inside a
+    shard_map that is manual over only SOME mesh axes (the pp island,
+    parallel/pipeline.py), lowering a pallas_call raises
+    NotImplementedError("Mosaic kernels cannot be automatically
+    partitioned"), even when every non-manual axis has size 1. The fix,
+    probed on silicon (jax 0.9.0, v5e): open a nested shard_map over the
+    remaining axes using the context **AbstractMesh**
+    (jax.sharding.get_abstract_mesh()). Round 3's probe passed the
+    concrete Mesh, which this JAX rejects ("context mesh should match the
+    mesh passed to shard_map") — that, not a structural limit, was why the
+    ledger said nesting "cannot open".
+
+    Specs mirror what GSPMD picks for attention outside the island: batch
+    over dp and heads over tp when they divide, everything else (e.g. an
+    sp axis — ring attention doesn't apply inside the pipelined LM)
+    replicated. Per-shard GQA stays valid: hq/tp % hkv/tp == 0 whenever
+    tp divides both.
+    """
+    amesh = jax.sharding.get_abstract_mesh()
+    auto = [n for n, t in zip(amesh.axis_names, amesh.axis_types)
+            if t == jax.sharding.AxisType.Auto]
+    if not auto:
+        return call(q, k, v, valid)
+    from jax.sharding import PartitionSpec as P
+
+    sizes = dict(amesh.shape)
+    b, hq = q.shape[0], q.shape[1]
+    hkv = k.shape[1]
+    b_ax = "dp" if "dp" in auto and b % sizes["dp"] == 0 else None
+    h_ax = ("tp" if "tp" in auto and hq % sizes["tp"] == 0
+            and hkv % sizes["tp"] == 0 else None)
+    qkv_spec = P(b_ax, h_ax)
+    if valid is None:
+        return jax.shard_map(
+            lambda q, k, v: call(q, k, v, None), mesh=amesh,
+            in_specs=(qkv_spec, qkv_spec, qkv_spec), out_specs=qkv_spec,
+            axis_names=set(auto))(q, k, v)
+    return jax.shard_map(
+        call, mesh=amesh,
+        in_specs=(qkv_spec, qkv_spec, qkv_spec, P(b_ax)),
+        out_specs=qkv_spec, axis_names=set(auto))(q, k, v, valid)
+
+
 def flash_mha(
     q: jax.Array,
     k: jax.Array,
@@ -171,13 +218,18 @@ def flash_mha(
 
     probe = os.environ.get("VIDEOITG_LM_SOFTMAX") == "probe0"
     if kernel_out_vma(q, k, v):
-        # Inside a partial-manual shard_map region (parallel/pipeline.py)
-        # the jit wrapper lowers as closed_call, which this JAX version
+        # Inside a partial-manual shard_map region (parallel/pipeline.py):
+        # (a) the jit wrapper lowers as closed_call, which this JAX version
         # cannot lower with varying-manual-axes operands — call the
-        # implementation inline (we are inside a jit anyway there).
-        return _flash_mha_jit.__wrapped__(
-            q, k, v, valid, causal=causal, block_q=block_q,
-            block_k=block_k, interpret=interpret, probe=probe)
+        # implementation inline (we are inside a jit anyway there);
+        # (b) Mosaic custom calls refuse GSPMD auto-partitioning over the
+        # region's remaining auto axes — flip them manual via a nested
+        # island (nest_in_manual_region).
+        return nest_in_manual_region(
+            lambda q, k, v, va: _flash_mha_jit.__wrapped__(
+                q, k, v, va, causal=causal, block_q=block_q,
+                block_k=block_k, interpret=interpret, probe=probe),
+            q, k, v, valid)
     return _flash_mha_jit(q, k, v, valid, causal=causal, block_q=block_q,
                           block_k=block_k, interpret=interpret, probe=probe)
 

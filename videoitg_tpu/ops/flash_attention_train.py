@@ -424,10 +424,22 @@ def flash_mha_train(
     b, _, s, d = q.shape
     if valid is None:
         valid = jnp.ones((b, s), dtype=bool)
-    kbias = jnp.where(valid, 0.0, _NEG_BIG).astype(jnp.float32)[:, None, :]
-    qvalid = valid.astype(jnp.float32)[:, None, :]
-    out = _flash_train_core(q, k, v, kbias, qvalid, causal,
-                            block_q, block_k, interpret)
-    # The core works on padded shapes; slicing here keeps the custom VJP
-    # simple (the slice's transpose zero-pads the incoming cotangent).
-    return out[:, :, :s, :d]
+
+    def run(q, k, v, valid):
+        kbias = jnp.where(valid, 0.0, _NEG_BIG).astype(jnp.float32)[:, None, :]
+        qvalid = valid.astype(jnp.float32)[:, None, :]
+        out = _flash_train_core(q, k, v, kbias, qvalid, causal,
+                                block_q, block_k, interpret)
+        # The core works on padded shapes; slicing here keeps the custom
+        # VJP simple (the slice's transpose zero-pads the cotangent).
+        return out[:, :, :s, :d]
+
+    if kernel_out_vma(q, k, v):
+        # Partial-manual region (pp island): Mosaic calls can't be GSPMD-
+        # auto-partitioned over the remaining axes — open a nested manual
+        # island (differentiable: shard_map transposes cleanly and the
+        # custom VJP runs per shard). See flash_attention.py.
+        from videoitg_tpu.ops.flash_attention import nest_in_manual_region
+
+        return nest_in_manual_region(run, q, k, v, valid)
+    return run(q, k, v, valid)
