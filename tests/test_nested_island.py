@@ -136,3 +136,12 @@ def test_nested_island_differentiable():
     gr = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(q, k, v)
     for a, b in zip(gn, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_kernels_in_island_defaults():
+    from videoitg_tpu.parallel.pipeline import kernels_in_island
+
+    assert kernels_in_island({}, "tpu") is True        # validated round 4
+    assert kernels_in_island({}, "cpu") is False       # interpreter blocked
+    assert kernels_in_island({"VIDEOITG_PP_FLASH": "0"}, "tpu") is False
+    assert kernels_in_island({"VIDEOITG_PP_FLASH": "1"}, "cpu") is True

@@ -1,3 +1,5 @@
 """Model adapter registry — importing registers all adapters."""
 
-from videoitg_tpu.eval.adapters import downstream, native_vlm, videoitg  # noqa: F401
+from videoitg_tpu.eval.adapters import (  # noqa: F401
+    api_chat, downstream, native_vlm, videoitg,
+)

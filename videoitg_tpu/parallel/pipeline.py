@@ -56,10 +56,11 @@ the XLA island drift rather than a fixed atol. (c) interpret mode stays blocked:
 interpreter is vma-unaware end to end (minimal committed repro,
 scripts/repro_pallas_interpret_vma.py — literals AND the interpreter's
 internal grid while_loop both fail; jax 0.9.0), so CPU tests exercise the
-wrapper with an XLA callable instead of the kernel. Kernels stay opt-in
-via VIDEOITG_PP_FLASH=1. At the 512-frame bucket that flag is REQUIRED
-(unfused attention materializes an ~18 GB score tensor); short training
-buckets are fine on XLA.
+wrapper with an XLA callable instead of the kernel. Kernels now default
+ON for TPU backends (OFF elsewhere); VIDEOITG_PP_FLASH=1/0 overrides. At
+the 512-frame bucket the kernels are REQUIRED (unfused attention
+materializes an ~18 GB score tensor); short training buckets are fine on
+XLA.
 Ring attention (sp) does not apply to the pipelined LM (an sp axis on a
 pp mesh is harmless but idle for the decoder; the vision tower outside
 the island still uses both).
@@ -77,6 +78,23 @@ from jax.sharding import Mesh, PartitionSpec as P
 from videoitg_tpu.parallel import context as par_context
 
 PP_AXIS = "pp"
+
+
+def kernels_in_island(env, backend: str) -> bool:
+    """Should the pipeline island run the Pallas flash kernels?
+
+    Default ON for TPU backends: validated on v5e silicon round 4
+    (tpu_smoke check_pp_flash_island — real Mosaic kernels through the
+    exact island at 8B widths, numerics at the XLA-island floor) and
+    REQUIRED at the 512-frame bucket, where unfused attention would
+    materialize an ~18 GB score tensor. Default OFF elsewhere: interpret
+    mode trips a vma-strictness issue inside the Pallas HLO interpreter
+    (scripts/repro_pallas_interpret_vma.py). VIDEOITG_PP_FLASH=1/0
+    overrides either way."""
+    flag = env.get("VIDEOITG_PP_FLASH")
+    if flag is not None:
+        return flag == "1"
+    return backend == "tpu"
 
 
 def default_microbatches(batch: int, pp: int) -> int:
@@ -120,15 +138,7 @@ def pipeline_hidden_states(
 
     import os
 
-    if use_flash and os.environ.get("VIDEOITG_PP_FLASH") != "1":
-        # Default to XLA attention inside the island: the in-tree kernels
-        # carry vma declarations and a jit-bypass for manual regions, but
-        # interpret mode (CPU) still trips a vma-strictness issue inside
-        # the Pallas HLO interpreter, and the Mosaic path has no multi-chip
-        # hardware to validate on this round. VIDEOITG_PP_FLASH=1 opts the
-        # kernels back in (required for the 512-frame bucket, where
-        # unfused attention materializes an ~18 GB score tensor).
-        use_flash = False
+    use_flash = use_flash and kernels_in_island(os.environ, jax.default_backend())
     if valid is None:
         valid = jnp.ones((b, s), dtype=bool)
     layers = slice_layer_params(params["layers"], n_layers)
