@@ -55,6 +55,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "dill request cache)")
     p.add_argument("--seed", type=int, default=1234,
                    help="recorded into report metadata (reference --seed)")
+    p.add_argument("--num_fewshot", type=int, default=0,
+                   help="labeled examples prepended per question "
+                        "(reference --num_fewshot; video tasks are 0-shot)")
+    p.add_argument("--fewshot_sampler", default="default",
+                   help="'default' (random) or 'first_n' "
+                        "(reference api/samplers.py registry)")
     p.add_argument("--report_to", default="jsonl",
                    help="'jsonl' or 'jsonl,wandb' — eval-side W&B sink "
                         "(reference WandbLogger, logging_utils.py:70)")
@@ -205,6 +211,17 @@ def main(argv=None) -> int:
                 task.media, docs, allow_download=args.allow_download)
         if data_root != args.data_root:
             _set_data_root(adapter, data_root)
+
+        if args.num_fewshot:
+            # Fewshot context prefix (reference --num_fewshot +
+            # api/samplers.py); fewshot docs come from the eval split
+            # itself, matching the reference default when no dedicated
+            # fewshot_split is configured.
+            from videoitg_tpu.eval.fewshot import with_fewshot
+
+            task = with_fewshot(task, docs, args.num_fewshot,
+                                sampler=args.fewshot_sampler,
+                                seed=args.seed)
 
         out_dir = os.path.join(args.output_path, task.name)
         report = evaluate_task(

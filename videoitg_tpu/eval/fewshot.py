@@ -1,0 +1,129 @@
+"""Fewshot context samplers (reference lmms_eval/api/samplers.py).
+
+The reference registry ships two working strategies — ``default``
+(ContextSampler: rnd.sample from the fewshot docs) and ``first_n``
+(FirstNSampler: canonical ordered examples, MMLU-style); Balanced/Manual
+are unimplemented stubs there (samplers.py:72-85) and are not ported.
+Context assembly follows samplers.py:20-50: draw one extra example when
+sampling from the eval split itself, drop the doc under evaluation,
+render each example as ``doc_to_text + target_delimiter + doc_to_target``
+joined (and terminated) by ``fewshot_delimiter``.
+
+Every VideoITG-path task is zero-shot (the reference's video task yamls
+set num_fewshot 0 or omit it), so this is harness-generality parity:
+``videoitg-eval --num_fewshot N`` prefixes each question with N labeled
+examples, exactly as the reference's ``fewshot_context`` does for text
+tasks (api/task.py:1086-1156 minus the chat-template arm, which the
+adapters here own).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import random
+from typing import Optional, Sequence
+
+from videoitg_tpu.eval.api import Task, _accepted_params
+
+
+class ContextSampler:
+    """``default``: uniform random draw (samplers.py:53-57)."""
+
+    def __init__(self, docs: Sequence[dict], task: Task,
+                 rnd: Optional[random.Random] = None,
+                 fewshot_indices: Optional[Sequence[int]] = None,
+                 target_delimiter: str = " ",
+                 fewshot_delimiter: str = "\n\n",
+                 same_split: bool = True):
+        if rnd is None:
+            raise ValueError("must pass rnd to ContextSampler "
+                             "(samplers.py:4 contract)")
+        if task.doc_to_target is None:
+            raise ValueError(
+                f"task {task.name}: fewshot needs doc_to_target to label "
+                "examples")
+        self.rnd = rnd
+        self.task = task
+        self.docs = ([docs[i] for i in fewshot_indices]
+                     if fewshot_indices else list(docs))
+        self.target_delimiter = target_delimiter
+        self.fewshot_delimiter = fewshot_delimiter
+        # Reference: draw num_fewshot+1 when fewshot_split == test_split so
+        # the evaluated doc can be dropped without going short
+        # (samplers.py:21-29).
+        self.same_split = same_split
+
+    def sample(self, n: int) -> list:
+        return self.rnd.sample(self.docs, min(n, len(self.docs)))
+
+    def render_example(self, doc: dict) -> str:
+        target = self.task.doc_to_target(doc)
+        if isinstance(target, list):
+            target = str(target[0])
+        return (self.task.doc_to_text(doc) + self.target_delimiter
+                + str(target))
+
+    def get_context(self, doc: dict, num_fewshot: int) -> str:
+        n = num_fewshot + 1 if self.same_split else num_fewshot
+        selected = [d for d in self.sample(n) if d is not doc][:num_fewshot]
+        return (self.fewshot_delimiter.join(
+            self.render_example(d) for d in selected)
+            + self.fewshot_delimiter)
+
+
+class FirstNSampler(ContextSampler):
+    """``first_n``: the first N docs in order (samplers.py:61-68)."""
+
+    def sample(self, n: int) -> list:
+        if n > len(self.docs):
+            raise ValueError(
+                f"requested {n} fewshot samples but only {len(self.docs)} "
+                "available (samplers.py:66 contract)")
+        return self.docs[:n]
+
+
+SAMPLER_REGISTRY = {
+    "default": ContextSampler,
+    "first_n": FirstNSampler,
+}
+
+
+def get_sampler(name: str):
+    try:
+        return SAMPLER_REGISTRY[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown fewshot sampler {name!r}; supported: "
+            f"{', '.join(SAMPLER_REGISTRY)}") from None
+
+
+def with_fewshot(task: Task, fewshot_docs: Sequence[dict], num_fewshot: int,
+                 sampler: str = "default", seed: int = 1234,
+                 same_split: bool = True) -> Task:
+    """A copy of ``task`` whose doc_to_text prepends a sampled fewshot
+    context (the reference's fewshot_context concatenation,
+    api/task.py:1146-1153). num_fewshot <= 0 returns the task unchanged."""
+    if num_fewshot <= 0:
+        return task
+    ctx = get_sampler(sampler)(fewshot_docs, task,
+                               rnd=random.Random(seed),
+                               same_split=same_split)
+    orig = task.doc_to_text
+
+    def fewshot_doc_to_text(doc, **kwargs):
+        # Mirror Task.doc_text's signature filtering for the original fn:
+        # this wrapper is **kwargs (so doc_text always injects data_root);
+        # forward only what the original accepts, and keep the
+        # unknown-override-key error behavior.
+        params, has_varkw = _accepted_params(orig)
+        if not has_varkw:
+            unknown = [k for k in kwargs
+                       if k not in params and k != "data_root"]
+            if unknown:
+                raise TypeError(
+                    f"task {task.name}: prompt_overrides keys {unknown} not "
+                    f"accepted by doc_to_text({', '.join(params)})")
+            kwargs = {k: v for k, v in kwargs.items() if k in params}
+        return ctx.get_context(doc, num_fewshot) + orig(doc, **kwargs)
+
+    return dataclasses.replace(task, doc_to_text=fewshot_doc_to_text)

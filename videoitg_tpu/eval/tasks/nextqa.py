@@ -69,6 +69,9 @@ register_task(Task(
     name="nextqa_mc_test",
     doc_to_visual=doc_to_visual,
     doc_to_text=doc_to_text,
+    # Gold letter; enables --num_fewshot labeled-example prefixes
+    # (eval/fewshot.py) exactly as the reference's doc_to_target yaml key.
+    doc_to_target=lambda doc: _OPTIONS[int(doc["answer"])],
     process_results=process_results,
     aggregate=aggregate,
     load_docs=load_docs,
