@@ -184,6 +184,30 @@ def test_continual_mode_cache(stub, video_root, tmp_path):
     assert [s["response"] for s in r.samples] == ["A", "A"]
 
 
+def test_inline_slots_stripped_on_count_mismatch(stub):
+    """Regression: interleaved-prompt tasks (longvideobench_val_i) embed
+    one <image> slot per UNIFORM frame; with a different ITG-selected
+    frame count the slots must be dropped (family policy,
+    downstream.strip_inline_image_slots), not zipped out of register."""
+    adapter = _adapter(stub, image_size=16)
+    task = get_task("videomme")
+    frames = np.zeros((3, 8, 8, 3), dtype=np.uint8)
+    q = "line a\n<image>\nline b\n<image>\nanswer?"
+    adapter.answer("d0", {}, frames, [0, 1, 2], q, task)
+    (msg,) = stub.requests[-1]["payload"]["messages"]
+    texts = [c["text"] for c in msg["content"] if c["type"] == "text"]
+    imgs = [c for c in msg["content"] if c["type"] == "image_url"]
+    assert len(imgs) == 3
+    assert all("<image>" not in t for t in texts)
+    # slot count == frame count keeps the interleaving path
+    q2 = "a <image> b <image> c <image> d"
+    adapter.answer("d1", {}, frames, [0, 1, 2], q2, task)
+    (msg2,) = stub.requests[-1]["payload"]["messages"]
+    kinds = [c["type"] for c in msg2["content"]]
+    assert kinds == ["text", "image_url", "text", "image_url", "text",
+                     "image_url", "text"]
+
+
 def test_encode_frame_roundtrip():
     from PIL import Image
     import base64

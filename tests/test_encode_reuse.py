@@ -56,6 +56,14 @@ def test_score_encoded_matches_fused_path(eng):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
 
 
+def test_score_encoded_empty_instructions(eng):
+    """Regression: an empty question list must return [] rather than
+    crash in np.concatenate over zero program outputs."""
+    rng = np.random.default_rng(7)
+    enc = eng.encode_video(_frames(rng, 4))
+    assert eng.score_encoded(enc, []) == []
+
+
 def test_select_many_matches_select(eng):
     rng = np.random.default_rng(1)
     frames = _frames(rng, 5)

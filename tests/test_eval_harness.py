@@ -188,6 +188,36 @@ def test_response_cache(tmp_path):
     assert r3 == ["resp-0", "resp-1", "resp-2"] and calls == [0, 1, 2]
 
 
+def test_response_cache_skips_empty_responses(tmp_path):
+    """Regression: "" is the adapters' all-retries-failed sentinel
+    (api_chat._post) — it must NOT be persisted, so a rerun retries the
+    failed docs instead of permanently caching a wrong answer."""
+    from videoitg_tpu.eval.api import ModelAdapter, Task
+    from videoitg_tpu.eval.cache import CachingAdapter
+
+    calls = []
+
+    class Flaky(ModelAdapter):
+        data_root = ""
+
+        def generate_until(self, items, task, writer=None):
+            calls.extend(i for i, _ in items)
+            # doc 1 fails on the first sweep only
+            return ["" if (i == 1 and calls.count(1) == 1) else f"ok-{i}"
+                    for i, _ in items]
+
+    task = Task(
+        name="t", doc_to_visual=lambda d: "", doc_to_text=lambda d: d["q"],
+        process_results=lambda d, r: {}, aggregate=lambda rs: {},
+    )
+    docs = [(0, {"q": "a"}), (1, {"q": "b"})]
+    cached = CachingAdapter(Flaky(), str(tmp_path / "cache.sqlite"))
+    assert cached.generate_until(docs, task) == ["ok-0", ""]
+    # rerun: doc 0 served from cache, doc 1 retried and now succeeds
+    assert cached.generate_until(docs, task) == ["ok-0", "ok-1"]
+    assert calls == [0, 1, 1]
+
+
 def test_fractional_limit_and_predict_only(videomme_data, tmp_path):
     """Reference --limit float semantics (fraction of docs) and
     --predict_only (responses logged, no metrics)."""

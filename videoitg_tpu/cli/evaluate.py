@@ -151,6 +151,7 @@ def main(argv=None) -> int:
 
     model_kwargs = parse_model_args(args.model_args)
     model_kwargs.setdefault("data_root", args.data_root)
+    adapter_base_root = model_kwargs["data_root"]
     adapter = get_adapter(args.model)(**model_kwargs)
     if args.use_cache:
         from videoitg_tpu.eval.cache import CachingAdapter
@@ -209,8 +210,12 @@ def main(argv=None) -> int:
 
             data_root, docs = acquire_youtube(
                 task.media, docs, allow_download=args.allow_download)
-        if data_root != args.data_root:
-            _set_data_root(adapter, data_root)
+        # Reset EVERY task: a prior task's media resolution may have
+        # pointed the shared adapter at ITS cache dir. Tasks without a
+        # resolved root restore the adapter's construction-time root (which
+        # may come from model_args data_root, not --data_root).
+        _set_data_root(adapter, data_root if data_root != args.data_root
+                       else adapter_base_root)
 
         if args.num_fewshot:
             # Fewshot context prefix (reference --num_fewshot +

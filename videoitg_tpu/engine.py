@@ -427,6 +427,8 @@ class SelectionEngine:
         program (feats stay put; text shards along dp), padding the last
         group by repeating its final question.
         """
+        if not instructions:
+            return []
         t_bucket = enc.t_bucket
         hw = inference_hw(self.cfg.projector, enc.t_real,
                           self.cfg.vision.num_patches_per_side)

@@ -114,15 +114,18 @@ def acquire_media(spec: MediaSpec, *, allow_download: bool = False,
         snapshot_dir = snapshot_download(
             repo_id=spec.repo_id, repo_type="dataset",
             revision=spec.revision, etag_timeout=60)
-    extract_archives(snapshot_dir, cache_dir)
+    extract_archives(snapshot_dir, cache_dir, overwrite=force_unzip)
     return video_dir
 
 
-def extract_archives(snapshot_dir: str, cache_dir: str) -> List[str]:
+def extract_archives(snapshot_dir: str, cache_dir: str,
+                     overwrite: bool = False) -> List[str]:
     """Extract every zip / (multi-part) tar under ``snapshot_dir``.
 
     Zip members already present in ``cache_dir`` are skipped (the
-    reference's resume-after-partial-unzip behavior, api/task.py:948-957).
+    reference's resume-after-partial-unzip behavior, api/task.py:948-957)
+    unless ``overwrite`` — the --force_unzip path, which re-extracts
+    everything so a truncated file from an interrupted run is repaired.
     Tar parts sharing a basename before ``.tar`` are concatenated in
     sorted order into one stream first (api/task.py:969-976).
     Returns the list of archives processed.
@@ -137,14 +140,19 @@ def extract_archives(snapshot_dir: str, cache_dir: str) -> List[str]:
                 if not _is_within(cache_dir, target):  # zip-slip guard
                     raise RuntimeError(
                         f"unsafe member path {info.filename!r} in {zip_file}")
-                if not os.path.exists(target):
+                if overwrite or not os.path.exists(target):
                     zf.extract(info, cache_dir)
         processed.append(zip_file)
 
     tar_groups: dict = {}
-    for tar_file in sorted(glob.glob(os.path.join(snapshot_dir, "**", "*.tar*"),
-                                     recursive=True)):
-        base = tar_file.split(".tar")[0]
+    # ".tgz" carries no ".tar" substring, so it needs its own glob.
+    tar_paths = (glob.glob(os.path.join(snapshot_dir, "**", "*.tar*"),
+                           recursive=True)
+                 + glob.glob(os.path.join(snapshot_dir, "**", "*.tgz"),
+                             recursive=True))
+    for tar_file in sorted(tar_paths):
+        base = (tar_file[: -len(".tgz")] if tar_file.endswith(".tgz")
+                else tar_file.split(".tar")[0])
         tar_groups.setdefault(base, []).append(tar_file)
     for base, parts in sorted(tar_groups.items()):
         if len(parts) == 1 and parts[0].endswith((".tar", ".tar.gz", ".tgz")):
@@ -165,7 +173,7 @@ def extract_archives(snapshot_dir: str, cache_dir: str) -> List[str]:
                     if not _is_within(cache_dir, target):
                         raise RuntimeError(
                             f"unsafe member path {member.name!r} in {base}")
-                    if not os.path.exists(target):
+                    if overwrite or not os.path.exists(target):
                         tf.extract(member, cache_dir)
         finally:
             if cleanup and os.path.exists(cleanup):

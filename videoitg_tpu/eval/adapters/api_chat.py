@@ -163,6 +163,13 @@ class ApiChatAdapter(FrameSelectionConsumer):
             return self.cache[key]
         b64s = [encode_frame(f, self.image_size, self.image_format)
                 for f in frames]
+        if question.count("<image>") != len(b64s):
+            # Inline slots (longvideobench_val_i) are one per UNIFORM
+            # frame; when they don't match the ITG-selected frame count,
+            # interleaving would mis-place images — family policy
+            # (downstream.strip_inline_image_slots): drop the slots and
+            # send all frames after the text.
+            question = self.strip_inline_image_slots(question)
         payload = {
             "model": self.model,
             "messages": build_messages(question, b64s, self.image_format),

@@ -98,16 +98,26 @@ class Task:
         unknown override keys are an error, not silently dropped.
         """
         kwargs = self.resolve_prompt_kwargs(model_name)
-        param_names, has_varkw = _accepted_params(self.doc_to_text)
-        if not has_varkw:
-            unknown = [k for k in kwargs if k not in param_names]
-            if unknown:
-                raise TypeError(
-                    f"task {self.name}: prompt_overrides keys {unknown} not "
-                    f"accepted by doc_to_text({', '.join(param_names)})")
-        if "data_root" in param_names or has_varkw:
-            kwargs.setdefault("data_root", data_root)
-        return self.doc_to_text(doc, **kwargs)
+        kwargs.setdefault("data_root", data_root)
+        return self.doc_to_text(
+            doc, **filter_doc_text_kwargs(self.doc_to_text, kwargs, self.name))
+
+
+def filter_doc_text_kwargs(fn, kwargs: Dict[str, Any],
+                           task_name: str) -> Dict[str, Any]:
+    """Keep only the kwargs ``fn`` accepts. Unknown keys other than the
+    harness-injected ``data_root`` are an error (unknown prompt_overrides
+    must not be silently dropped); shared by Task.doc_text and the fewshot
+    wrapper (eval/fewshot.py) so the contract lives in one place."""
+    param_names, has_varkw = _accepted_params(fn)
+    if has_varkw:
+        return kwargs
+    unknown = [k for k in kwargs if k not in param_names and k != "data_root"]
+    if unknown:
+        raise TypeError(
+            f"task {task_name}: prompt_overrides keys {unknown} not "
+            f"accepted by doc_to_text({', '.join(param_names)})")
+    return {k: v for k, v in kwargs.items() if k in param_names}
 
 
 @functools.lru_cache(maxsize=256)

@@ -77,6 +77,12 @@ class CachingAdapter(ModelAdapter):
             fn = getattr(self.inner, request)
             fresh = fn([it for it, _ in missing], task, writer=writer)
             for (it, k), resp in zip(missing, fresh):
+                # An empty string is the adapters' all-retries-failed
+                # sentinel (e.g. api_chat._post) — don't persist it, so an
+                # interrupted/flaky sweep retries those docs on rerun
+                # instead of permanently caching a wrong answer.
+                if resp == "":
+                    continue
                 self.cache.put(k, resp)
             it_fresh = iter(fresh)
             cached = [c if c is not None else next(it_fresh) for c in cached]

@@ -20,14 +20,38 @@ adapters here own).
 from __future__ import annotations
 
 import dataclasses
+import json
 import random
 from typing import Optional, Sequence
 
-from videoitg_tpu.eval.api import Task, _accepted_params
+from videoitg_tpu.eval.api import Task, filter_doc_text_kwargs
+
+
+def _doc_key(doc: dict) -> str:
+    """Content identity of a doc, ignoring harness-added underscore keys
+    (the mc-loglikelihood expansion's `_choice`/`_ll_id`,
+    eval/mc_loglikelihood.py) so every per-option expansion of one source
+    question shares an identity."""
+    return json.dumps({k: v for k, v in doc.items()
+                       if not str(k).startswith("_")},
+                      sort_keys=True, default=str)
 
 
 class ContextSampler:
-    """``default``: uniform random draw (samplers.py:53-57)."""
+    """``default``: uniform random draw (samplers.py:53-57).
+
+    Documented divergence from the reference: the reference threads ONE
+    stateful rnd through all docs and builds each context exactly once
+    (api/task.py fewshot_context), so a second build for the same doc
+    would silently differ. This harness calls doc_text more than once per
+    doc (response-cache keys, per-option loglikelihood expansions), so the
+    draw is derived per doc — rnd seeded from (sampler seed, doc content)
+    — making contexts reproducible, call-count- and order-independent,
+    and IDENTICAL across a question's per-option expansions. Exclusion of
+    the evaluated doc is by content (underscore-stripped), not object
+    identity, so a question can never leak its own gold answer into its
+    context via an expanded sibling doc.
+    """
 
     def __init__(self, docs: Sequence[dict], task: Task,
                  rnd: Optional[random.Random] = None,
@@ -42,7 +66,9 @@ class ContextSampler:
             raise ValueError(
                 f"task {task.name}: fewshot needs doc_to_target to label "
                 "examples")
-        self.rnd = rnd
+        # One base draw fixes the sampler's identity; per-doc rngs derive
+        # from it (see class docstring).
+        self.base_seed = rnd.random()
         self.task = task
         self.docs = ([docs[i] for i in fewshot_indices]
                      if fewshot_indices else list(docs))
@@ -53,8 +79,8 @@ class ContextSampler:
         # (samplers.py:21-29).
         self.same_split = same_split
 
-    def sample(self, n: int) -> list:
-        return self.rnd.sample(self.docs, min(n, len(self.docs)))
+    def sample(self, n: int, rnd: random.Random) -> list:
+        return rnd.sample(self.docs, min(n, len(self.docs)))
 
     def render_example(self, doc: dict) -> str:
         target = self.task.doc_to_target(doc)
@@ -64,8 +90,11 @@ class ContextSampler:
                 + str(target))
 
     def get_context(self, doc: dict, num_fewshot: int) -> str:
+        key = _doc_key(doc)
+        rnd = random.Random(f"{self.base_seed}|{key}")
         n = num_fewshot + 1 if self.same_split else num_fewshot
-        selected = [d for d in self.sample(n) if d is not doc][:num_fewshot]
+        selected = [d for d in self.sample(n, rnd)
+                    if _doc_key(d) != key][:num_fewshot]
         return (self.fewshot_delimiter.join(
             self.render_example(d) for d in selected)
             + self.fewshot_delimiter)
@@ -74,7 +103,7 @@ class ContextSampler:
 class FirstNSampler(ContextSampler):
     """``first_n``: the first N docs in order (samplers.py:61-68)."""
 
-    def sample(self, n: int) -> list:
+    def sample(self, n: int, rnd: random.Random) -> list:
         if n > len(self.docs):
             raise ValueError(
                 f"requested {n} fewshot samples but only {len(self.docs)} "
@@ -111,19 +140,9 @@ def with_fewshot(task: Task, fewshot_docs: Sequence[dict], num_fewshot: int,
     orig = task.doc_to_text
 
     def fewshot_doc_to_text(doc, **kwargs):
-        # Mirror Task.doc_text's signature filtering for the original fn:
-        # this wrapper is **kwargs (so doc_text always injects data_root);
-        # forward only what the original accepts, and keep the
-        # unknown-override-key error behavior.
-        params, has_varkw = _accepted_params(orig)
-        if not has_varkw:
-            unknown = [k for k in kwargs
-                       if k not in params and k != "data_root"]
-            if unknown:
-                raise TypeError(
-                    f"task {task.name}: prompt_overrides keys {unknown} not "
-                    f"accepted by doc_to_text({', '.join(params)})")
-            kwargs = {k: v for k, v in kwargs.items() if k in params}
+        # This wrapper is **kwargs, so Task.doc_text passes everything
+        # through; apply the same filtering contract to the original fn.
+        kwargs = filter_doc_text_kwargs(orig, kwargs, task.name)
         return ctx.get_context(doc, num_fewshot) + orig(doc, **kwargs)
 
     return dataclasses.replace(task, doc_to_text=fewshot_doc_to_text)
