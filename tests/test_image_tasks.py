@@ -1,0 +1,198 @@
+"""MME image task + still-image adapter path vs reference semantics
+(lmms_eval/tasks/mme/utils.py, mme.yaml)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from videoitg_tpu.eval.api import get_adapter, get_task
+from videoitg_tpu.eval.harness import evaluate_task
+from videoitg_tpu.eval.tasks.mme import parse_pred_ans
+
+
+def test_parse_pred_ans_otter_rules():
+    # utils.py:52-73
+    assert parse_pred_ans("Yes.") == "yes"
+    assert parse_pred_ans(" no ") == "no"
+    assert parse_pred_ans("Y") == "yes"
+    assert parse_pred_ans("n") == "no"
+    assert parse_pred_ans("x") == "other"
+    assert parse_pred_ans("Yes, the image shows a cat") == "yes"
+    assert parse_pred_ans("No, it does not") == "no"
+    # only the first 4 chars count for the prefix rule
+    assert parse_pred_ans("maybe yes") == "other"
+    assert parse_pred_ans("") == "other"
+
+
+def test_doc_to_text_strips_embedded_instruction():
+    t = get_task("mme")
+    doc = {"question": "Is there a dog? Please answer yes or no.",
+           "question_id": "img1", "answer": "Yes", "category": "existence"}
+    # default kwargs (mme.yaml:28-31) replace the embedded suffix
+    text = t.doc_to_text(doc)
+    assert "Please answer yes or no." not in text
+    assert text == ("Is there a dog?\n"
+                    "Answer the question using a single word or phrase.")
+    # empty overrides keep the raw question (utils.py:43-48 only rewrites
+    # when a pre/post prompt is configured)
+    assert (t.doc_to_text(doc, pre_prompt="", post_prompt="")
+            == "Is there a dog? Please answer yes or no.")
+
+
+def _pair(qid, cat, s1, s2):
+    t = get_task("mme")
+    d1 = {"question_id": qid, "category": cat, "answer": "Yes",
+          "question": "q"}
+    d2 = {"question_id": qid, "category": cat, "answer": "No",
+          "question": "q"}
+    return [t.process_results(d1, "yes" if s1 else "no"),
+            t.process_results(d2, "no" if s2 else "yes")]
+
+
+def test_pairwise_aggregation_math():
+    """acc + acc_plus per image, category mean, perception/cognition sums
+    (utils.py:104-126)."""
+    t = get_task("mme")
+    recs = (_pair("a", "existence", True, True)      # acc 100 + plus 100
+            + _pair("b", "existence", True, False)   # acc 50 + plus 0
+            + _pair("c", "count", False, False)      # acc 0 + plus 0
+            + _pair("d", "code_reasoning", True, True))
+    agg = t.aggregate(recs)
+    assert agg["mme_existence"] == pytest.approx((200.0 + 50.0) / 2)
+    assert agg["mme_count"] == 0.0
+    assert agg["mme_code_reasoning"] == 200.0
+    assert agg["mme_perception_score"] == pytest.approx(125.0 + 0.0)
+    assert agg["mme_cognition_score"] == 200.0
+
+
+def test_non_pairwise_asserts():
+    t = get_task("mme")
+    recs = _pair("a", "existence", True, True)[:1]
+    with pytest.raises(AssertionError, match="pairwise"):
+        t.aggregate(recs)
+
+
+@pytest.fixture(scope="module")
+def image_root(tmp_path_factory):
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("mme_root")
+    os.makedirs(root / "images")
+    rng = np.random.default_rng(0)
+    for name in ("img0.jpg", "img1.png"):
+        arr = rng.integers(0, 255, (40, 56, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(root / "images" / name)
+    return str(root)
+
+
+def _docs():
+    out = []
+    for i in range(2):
+        ext = "jpg" if i == 0 else "png"
+        for answer in ("Yes", "No"):
+            out.append({
+                "question_id": f"img{i}", "category": "existence",
+                "image": f"images/img{i}.{ext}",
+                "question": f"Is it {answer}? Please answer yes or no.",
+                "answer": answer,
+            })
+    return out
+
+
+def test_image_adapter_end_to_end(image_root, tmp_path):
+    """Stills flow through the downstream family as 1-frame videos."""
+    task = get_task("mme")
+    adapter = get_adapter("echo-answer")(answer_letter="Yes", num_frame=4,
+                                         data_root=image_root)
+    rep = evaluate_task(adapter, task, _docs(),
+                        str(tmp_path / "out"), log_samples=True)
+    assert rep.num_docs == 4
+    # echo always says yes: each pair scores acc 50 + plus 0
+    assert rep.metrics["mme_perception_score"] == pytest.approx(50.0)
+    assert rep.metrics["mme_cognition_score"] == 0.0
+    assert adapter.last_metadata["video_backend"] == "pil"
+    assert adapter.last_metadata["total_num_frames"] == 1
+
+
+def test_pope_metrics_confusion_math():
+    """Precision/recall/F1 over the yes-class; yes_ratio counts GOLD yes
+    (utils.py:36-96)."""
+    t = get_task("pope")
+
+    def rec(gt, pred):
+        return t.process_results(
+            {"question_id": "q", "answer": gt, "category": "adversarial"},
+            pred)
+
+    recs = [rec("yes", "yes"), rec("yes", "no"),     # tp, fn
+            rec("no", "yes"), rec("no", "no")]       # fp, tn
+    agg = t.aggregate(recs)
+    assert agg["pope_accuracy"] == 0.5
+    assert agg["pope_precision"] == 0.5   # tp=1 / (tp+fp=2)
+    assert agg["pope_recall"] == 0.5      # tp=1 / (tp+fn=2)
+    assert agg["pope_f1_score"] == 0.5
+    assert agg["pope_yes_ratio"] == 0.5   # 2 gold-yes of 4
+    # prediction is a bare lower/strip compare — "Yes." does NOT match
+    assert rec("yes", "Yes.")["score"] == 0.0
+    assert rec("yes", " Yes ")["score"] == 1.0
+
+
+def test_pope_split_variants_filter_category(tmp_path):
+    import json
+
+    docs = [{"question_id": f"q{i}", "answer": "yes", "category": c,
+             "question": "?", "image": "x.png"}
+            for i, c in enumerate(["adversarial", "popular", "random",
+                                   "adversarial"])]
+    (tmp_path / "test.json").write_text(json.dumps(docs))
+    assert len(get_task("pope").load_docs(str(tmp_path), "test")) == 4
+    adv = get_task("pope_adv").load_docs(str(tmp_path), "test")
+    assert [d["question_id"] for d in adv] == ["q0", "q3"]
+    assert len(get_task("pope_pop").load_docs(str(tmp_path), "test")) == 1
+
+
+def test_realworldqa_filter_choice_text_to_letter():
+    from videoitg_tpu.eval.filters import build_filter_ensemble
+
+    ens = build_filter_ensemble("flexible-extract",
+                                [("realworldqa_extract", None)])
+    doc = {"question": ("How many lanes?\nA. two lanes\nB. four lanes\n"
+                        "C. six lanes")}
+    # choice text (punctuation-stripped) maps back to its letter
+    assert ens.apply([["I think it's four lanes."]], [doc]) == [["B"]]
+    # number words map to digits before matching
+    assert ens.apply([["four"]], [doc]) == [["4"]]
+    # no choice hit: cleaned response passes through
+    assert ens.apply([["a green car!"]], [doc]) == [["a green car"]]
+    # no embedded choices at all: cleaned response survives
+    assert ens.apply([["42."]], [{"question": "How many?"}]) == [["42"]]
+
+
+def test_realworldqa_scoring_and_prompt():
+    t = get_task("realworldqa")
+    doc = {"question": "How many lanes?\nA. 2\nB. 4", "answer": "B",
+           "image": "x.png"}
+    assert t.doc_to_text(doc) == "How many lanes?\nA. 2\nB. 4"
+    r = t.process_results(doc, "B")
+    assert r["exact_match"] == 1.0
+    assert t.process_results(doc, "b.")["exact_match"] == 1.0
+    assert t.process_results(doc, "4")["exact_match"] == 0.0
+    agg = t.aggregate([r, t.process_results(doc, "A")])
+    assert agg["realworldqa_exact_match"] == 50.0
+
+
+def test_image_groups_registered():
+    from videoitg_tpu.eval.api import GROUP_REGISTRY
+
+    assert GROUP_REGISTRY["image_bench"] == ["mme", "pope", "realworldqa"]
+    assert GROUP_REGISTRY["pope_full"] == ["pope_adv", "pope_pop",
+                                           "pope_random"]
+
+
+def test_image_frames_shape(image_root):
+    adapter = get_adapter("echo-answer")(num_frame=8, data_root=image_root)
+    frames, ids = adapter.frames_for_doc(
+        0, os.path.join(image_root, "images", "img0.jpg"))
+    assert frames.shape == (1, 40, 56, 3) and frames.dtype == np.uint8
+    assert ids == [0]

@@ -113,12 +113,29 @@ class FrameSelectionConsumer(ModelAdapter):
         self.min_frames = min_frames
         self.max_frames = max_frames
 
+    IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".webp", ".bmp", ".gif")
+
     def frames_for_doc(self, doc_id, video_path: str, window=None):
         """window: optional temporal focus from Task.visual_window —
         (center, width) in seconds or (center, width, "frame") — uniform
         sampling is clamped to that span (breakpoint-mode tasks). Stage-A
         ITG selections take precedence: they were scored over the whole
-        video, so a doc present in indices_map ignores the window."""
+        video, so a doc present in indices_map ignores the window.
+
+        A still image (by extension) loads as one RGB frame via PIL —
+        image tasks (mme) share the video path end to end; frame-count
+        and selection settings don't apply (the reference's image tasks
+        hand the model a PIL list the same way, mme/utils.py:37-38)."""
+        if str(video_path).lower().endswith(self.IMAGE_EXTS):
+            from PIL import Image
+
+            with Image.open(video_path) as im:
+                frame = np.asarray(im.convert("RGB"), dtype=np.uint8)
+            self.last_metadata = {
+                "fps": 0.0, "frames_indices": [0], "total_num_frames": 1,
+                "video_backend": "pil",
+            }
+            return frame[None], [0]
         from videoitg_tpu.data.video import VideoReader
 
         with VideoReader(video_path) as vr:

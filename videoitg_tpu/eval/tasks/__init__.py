@@ -12,11 +12,14 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     longvideobench,
     mix_evals,
     mlvu,
+    mme,
     mmworld,
     moviechat,
     mvbench,
     nextqa,
     perceptiontest,
+    pope,
+    realworldqa,
     tempcompass,
     temporalbench,
     vatex,
@@ -34,6 +37,15 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
 register_group("videoitg_bench", [
     "longvideobench_val_v", "mlvu", "videomme", "cgbench_subtitles",
 ])
+
+# Image benchmarks (stills run through the downstream adapters as 1-frame
+# videos) — validates stage-2 image-SFT checkpoints without leaving the
+# framework.
+register_group("image_bench", ["mme", "pope", "realworldqa"])
+
+# POPE split variants mirror the reference's pope_full group
+# (pope_adv/pop/random yamls).
+register_group("pope_full", ["pope_adv", "pope_pop", "pope_random"])
 
 # ---------------------------------------------------------------------------
 # Hub media specs (reference dataset_kwargs: dataset_path + cache_dir per
