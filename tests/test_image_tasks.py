@@ -182,10 +182,43 @@ def test_realworldqa_scoring_and_prompt():
     assert agg["realworldqa_exact_match"] == 50.0
 
 
+def test_mmstar_matcher_rules():
+    from videoitg_tpu.eval.tasks.mmstar import exact_match
+
+    # utils.py:40-55
+    assert exact_match("B", "B") == 1.0
+    assert exact_match("b.", "B") == 1.0        # first char
+    assert exact_match("(C) something", "C") == 1.0
+    assert exact_match("option d", "D") == 1.0
+    assert exact_match("The answer is A", "A") == 1.0
+    assert exact_match("Sure: B", "B") == 0.0   # first char only
+    assert exact_match("", "A") == 0.0          # empty -> except -> 0
+
+
+def test_mmstar_l2_grouped_aggregation():
+    t = get_task("mmstar")
+
+    def rec(idx, cat, l2, score):
+        return t.process_results(
+            {"index": idx, "category": cat, "l2_category": l2,
+             "answer": "A"}, "A" if score else "B")
+
+    recs = [rec(0, "math", "geometry", 1),
+            rec(1, "math", "geometry", 1),
+            rec(2, "math", "geometry", 1),
+            rec(3, "math", "statistical reasoning", 0)]
+    agg = t.aggregate(recs)
+    # l2 means weigh equally: (1.0 + 0.0) / 2, not 3/4
+    assert agg["mmstar_math"] == pytest.approx(0.5)
+    assert agg["mmstar_average"] == pytest.approx(0.5)
+    assert "mmstar_coarse perception" not in agg  # absent category omitted
+
+
 def test_image_groups_registered():
     from videoitg_tpu.eval.api import GROUP_REGISTRY
 
-    assert GROUP_REGISTRY["image_bench"] == ["mme", "pope", "realworldqa"]
+    assert GROUP_REGISTRY["image_bench"] == ["mme", "mmstar", "pope",
+                                             "realworldqa"]
     assert GROUP_REGISTRY["pope_full"] == ["pope_adv", "pope_pop",
                                            "pope_random"]
 

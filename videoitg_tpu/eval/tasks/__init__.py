@@ -13,6 +13,7 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     mix_evals,
     mlvu,
     mme,
+    mmstar,
     mmworld,
     moviechat,
     mvbench,
@@ -41,7 +42,7 @@ register_group("videoitg_bench", [
 # Image benchmarks (stills run through the downstream adapters as 1-frame
 # videos) — validates stage-2 image-SFT checkpoints without leaving the
 # framework.
-register_group("image_bench", ["mme", "pope", "realworldqa"])
+register_group("image_bench", ["mme", "mmstar", "pope", "realworldqa"])
 
 # POPE split variants mirror the reference's pope_full group
 # (pope_adv/pop/random yamls).
