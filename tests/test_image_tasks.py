@@ -214,10 +214,45 @@ def test_mmstar_l2_grouped_aggregation():
     assert "mmstar_coarse perception" not in agg  # absent category omitted
 
 
+def test_ai2d_prompt_formats_and_targets():
+    t = get_task("ai2d")
+    doc = {"question": "Which is the stem?", "options": ["leaf", "stem"],
+           "answer": "1", "image": "x.png"}
+    text = t.doc_to_text(doc)
+    assert "A. leaf\nB. stem" in text
+    assert text.endswith(
+        "Answer with the option's letter from the given choices directly.")
+    # qa format: bare choice texts, no separator after the question
+    # (utils.py:16-18 byte behavior)
+    qa = t.doc_to_text(doc, prompt_format="qa", post_prompt=" Answer:")
+    assert qa == "Which is the stem?leaf\nstem Answer:"
+    assert t.doc_to_target(doc) == "B"
+    assert t.doc_to_target(doc, target_format="qa") == "stem"
+
+
+def test_ai2d_filter_and_scoring():
+    from videoitg_tpu.eval.filters import build_filter_ensemble
+
+    ens = build_filter_ensemble("flexible-extract", [("ai2d_letter", None)])
+    assert ens.apply([["B. stem"]], [{}]) == [["B"]]
+    assert ens.apply([[" A. leaf because..."]], [{}]) == [["A"]]
+    assert ens.apply([["the stem"]], [{}]) == [["the stem"]]  # pass-through
+
+    t = get_task("ai2d")
+    doc = {"question": "q", "options": ["leaf", "stem"], "answer": "1",
+           "image": "x.png"}
+    assert t.process_results(doc, "B")["exact_match"] == 1.0
+    assert t.process_results(doc, "b.")["exact_match"] == 1.0  # ignore case/punct
+    assert t.process_results(doc, "A")["exact_match"] == 0.0
+    agg = t.aggregate([t.process_results(doc, "B"),
+                       t.process_results(doc, "A")])
+    assert agg["ai2d_exact_match"] == 50.0
+
+
 def test_image_groups_registered():
     from videoitg_tpu.eval.api import GROUP_REGISTRY
 
-    assert GROUP_REGISTRY["image_bench"] == ["mme", "mmstar", "pope",
+    assert GROUP_REGISTRY["image_bench"] == ["ai2d", "mme", "mmstar", "pope",
                                              "realworldqa"]
     assert GROUP_REGISTRY["pope_full"] == ["pope_adv", "pope_pop",
                                            "pope_random"]

@@ -3,6 +3,7 @@
 from videoitg_tpu.eval.api import register_group
 from videoitg_tpu.eval.tasks import (  # noqa: F401
     activitynetqa,
+    ai2d,
     cgbench,
     cinepile,
     cuva,
@@ -42,7 +43,8 @@ register_group("videoitg_bench", [
 # Image benchmarks (stills run through the downstream adapters as 1-frame
 # videos) — validates stage-2 image-SFT checkpoints without leaving the
 # framework.
-register_group("image_bench", ["mme", "mmstar", "pope", "realworldqa"])
+register_group("image_bench",
+               ["ai2d", "mme", "mmstar", "pope", "realworldqa"])
 
 # POPE split variants mirror the reference's pope_full group
 # (pope_adv/pop/random yamls).
