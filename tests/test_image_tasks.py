@@ -249,11 +249,99 @@ def test_ai2d_filter_and_scoring():
     assert agg["ai2d_exact_match"] == 50.0
 
 
+def test_seedbench_prompt_scoring_and_rollups():
+    t = get_task("seedbench")
+    doc = {"question_id": "q1", "question": "What is shown?",
+           "choice_a": "cat", "choice_b": "dog", "choice_c": "car",
+           "choice_d": "sky", "answer": "B", "data_type": "image",
+           "image": ["x.png"]}
+    text = t.doc_to_text(doc)
+    assert "A. cat\nB. dog\nC. car\nD. sky" in text
+    # first char of a longer response (utils.py:19-20)
+    assert t.process_results(doc, "B. dog")["correct"] == 1.0
+    assert t.process_results(doc, " b ")["correct"] == 1.0
+    assert t.process_results(doc, "dog")["correct"] == 0.0  # 'd' != 'b'
+    vid = {**doc, "question_id": "q2", "data_type": "video", "answer": "A"}
+    agg = t.aggregate([t.process_results(doc, "B"),
+                       t.process_results(vid, "C")])
+    assert agg["seed_image"] == 1.0
+    assert agg["seed_video"] == 0.0
+    assert agg["seed_all"] == 0.5
+
+
+def test_seedbench_ppl_expansion():
+    import videoitg_tpu.eval.tasks.seedbench as sb
+
+    docs = sb.ll_expand_docs([{
+        "question_id": "q", "question": "Q?", "choice_a": "x",
+        "choice_b": "yy", "choice_c": "z", "choice_d": "w",
+        "answer": "B", "data_type": "image", "image": ["i.png"]}])
+    assert len(docs) == 4 and docs[1]["_ll_id"] == "q::1"
+    assert sb.ll_doc_to_target(docs[1]) == " yy"
+    assert sb.ll_doc_to_text(docs[0]) == "Q? Answer :"
+    recs = [sb.ll_process_results(d, (-float(i + 1), False))
+            for i, d in enumerate(docs)]
+    # option 0 has the highest ll but gold is 1
+    assert sb.ll_aggregate(recs)["seedbench_ll_acc"] == 0.0
+
+
+def test_seedbench_multi_image_visual(image_root):
+    t = get_task("seedbench")
+    doc = {"question_id": "q", "question": "?", "choice_a": "a",
+           "choice_b": "b", "choice_c": "c", "choice_d": "d",
+           "answer": "A", "data_type": "video",
+           "image": ["images/img0.jpg", "images/img1.png"]}
+    visual = t.doc_to_visual(doc, image_root)
+    assert isinstance(visual, list) and len(visual) == 2
+    adapter = get_adapter("echo-answer")(num_frame=8, data_root=image_root)
+    frames, ids = adapter.frames_for_doc("q", visual)
+    # both stills share (40, 56); the stack keeps them
+    assert frames.shape == (2, 40, 56, 3) and ids == [0, 1]
+    # single-image docs resolve to a bare path (plain still branch)
+    doc1 = {**doc, "image": ["images/img1.png"]}
+    assert isinstance(t.doc_to_visual(doc1, image_root), str)
+
+
+def test_multi_image_mixed_sizes_resize_to_first(image_root, tmp_path):
+    from PIL import Image
+
+    big = tmp_path / "big.png"
+    Image.fromarray(np.zeros((64, 80, 3), dtype=np.uint8)).save(big)
+    adapter = get_adapter("echo-answer")(num_frame=8, data_root=image_root)
+    frames, ids = adapter.frames_for_doc(
+        0, [os.path.join(image_root, "images", "img0.jpg"), str(big)])
+    assert frames.shape == (2, 40, 56, 3)  # second resized to first's size
+    assert adapter.last_metadata["total_num_frames"] == 2
+
+
+def test_scienceqa_prompt_formats_and_scoring():
+    t = get_task("scienceqa_img")
+    doc = {"question": "Which force?", "hint": "Look at the diagram.",
+           "choices": ["gravity", "friction"], "answer": 1,
+           "image": "x.png"}
+    text = t.doc_to_text(doc)
+    assert text.startswith("Context: Look at the diagram.\nWhich force?")
+    assert "A. gravity\nB. friction" in text
+    nohint = t.doc_to_text({**doc, "hint": ""})
+    assert nohint.startswith("Which force?")
+    qwen = t.doc_to_text({**doc, "hint": ""}, format="qwen_vl")
+    assert qwen == ("Context: N/A\nQuestion: Which force?\n"
+                    "Options: A. gravity\nB. friction\nAnswer:")
+    assert t.doc_to_target(doc) == "B"
+    assert t.process_results(doc, "B")["exact_match"] == 1.0
+    assert t.process_results(doc, " b ")["exact_match"] == 1.0
+    # the reference's dead "B. text" branch scores 0 (utils.py:41-43,
+    # isupper() after lower()) — replicated for score parity
+    assert t.process_results(doc, "B. friction")["exact_match"] == 0.0
+    assert t.process_results(doc, "A")["exact_match"] == 0.0
+
+
 def test_image_groups_registered():
     from videoitg_tpu.eval.api import GROUP_REGISTRY
 
     assert GROUP_REGISTRY["image_bench"] == ["ai2d", "mme", "mmstar", "pope",
-                                             "realworldqa"]
+                                             "realworldqa", "scienceqa_img",
+                                             "seedbench"]
     assert GROUP_REGISTRY["pope_full"] == ["pope_adv", "pope_pop",
                                            "pope_random"]
 

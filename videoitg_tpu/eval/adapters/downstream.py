@@ -125,7 +125,32 @@ class FrameSelectionConsumer(ModelAdapter):
         A still image (by extension) loads as one RGB frame via PIL —
         image tasks (mme) share the video path end to end; frame-count
         and selection settings don't apply (the reference's image tasks
-        hand the model a PIL list the same way, mme/utils.py:37-38)."""
+        hand the model a PIL list the same way, mme/utils.py:37-38).
+        A LIST of image paths (multi-image docs, e.g. seedbench's video
+        data_type, seedbench/utils.py:4-5) loads each still; mixed sizes
+        are resized to the first image's size so the stack is a uniform
+        [N,H,W,3] (the model-side preprocess resizes again anyway —
+        divergence from the reference's raw PIL list is bounded to that
+        intermediate resample and only occurs for heterogeneous docs)."""
+        if isinstance(video_path, (list, tuple)):
+            from PIL import Image
+
+            stills = []
+            for p in video_path:
+                with Image.open(p) as im:
+                    im = im.convert("RGB")
+                    if stills and im.size != (stills[0].shape[1],
+                                              stills[0].shape[0]):
+                        im = im.resize((stills[0].shape[1],
+                                        stills[0].shape[0]),
+                                       Image.Resampling.BILINEAR)
+                    stills.append(np.asarray(im, dtype=np.uint8))
+            n = len(stills)
+            self.last_metadata = {
+                "fps": 0.0, "frames_indices": list(range(n)),
+                "total_num_frames": n, "video_backend": "pil",
+            }
+            return np.stack(stills), list(range(n))
         if str(video_path).lower().endswith(self.IMAGE_EXTS):
             from PIL import Image
 

@@ -22,6 +22,8 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     perceptiontest,
     pope,
     realworldqa,
+    scienceqa,
+    seedbench,
     tempcompass,
     temporalbench,
     vatex,
@@ -44,7 +46,8 @@ register_group("videoitg_bench", [
 # videos) — validates stage-2 image-SFT checkpoints without leaving the
 # framework.
 register_group("image_bench",
-               ["ai2d", "mme", "mmstar", "pope", "realworldqa"])
+               ["ai2d", "mme", "mmstar", "pope", "realworldqa",
+                "scienceqa_img", "seedbench"])
 
 # POPE split variants mirror the reference's pope_full group
 # (pope_adv/pop/random yamls).
