@@ -336,10 +336,60 @@ def test_scienceqa_prompt_formats_and_scoring():
     assert t.process_results(doc, "A")["exact_match"] == 0.0
 
 
+def test_chartqa_relaxed_correctness():
+    """lmms_eval/tasks/chartqa/utils.py:25-64 relaxed accuracy."""
+    from videoitg_tpu.eval.tasks.chartqa import relaxed_correctness
+
+    assert relaxed_correctness("10.4", "10")            # 4% rel err
+    assert not relaxed_correctness("10.6", "10")        # 6% rel err
+    assert relaxed_correctness("52%", "0.52")           # percent normalize
+    assert relaxed_correctness("0.52", "52%")
+    assert relaxed_correctness("Red", "red")            # string branch
+    assert not relaxed_correctness("reds", "red")
+    # replicated quirk: gold "0" is falsy -> string comparison
+    assert relaxed_correctness("0", "0")
+    assert not relaxed_correctness("0.0", "0")          # string-unequal
+    assert not relaxed_correctness("abc", "10")
+
+
+def test_chartqa_rollups():
+    t = get_task("chartqa")
+    doc_h = {"question": "q", "answer": "10", "type": "human_test",
+             "image": "i.jpg"}
+    doc_a = {"question": "q", "answer": "red", "type": "augmented_test",
+             "image": "i.jpg"}
+    recs = [t.process_results(doc_h, "10.2"),   # 1
+            t.process_results(doc_h, "20"),     # 0
+            t.process_results(doc_a, "red")]    # 1
+    agg = t.aggregate(recs)
+    assert agg["chartqa_relaxed_overall"] == pytest.approx(2 / 3)
+    assert agg["chartqa_relaxed_human_split"] == pytest.approx(0.5)
+    assert agg["chartqa_relaxed_augmented_split"] == 1.0
+    assert t.doc_to_text(doc_h).endswith("single word or phrase.")
+
+
+def test_docvqa_anls_task():
+    t = get_task("docvqa_val")
+    doc = {"questionId": 7, "question": "what is the date?",
+           "answers": ["12 May 1998", "12/05/1998"], "image": "i.jpg"}
+    r = t.process_results(doc, "12 may 1998")
+    assert r["anls"] == 1.0 and r["questionId"] == 7
+    bad = t.process_results(doc, "unrelated")
+    assert bad["anls"] == 0.0
+    agg = t.aggregate([r, bad])
+    assert agg["docvqa_anls"] == pytest.approx(0.5)
+    # string-valued answers field normalizes to a singleton list
+    assert t.process_results({"questionId": 8, "question": "q",
+                              "answers": "yes", "image": "i.jpg"},
+                             "yes")["anls"] == 1.0
+    assert t.doc_id_key == "questionId"
+
+
 def test_image_groups_registered():
     from videoitg_tpu.eval.api import GROUP_REGISTRY
 
-    assert GROUP_REGISTRY["image_bench"] == ["ai2d", "mme", "mmstar", "pope",
+    assert GROUP_REGISTRY["image_bench"] == ["ai2d", "chartqa", "docvqa_val",
+                                             "mme", "mmstar", "pope",
                                              "realworldqa", "scienceqa_img",
                                              "seedbench"]
     assert GROUP_REGISTRY["pope_full"] == ["pope_adv", "pope_pop",

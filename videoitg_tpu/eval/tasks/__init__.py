@@ -5,9 +5,11 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     activitynetqa,
     ai2d,
     cgbench,
+    chartqa,
     cinepile,
     cuva,
     cvrr,
+    docvqa,
     egoschema,
     funqa,
     longvideobench,
@@ -46,8 +48,8 @@ register_group("videoitg_bench", [
 # videos) — validates stage-2 image-SFT checkpoints without leaving the
 # framework.
 register_group("image_bench",
-               ["ai2d", "mme", "mmstar", "pope", "realworldqa",
-                "scienceqa_img", "seedbench"])
+               ["ai2d", "chartqa", "docvqa_val", "mme", "mmstar", "pope",
+                "realworldqa", "scienceqa_img", "seedbench"])
 
 # POPE split variants mirror the reference's pope_full group
 # (pope_adv/pop/random yamls).
