@@ -385,13 +385,27 @@ def test_docvqa_anls_task():
     assert t.doc_id_key == "questionId"
 
 
+def test_infovqa_shares_docvqa_template():
+    t = get_task("infovqa_val")
+    doc = {"questionId": 3, "question": "how many?", "answers": ["42"],
+           "image": "i.jpg"}
+    assert t.doc_to_text(doc).endswith("single word or phrase.")
+    r = t.process_results(doc, "42")
+    assert r["anls"] == 1.0
+    # metric key is task-prefixed, unlike docvqa's
+    assert t.aggregate([r]) == {"infovqa_anls": 1.0}
+    assert t.doc_id_key == "questionId"
+    # the qwen_vl prompt variant is a post_prompt override
+    assert t.doc_to_text(doc, post_prompt=" Answer:").endswith(" Answer:")
+
+
 def test_image_groups_registered():
     from videoitg_tpu.eval.api import GROUP_REGISTRY
 
     assert GROUP_REGISTRY["image_bench"] == ["ai2d", "chartqa", "docvqa_val",
-                                             "mme", "mmstar", "pope",
-                                             "realworldqa", "scienceqa_img",
-                                             "seedbench"]
+                                             "infovqa_val", "mme", "mmstar",
+                                             "pope", "realworldqa",
+                                             "scienceqa_img", "seedbench"]
     assert GROUP_REGISTRY["pope_full"] == ["pope_adv", "pope_pop",
                                            "pope_random"]
 

@@ -48,8 +48,9 @@ register_group("videoitg_bench", [
 # videos) — validates stage-2 image-SFT checkpoints without leaving the
 # framework.
 register_group("image_bench",
-               ["ai2d", "chartqa", "docvqa_val", "mme", "mmstar", "pope",
-                "realworldqa", "scienceqa_img", "seedbench"])
+               ["ai2d", "chartqa", "docvqa_val", "infovqa_val", "mme",
+                "mmstar", "pope", "realworldqa", "scienceqa_img",
+                "seedbench"])
 
 # POPE split variants mirror the reference's pope_full group
 # (pope_adv/pop/random yamls).
