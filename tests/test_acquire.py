@@ -177,6 +177,22 @@ def test_youtube_without_downloads_requires_staged_videos(home):
     assert [d["videoID"] for d in kept] == ["v"]
 
 
+def test_embedded_media_spec_semantics(home):
+    # Image benchmarks embed visuals in the dataset rows (reference
+    # tasks/mme/utils.py:37-38): nothing to extract, so acquire_media
+    # refuses and resolve_task_media routes through the docs loader.
+    spec = MediaSpec("lmms-lab/MME", "", embedded=True)
+    with pytest.raises(ValueError, match="embeds its visuals"):
+        acquire_media(spec, allow_download=True)
+
+    class T:
+        media = spec
+
+    assert resolve_task_media(T(), "") == ""
+    assert resolve_task_media(T(), "", allow_download=True) == ""
+    assert resolve_task_media(T(), "/explicit") == "/explicit"
+
+
 def test_every_registered_task_has_media_spec():
     import videoitg_tpu.eval.tasks  # noqa: F401  (registers)
     from videoitg_tpu.eval.api import TASK_REGISTRY

@@ -64,6 +64,12 @@ class MediaSpec:
     from_youtube: bool = False
     youtube_id_key: str = "videoID"  # doc field holding the YouTube id
                                      # (api/task.py:880)
+    # Image benchmarks ship their visuals INSIDE the dataset rows (the
+    # reference's HF splits embed PIL objects, e.g. mme/utils.py:37-38) —
+    # there are no blob archives to extract, so acquisition is just the
+    # docs loader (datasets.load_dataset). The spec still records the hub
+    # repo id for auditability.
+    embedded: bool = False
 
 
 def media_home() -> str:
@@ -98,6 +104,10 @@ def acquire_media(spec: MediaSpec, *, allow_download: bool = False,
          dataset repo, then extract (reference api/task.py:944-1005);
       4. otherwise raise ``MediaUnavailableError`` with instructions.
     """
+    if spec.embedded:
+        raise ValueError(
+            f"{spec.repo_id} embeds its visuals in the dataset rows; "
+            "there is no media archive to acquire — load the docs instead")
     cache_dir = os.path.join(media_home(), spec.cache_dir)
     video_dir = (os.path.join(cache_dir, spec.subdir)
                  if spec.subdir else cache_dir)
@@ -257,7 +267,7 @@ def resolve_task_media(task, data_root: str, *, allow_download: bool = False,
     if data_root:
         return data_root
     spec = getattr(task, "media", None)
-    if spec is None or spec.from_youtube:
+    if spec is None or spec.from_youtube or spec.embedded:
         return data_root
     try:
         return acquire_media(spec, allow_download=allow_download,

@@ -119,3 +119,25 @@ _attach_media(MediaSpec("MixEval/MixEval-X", "mix_evals_video2text"),
               *[t for t in TASK_REGISTRY if t.startswith("mix_evals_")])
 _attach_media(MediaSpec("lscpku/VITATECS", "vitatecs"),
               *[t for t in TASK_REGISTRY if t.startswith("vitatecs_")])
+
+# Image benchmarks embed their visuals in the dataset rows (the reference
+# splits carry PIL objects, e.g. tasks/mme/utils.py:37-38) — no blob
+# archives; the spec records the hub repo (reference dataset_path) and
+# embedded=True routes acquisition through the docs loader.
+
+
+def _embedded(repo_id: str) -> MediaSpec:
+    return MediaSpec(repo_id, "", embedded=True)
+
+
+_attach_media(_embedded("lmms-lab/MME"), "mme")
+_attach_media(_embedded("lmms-lab/POPE"),
+              *[t for t in TASK_REGISTRY if t.startswith("pope")])
+_attach_media(_embedded("lmms-lab/RealWorldQA"), "realworldqa")
+_attach_media(_embedded("Lin-Chen/MMStar"), "mmstar")
+_attach_media(_embedded("lmms-lab/ai2d"), "ai2d")
+_attach_media(_embedded("lmms-lab/ScienceQA"), "scienceqa_img")
+_attach_media(_embedded("lmms-lab/SEED-Bench"),
+              "seedbench", "seedbench_ppl")
+_attach_media(_embedded("lmms-lab/ChartQA"), "chartqa")
+_attach_media(_embedded("lmms-lab/DocVQA"), "docvqa_val", "infovqa_val")
