@@ -129,6 +129,27 @@ class ExactMatchJudge(Judge):
                     break
         return f"The option chosen by the model: [[{letter}]]"
 
+    def _mmbench_match(self, user: str) -> str:
+        """Emulate the MMBench answer-matching judge (mmbench/
+        mmbench_evals.py:59-78): pick the option most similar to the
+        free-form answer, E when none matches. Containment on normalized
+        text; the task's can_infer parses the bare letter reply."""
+        tail = user[user.rfind("Options:"):]
+        answer = ""
+        am = re.search(r"\nAnswer:\s*(.*?)\nYour output:", tail, re.S)
+        if am:
+            answer = am.group(1)
+        options: List[tuple] = []
+        for line in tail.splitlines():
+            m = re.match(r"\s*([A-D])\.\s*(.*)", line)
+            if m:
+                options.append((m.group(1), m.group(2).strip()))
+        a = self._norm(answer)
+        hits = [l for l, text in options
+                if a and self._norm(text) and
+                (self._norm(text) in a or a in self._norm(text))]
+        return hits[0] if len(hits) == 1 else "E"
+
     def _caption_qa(self, user: str) -> str:
         """Emulate the vdc caption-QA generation step (vdc/utils.py:
         201-225): answer a question from a detailed description. Returns
@@ -152,6 +173,8 @@ class ExactMatchJudge(Judge):
                      if m.get("role") == "user"), "")
         if '"[[option letter]]"' in user:
             return self._mc_extract(user)
+        if "several options of a single-choice question" in user:
+            return self._mmbench_match(user)
         if "detailed description:" in user and "question:" in user:
             return self._caption_qa(user)
         answer = None

@@ -15,6 +15,7 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     longvideobench,
     mix_evals,
     mlvu,
+    mmbench,
     mme,
     mmstar,
     mmworld,
@@ -141,3 +142,7 @@ _attach_media(_embedded("lmms-lab/SEED-Bench"),
               "seedbench", "seedbench_ppl")
 _attach_media(_embedded("lmms-lab/ChartQA"), "chartqa")
 _attach_media(_embedded("lmms-lab/DocVQA"), "docvqa_val", "infovqa_val")
+_attach_media(_embedded("lmms-lab/MMBench"),
+              *[t for t in TASK_REGISTRY if t.startswith("mmbench_")
+                and not t.startswith("mmbench_ru")])
+_attach_media(_embedded("deepvk/MMBench-ru"), "mmbench_ru_dev")
