@@ -1,0 +1,124 @@
+"""MMMU task parity tests (reference lmms_eval/tasks/mmmu/utils.py; the
+parsers are the official MMMU repo code the reference vendors)."""
+
+import pytest
+
+import videoitg_tpu.eval.tasks  # noqa: F401  (registers)
+from videoitg_tpu.eval.api import TASK_REGISTRY
+from videoitg_tpu.eval.tasks.mmmu import (
+    aggregate, construct_prompt, doc_to_visual, eval_open,
+    extract_numbers, extract_subset_name, normalize_str,
+    parse_multi_choice_response, parse_open_response, process_results,
+)
+
+
+def _mc_doc(idx="validation_Art_1", options=None, answer="B", q=None):
+    return {"id": idx, "question": q or "What is in <image 1>?",
+            "options": str(options or ["cat", "dog", "bird", "fish"]),
+            "question_type": "multiple-choice", "answer": answer,
+            "image_1": "img.jpg"}
+
+
+def test_construct_prompt_mc_and_open():
+    # utils.py:44-53: options is a STRINGIFIED list
+    t = construct_prompt(_mc_doc())
+    assert t == ("What is in <image 1>?\nA. cat\nB. dog\nC. bird\nD. fish"
+                 "\n\nAnswer with the option's letter from the given "
+                 "choices directly.")
+    open_doc = {"id": "validation_Math_2", "question": "Compute x.",
+                "question_type": "open", "answer": "3"}
+    assert construct_prompt(open_doc) == (
+        "Compute x.\n\nAnswer the question using a single word or phrase.")
+
+
+def test_doc_to_visual_sorted_unique_slots(tmp_path):
+    from PIL import Image
+    import numpy as np
+
+    for n in ("i1.png", "i2.png"):
+        Image.fromarray(np.zeros((8, 8, 3), "uint8")).save(tmp_path / n)
+    doc = {"id": "validation_Art_1",
+           "question": "Compare <image 2> and <image 1> and <image 2>.",
+           "options": "['a', 'b']", "question_type": "multiple-choice",
+           "image_1": "i1.png", "image_2": "i2.png"}
+    paths = doc_to_visual(doc, data_root=str(tmp_path))
+    assert [p.split("/")[-1] for p in paths] == ["i1.png", "i2.png"]
+
+
+def test_extract_subset_name():
+    assert extract_subset_name("validation_Art_Theory_12") == "Art_Theory"
+    assert extract_subset_name("test_Clinical_Medicine_3") == \
+        "Clinical_Medicine"
+    with pytest.raises(ValueError):
+        extract_subset_name("garbage")
+
+
+def test_parse_multi_choice_response_rules():
+    i2a = {"A": "cat", "B": "dog", "C": "bird", "D": "fish"}
+    ch = list("ABCD")
+    # bracketed wins (utils.py:286-289)
+    assert parse_multi_choice_response("It is (C) I think", ch, i2a) == "C"
+    # bare letter with trailing space
+    assert parse_multi_choice_response("B is correct", ch, i2a) == "B"
+    # letter-dot
+    assert parse_multi_choice_response("B.", ch, i2a) == "B"
+    # content match only when response > 5 tokens (utils.py:302)
+    assert parse_multi_choice_response(
+        "the animal shown is clearly a dog", ch, i2a) == "B"
+    # multi-candidate -> last occurrence (utils.py:310-327)
+    assert parse_multi_choice_response("(A) no wait (D)", ch, i2a) == "D"
+    # unparseable -> deterministic fallback letter
+    a = parse_multi_choice_response("hmm", ch, i2a, doc_id="x")
+    assert a in ch and a == parse_multi_choice_response("hmm", ch, i2a,
+                                                        doc_id="x")
+
+
+def test_extract_numbers_and_normalize():
+    # utils.py:334-355 — note the simple-number pattern has no lookbehind,
+    # so fragments of the comma/scientific forms leak through ("234" from
+    # "1,234", "5" and "3" from "5.6e3"); reference-faithful.
+    assert extract_numbers("costs 1,234 or 5.6e3 or 7.89") == \
+        ["1,234", "5.6e3", "234", "5", "3", "7.89"]
+    assert normalize_str("1,234") == [1234.0]
+    assert normalize_str("3.14159") == [3.14]
+    assert normalize_str("Paris") == ["paris"]
+    # single chars are space-padded to avoid trivial containment
+    assert normalize_str("x") == [" x", "x "]
+
+
+def test_parse_open_response_and_eval():
+    # indicator tail extraction: "answer " picks the shortest tail
+    preds = parse_open_response("The answer is 42.")
+    assert 42.0 in preds
+    assert eval_open("42", preds)
+    assert eval_open(["41", "42"], preds)
+    assert not eval_open("43", preds)
+    # string containment on normalized text
+    preds = parse_open_response("Thus the capital is Paris")
+    assert eval_open("paris", preds)
+
+
+def test_process_results_and_aggregate():
+    recs = [
+        process_results(_mc_doc("validation_Art_1", answer="B"), "(B)"),
+        process_results(_mc_doc("validation_Art_2", answer="A"), "(B)"),
+        process_results(
+            {"id": "validation_Math_3", "question": "x?",
+             "question_type": "open", "answer": "7"}, "x is 7"),
+    ]
+    out = aggregate(recs)
+    assert out["mmmu_acc"] == pytest.approx(round(2 / 3, 5))
+    assert out["mmmu_Art and Design"] == 0.5
+    assert out["mmmu_Science"] == 1.0
+    assert out["mmmu_Art"] == 0.5
+    assert out["mmmu_Math"] == 1.0
+
+
+def test_registration():
+    for name in ("mmmu_val", "mmmu_test"):
+        t = TASK_REGISTRY[name]
+        assert t.media is not None and t.media.embedded
+    assert TASK_REGISTRY["mmmu_test"].aggregate([{"id": 1}]) == {
+        "submission_rows": 1.0}
+    assert TASK_REGISTRY["mmmu_val"].generation_kwargs[
+        "max_new_tokens"] == 16

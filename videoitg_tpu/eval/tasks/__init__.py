@@ -17,6 +17,7 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     mlvu,
     mmbench,
     mme,
+    mmmu,
     mmstar,
     mmworld,
     moviechat,
@@ -146,3 +147,4 @@ _attach_media(_embedded("lmms-lab/MMBench"),
               *[t for t in TASK_REGISTRY if t.startswith("mmbench_")
                 and not t.startswith("mmbench_ru")])
 _attach_media(_embedded("deepvk/MMBench-ru"), "mmbench_ru_dev")
+_attach_media(_embedded("lmms-lab/MMMU"), "mmmu_val", "mmmu_test")
