@@ -403,9 +403,10 @@ def test_image_groups_registered():
     from videoitg_tpu.eval.api import GROUP_REGISTRY
 
     assert GROUP_REGISTRY["image_bench"] == ["ai2d", "chartqa", "docvqa_val",
-                                             "infovqa_val", "mme", "mmstar",
-                                             "pope", "realworldqa",
-                                             "scienceqa_img", "seedbench"]
+                                             "gqa", "infovqa_val", "mme",
+                                             "mmstar", "ocrbench", "pope",
+                                             "realworldqa", "scienceqa_img",
+                                             "seedbench", "textvqa_val"]
     assert GROUP_REGISTRY["pope_full"] == ["pope_adv", "pope_pop",
                                            "pope_random"]
 
@@ -416,3 +417,148 @@ def test_image_frames_shape(image_root):
         0, os.path.join(image_root, "images", "img0.jpg"))
     assert frames.shape == (1, 40, 56, 3) and frames.dtype == np.uint8
     assert ids == [0]
+
+
+# --- TextVQA / GQA / OCRBench (round-4 batch 2) ------------------------------
+
+
+def test_vqa_normalize_evalai_rules():
+    """lmms_eval/tasks/_task_utils/vqa_eval_metric.py semantics."""
+    from videoitg_tpu.eval.vqa_answer import vqa_normalize
+
+    assert vqa_normalize("A dog.") == "dog"            # article + period
+    assert vqa_normalize("Two") == "2"                 # number words
+    assert vqa_normalize("isnt") == "isn't"            # contraction canon
+    assert vqa_normalize("the  cat,") == "cat"         # comma via tokenize
+    assert vqa_normalize("3.5") == "3.5"               # decimal period kept
+    assert vqa_normalize("1,000") == "1000"            # digit comma strip
+    assert vqa_normalize("dog's") == "dog 's"          # 's split
+    # punctuation embedded in a word becomes a space; adjacent to a space
+    # it is deleted (the original space survives the replace)
+    assert vqa_normalize("semi;colon") == "semi colon"
+    assert vqa_normalize("semi; colon") == "semi colon"
+    assert vqa_normalize("yes;") == "yes"
+
+
+@pytest.mark.skipif(not os.path.exists(
+    "/root/reference/lmms_eval/tasks/_task_utils/vqa_eval_metric.py"),
+    reason="reference checkout not present")
+def test_vqa_normalize_matches_reference_fuzz():
+    """Randomized parity vs the vendored EvalAIAnswerProcessor (the same
+    oracle pattern as the sacrebleu cross-check in test_metrics.py)."""
+    import importlib.util
+    import random
+    import string
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_vqa",
+        "/root/reference/lmms_eval/tasks/_task_utils/vqa_eval_metric.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+    from videoitg_tpu.eval.vqa_answer import vqa_normalize
+
+    proc = ref.EvalAIAnswerProcessor()
+    rng = random.Random(42)
+    vocab = ["two", "dogs", "a", "the", "an", "isnt", "dont", "yall",
+             "none", "1,000", "3.5", "it's", "somebody'd", "o'clock",
+             "ten", "Yes."]
+    alphabet = string.ascii_letters + "0123456789;/[]\"{}()=+\\_-><@`,?!. '"
+    for _ in range(500):
+        parts = []
+        for _ in range(rng.randint(1, 8)):
+            if rng.random() < 0.6:
+                parts.append(rng.choice(vocab))
+            else:
+                parts.append("".join(rng.choice(alphabet)
+                                     for _ in range(rng.randint(1, 7))))
+        s = (" " if rng.random() < 0.5 else "").join(parts)
+        assert proc(s) == vqa_normalize(s), repr(s)
+
+
+def test_vqa_accuracy_leave_one_out():
+    """textvqa/utils.py:19-36 — min(1, matches/3) averaged per annotator."""
+    from videoitg_tpu.eval.vqa_answer import vqa_accuracy
+
+    answers = ["cat"] * 3 + ["dog"] * 7
+    # each "cat" annotator sees 2 other cats -> 2/3; each dog sees all
+    # 3 -> min(1, 3/3) = 1.0
+    acc = vqa_accuracy("cat", answers)
+    assert acc == pytest.approx((3 * (2 / 3) + 7 * 1.0) / 10)
+    assert vqa_accuracy("bird", answers) == 0.0
+    # normalization applies to both sides
+    assert vqa_accuracy("A cat.", ["cat"] * 10) == 1.0
+    assert vqa_accuracy("x", []) == 0.0
+
+
+def test_textvqa_task():
+    t = get_task("textvqa_val")
+    doc = {"question_id": 11, "question": "what does the sign say?",
+           "answers": ["stop"] * 10, "image": "i.jpg",
+           "ocr_tokens": ["STOP"]}
+    # prompt: capitalized question + default suffix (utils.py:47-59)
+    assert t.doc_to_text(doc) == ("What does the sign say?\n"
+                                  "Answer the question using a single word "
+                                  "or phrase.")
+    # ocr variant injects the token line before the post prompt
+    assert "Reference OCR token: STOP" in t.doc_to_text(doc, ocr=True)
+    r = t.process_results(doc, "Stop.")
+    assert r["exact_match"] == 1.0 and r["pred"] == "stop"
+    assert t.aggregate([r]) == {"textvqa_exact_match": 1.0}
+    # submission-only test split: normalized pred rides samples.jsonl
+    tt = get_task("textvqa_test")
+    rr = tt.process_results({"question_id": 5, "question": "q",
+                             "image": "i.jpg"}, "An apple.")
+    assert rr["pred"] == "apple" and rr["exact_match"] == 0.0
+    assert tt.aggregate([rr]) == {"submission_rows": 1.0}
+    assert t.generation_kwargs["until"] == ["ASSISTANT:"]
+
+
+def test_gqa_task(tmp_path):
+    t = get_task("gqa")
+    doc = {"id": "q1", "question": "What color is the car?",
+           "answer": "dark blue", "imageId": "n100"}
+    assert t.doc_to_text(doc).endswith("single word or phrase.")
+    # exact_match with ignore_case + ignore_punctuation (gqa.yaml:17-21)
+    assert t.process_results(doc, "Dark Blue!")["exact_match"] == 1.0
+    assert t.process_results(doc, "blue")["exact_match"] == 0.0
+    agg = t.aggregate([t.process_results(doc, "dark blue"),
+                       t.process_results(doc, "red")])
+    assert agg == {"gqa_exact_match": 0.5}
+    # visual join by imageId under data_root/images (utils.py:7-16 join)
+    imgdir = tmp_path / "images"
+    imgdir.mkdir()
+    (imgdir / "n100.jpg").write_bytes(b"\xff\xd8")
+    assert t.doc_to_visual(doc, data_root=str(tmp_path)).endswith("n100.jpg")
+    # pre-joined rows carry an explicit image path
+    (tmp_path / "x.jpg").write_bytes(b"\xff\xd8")
+    assert t.doc_to_visual({"image": "x.jpg", "imageId": "n100"},
+                           data_root=str(tmp_path)).endswith("x.jpg")
+
+
+def test_ocrbench_scoring_and_rollup():
+    from videoitg_tpu.eval.tasks.ocrbench import score_response
+
+    t = get_task("ocrbench")
+    # containment, case-folded (utils.py:49-58)
+    assert score_response("The text reads HELLO world", "hello", "STVQA") == 1
+    assert score_response("goodbye", "hello", "STVQA") == 0
+    # list-valued golds: any match counts
+    assert score_response("b", ["a", "b"], "STVQA") == 1
+    # HME100k drops all whitespace on both sides...
+    assert score_response("x ^ 2 + 1", "x^2+1", "HME100k") == 1
+    # ...and (bug-for-bug) never lowercases the gold there
+    assert score_response("x+y", "X+Y", "HME100k") == 0
+    assert score_response("x+y", "X+Y", "STVQA") == 1
+
+    recs = [{"question_type": "Regular Text Recognition", "score": 1},
+            {"question_type": "Doc-oriented VQA", "score": 1},
+            {"question_type": "Doc-oriented VQA", "score": 0},
+            {"question_type":
+             "Handwritten Mathematical Expression Recognition", "score": 1}]
+    agg = t.aggregate(recs)
+    assert agg["ocrbench_final_score"] == 3.0
+    assert agg["ocrbench_accuracy"] == pytest.approx(0.003)
+    assert agg["ocrbench_text_recognition"] == 1.0
+    assert agg["ocrbench_doc_oriented_vqa"] == 1.0
+    assert agg["ocrbench_hmer"] == 1.0
+    assert t.primary_metric == "ocrbench_accuracy"

@@ -12,6 +12,7 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     docvqa,
     egoschema,
     funqa,
+    gqa,
     longvideobench,
     mix_evals,
     mlvu,
@@ -23,6 +24,7 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     moviechat,
     mvbench,
     nextqa,
+    ocrbench,
     perceptiontest,
     pope,
     realworldqa,
@@ -30,6 +32,7 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     seedbench,
     tempcompass,
     temporalbench,
+    textvqa,
     vatex,
     vdc,
     video_detail_description,
@@ -50,9 +53,9 @@ register_group("videoitg_bench", [
 # videos) — validates stage-2 image-SFT checkpoints without leaving the
 # framework.
 register_group("image_bench",
-               ["ai2d", "chartqa", "docvqa_val", "infovqa_val", "mme",
-                "mmstar", "pope", "realworldqa", "scienceqa_img",
-                "seedbench"])
+               ["ai2d", "chartqa", "docvqa_val", "gqa", "infovqa_val",
+                "mme", "mmstar", "ocrbench", "pope", "realworldqa",
+                "scienceqa_img", "seedbench", "textvqa_val"])
 
 # POPE split variants mirror the reference's pope_full group
 # (pope_adv/pop/random yamls).
@@ -148,3 +151,6 @@ _attach_media(_embedded("lmms-lab/MMBench"),
                 and not t.startswith("mmbench_ru")])
 _attach_media(_embedded("deepvk/MMBench-ru"), "mmbench_ru_dev")
 _attach_media(_embedded("lmms-lab/MMMU"), "mmmu_val", "mmmu_test")
+_attach_media(_embedded("lmms-lab/textvqa"), "textvqa_val", "textvqa_test")
+_attach_media(_embedded("lmms-lab/GQA"), "gqa")
+_attach_media(_embedded("echo840/OCRBench"), "ocrbench")
