@@ -562,3 +562,139 @@ def test_ocrbench_scoring_and_rollup():
     assert agg["ocrbench_doc_oriented_vqa"] == 1.0
     assert agg["ocrbench_hmer"] == 1.0
     assert t.primary_metric == "ocrbench_accuracy"
+
+
+# --- VQAv2 / OK-VQA / VizWiz / ST-VQA (round-4 batch 3) ----------------------
+
+
+def test_vqav2_accuracy_variant_quirks():
+    """vqav2/utils.py:17-51 — the conditional second pass and
+    dict-inequality exclusion."""
+    from videoitg_tpu.eval.vqa_answer import vqa_accuracy_v2
+
+    # unanimous gold skips normalization: uppercase gold never matches
+    acc, res = vqa_accuracy_v2("yes", [{"answer": "YES"}] * 10)
+    assert acc == 0.0 and res == "yes"
+    # disagreement triggers the punct+digit pass (which lowercases);
+    # with realistic rows (distinct answer_id) every annotator matches
+    acc, _ = vqa_accuracy_v2(
+        "yes", [{"answer": "YES", "answer_id": i} for i in range(9)]
+        + [{"answer": "no", "answer_id": 9}])
+    assert acc == 1.0
+    # minimal rows (answer only): the 9 normalized-equal "yes" dicts all
+    # drop out of each other's leave-one-out -> 0 matches for them
+    acc, _ = vqa_accuracy_v2("yes", [{"answer": "YES"}] * 9
+                             + [{"answer": "no"}])
+    assert acc == pytest.approx(0.1)
+    # dict-equal rows drop out together in the leave-one-out
+    acc_dup, _ = vqa_accuracy_v2("cat", [{"answer": "cat"}] * 3
+                                 + [{"answer": "dog", "answer_id": i}
+                                    for i in range(7)])
+    # every "cat" row excludes ALL 3 cat rows -> sees 0 matches; dogs see 3
+    assert acc_dup == pytest.approx(7 * 1.0 / 10)
+    assert vqa_accuracy_v2("x", [])[0] == 0.0
+
+
+@pytest.mark.skipif(not os.path.exists(
+    "/root/reference/lmms_eval/tasks/vqav2/utils.py"),
+    reason="reference checkout not present")
+def test_vqav2_accuracy_matches_reference_fuzz():
+    """Randomized parity vs the vendored vqav2_process_results (loguru +
+    file_utils stubbed; the real EvalAIAnswerProcessor is loaded)."""
+    import copy
+    import importlib.util
+    import random
+    import sys
+    import types
+
+    def _stub(name, **attrs):
+        m = types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        sys.modules.setdefault(name, m)
+
+    _stub("loguru", logger=types.SimpleNamespace(
+        info=lambda *a, **k: None))
+    for pkg in ("lmms_eval", "lmms_eval.tasks", "lmms_eval.tasks._task_utils"):
+        _stub(pkg)
+    _stub("lmms_eval.tasks._task_utils.file_utils",
+          generate_submission_file=lambda *a, **k: "/tmp/x.json")
+    spec = importlib.util.spec_from_file_location(
+        "lmms_eval.tasks._task_utils.vqa_eval_metric",
+        "/root/reference/lmms_eval/tasks/_task_utils/vqa_eval_metric.py")
+    vm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(vm)
+    sys.modules["lmms_eval.tasks._task_utils.vqa_eval_metric"] = vm
+    spec2 = importlib.util.spec_from_file_location(
+        "ref_vqav2", "/root/reference/lmms_eval/tasks/vqav2/utils.py")
+    ref = importlib.util.module_from_spec(spec2)
+    spec2.loader.exec_module(ref)
+
+    from videoitg_tpu.eval.vqa_answer import vqa_accuracy_v2
+
+    rng = random.Random(7)
+    vocab = ["two", "dogs", "a", "the", "isnt", "none", "1,000", "3.5",
+             "Yes.", "YES", "stop sign", "unanswerable"]
+    for i in range(300):
+        answers = [{"answer": rng.choice(vocab),
+                    "answer_id": j if rng.random() < 0.8 else 0}
+                   for j in range(rng.randint(1, 10))]
+        pred = rng.choice(vocab) + ("" if rng.random() < 0.7 else " x.")
+        r = ref.vqav2_process_results(
+            {"question_id": i, "answers": copy.deepcopy(answers)}, [pred])
+        acc, res = vqa_accuracy_v2(pred, answers)
+        assert r["exact_match"] == pytest.approx(acc), (pred, answers)
+        assert r["submission"]["answer"] == res
+
+
+def test_vqav2_tasks_registered():
+    t = get_task("vqav2_val")
+    doc = {"question_id": 1, "question": "what animal?", "image": "i.jpg",
+           "answers": [{"answer": "dog"}] * 6
+           + [{"answer": "a dog", "answer_id": i} for i in range(4)]}
+    r = t.process_results(doc, "Dog")
+    assert r["exact_match"] == 1.0 and r["pred"] == "dog"
+    assert t.aggregate([r]) == {"vqav2_exact_match": 1.0}
+    tt = get_task("vqav2_test")
+    assert tt.aggregate([tt.process_results(
+        {"question_id": 2, "question": "q", "image": "i.jpg"}, "x")]) == \
+        {"submission_rows": 1.0}
+
+
+def test_ok_vqa_and_vizwiz_tasks():
+    ok = get_task("ok_vqa_val2014")
+    doc = {"question_id": 9, "question": "what brand?",
+           "answers": ["nike"] * 10, "image": "i.jpg"}
+    assert "Unanswerable" in ok.doc_to_text(doc)
+    r = ok.process_results(doc, "Nike.")
+    assert r["exact_match"] == 1.0 and r["image"] == "9.jpg"
+    assert ok.aggregate([r]) == {"ok_vqa_exact_match": 1.0}
+    assert ok.generation_kwargs["until"] == ["ASSISTANT:"]
+
+    vw = get_task("vizwiz_vqa_val")
+    doc = {"question_id": 3, "question": "what is this?",
+           "answers": ["soda can"] * 10, "image": "i.jpg"}
+    # vizwiz capitalizes the question (utils.py:60)
+    assert vw.doc_to_text(doc).startswith("What is this?")
+    assert vw.process_results(doc, "a soda can")["exact_match"] == 1.0
+    assert get_task("vizwiz_vqa_test").aggregate([]) == \
+        {"submission_rows": 0.0}
+
+
+def test_stvqa_submission_rows():
+    t = get_task("stvqa")
+    r = t.process_results({"question_id": "77", "question": "q",
+                           "image": "i.jpg"}, "Main St.")
+    # raw response, int-cast id (stvqa/utils.py:19-21)
+    assert r == {"question_id": 77, "answer": "Main St."}
+    assert t.aggregate([r]) == {"submission_rows": 1.0}
+
+
+def test_vqa_groups():
+    from videoitg_tpu.eval.api import GROUP_REGISTRY
+
+    assert GROUP_REGISTRY["vqav2"] == ["vqav2_val", "vqav2_test"]
+    assert GROUP_REGISTRY["vqa_bench"] == ["textvqa_val", "vqav2_val",
+                                           "ok_vqa_val2014",
+                                           "vizwiz_vqa_val", "gqa",
+                                           "ocrbench"]

@@ -25,11 +25,13 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     mvbench,
     nextqa,
     ocrbench,
+    ok_vqa,
     perceptiontest,
     pope,
     realworldqa,
     scienceqa,
     seedbench,
+    stvqa,
     tempcompass,
     temporalbench,
     textvqa,
@@ -40,6 +42,8 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     videomme,
     vinoground,
     vitatecs,
+    vizwiz_vqa,
+    vqav2,
     worldqa,
     youcook2,
 )
@@ -60,6 +64,12 @@ register_group("image_bench",
 # POPE split variants mirror the reference's pope_full group
 # (pope_adv/pop/random yamls).
 register_group("pope_full", ["pope_adv", "pope_pop", "pope_random"])
+
+# The VQA-accuracy family (EvalAI normalizer); vqav2 mirrors the
+# reference's _vqav2.yaml group (val + test).
+register_group("vqav2", ["vqav2_val", "vqav2_test"])
+register_group("vqa_bench", ["textvqa_val", "vqav2_val", "ok_vqa_val2014",
+                             "vizwiz_vqa_val", "gqa", "ocrbench"])
 
 # ---------------------------------------------------------------------------
 # Hub media specs (reference dataset_kwargs: dataset_path + cache_dir per
@@ -154,3 +164,8 @@ _attach_media(_embedded("lmms-lab/MMMU"), "mmmu_val", "mmmu_test")
 _attach_media(_embedded("lmms-lab/textvqa"), "textvqa_val", "textvqa_test")
 _attach_media(_embedded("lmms-lab/GQA"), "gqa")
 _attach_media(_embedded("echo840/OCRBench"), "ocrbench")
+_attach_media(_embedded("lmms-lab/VQAv2"), "vqav2_val", "vqav2_test")
+_attach_media(_embedded("lmms-lab/OK-VQA"), "ok_vqa_val2014")
+_attach_media(_embedded("lmms-lab/VizWiz-VQA"),
+              "vizwiz_vqa_val", "vizwiz_vqa_test")
+_attach_media(_embedded("lmms-lab/ST-VQA"), "stvqa")

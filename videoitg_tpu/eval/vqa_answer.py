@@ -142,6 +142,44 @@ def vqa_normalize(item: str) -> str:
     return item
 
 
+def vqa_accuracy_v2(prediction: str, answer_dicts) -> tuple:
+    """VQAv2's variant of the leave-one-out accuracy
+    (vqav2/utils.py:17-51), which differs from textvqa/ok_vqa/vizwiz in
+    three replicated ways:
+
+    - gold answers only get whitespace-flattened up front; the
+      punctuation + digit/article passes apply to them (and AGAIN to the
+      already-processed prediction) ONLY when the annotators disagree
+      (``len(set(answers)) > 1``). A unanimous uppercase gold therefore
+      never matches the lowercased prediction — kept bug-for-bug.
+    - the leave-one-out excludes by DICT inequality (``item !=
+      gtAnsDatum``), so annotator rows that are equal as dicts drop out
+      together (real VQAv2 rows differ by answer_id; minimal dicts
+      don't) — kept bug-for-bug.
+    - the submission payload carries the final (possibly double-passed)
+      normalized prediction.
+
+    Takes the doc's ``answers`` list of dicts (each with an "answer"
+    key); returns (accuracy, normalized_prediction).
+    """
+    res = vqa_normalize(prediction)
+    if not answer_dicts:
+        return 0.0, res
+    rows = [{**d, "answer": d["answer"].replace("\n", " ")
+             .replace("\t", " ").strip()} for d in answer_dicts]
+    if len({d["answer"] for d in rows}) > 1:
+        for d in rows:
+            d["answer"] = _process_digit_article(
+                _process_punctuation(d["answer"]))
+        res = _process_digit_article(_process_punctuation(res))
+    gt_acc = []
+    for gt in rows:
+        others = [d for d in rows if d != gt]
+        matching = sum(1 for d in others if d["answer"] == res)
+        gt_acc.append(min(1.0, matching / 3.0))
+    return statistics.mean(gt_acc), res
+
+
 def vqa_accuracy(prediction: str, answers: Sequence[str]) -> float:
     """Official VQA leave-one-out accuracy over (typically 10) annotator
     answers: for each annotator, the prediction scores min(1, #matches
