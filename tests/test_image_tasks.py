@@ -698,3 +698,73 @@ def test_vqa_groups():
                                            "ok_vqa_val2014",
                                            "vizwiz_vqa_val", "gqa",
                                            "ocrbench"]
+
+
+# --- Captioning family (round-4 batch 4) -------------------------------------
+
+
+def test_captioning_family_registration():
+    for name in ("coco2014_cap_val", "coco2014_cap_test", "coco2017_cap_val",
+                 "coco2017_cap_test", "nocaps_val", "nocaps_test",
+                 "textcaps_val", "textcaps_test", "flickr30k_test"):
+        assert get_task(name) is not None, name
+    from videoitg_tpu.eval.api import GROUP_REGISTRY
+
+    assert GROUP_REGISTRY["coco_cap"] == ["coco2014_cap_val",
+                                          "coco2014_cap_test",
+                                          "coco2017_cap_val",
+                                          "coco2017_cap_test"]
+
+
+def test_coco_caption_scoring_end_metrics():
+    t = get_task("coco2014_cap_val")
+    assert t.doc_to_text({}) == ("Provide a one-sentence caption for the "
+                                 "provided image.")
+    doc = {"question_id": "COCO_val2014_000000391895.jpg",
+           "answer": ["a man riding a bike", "man rides a red bike"],
+           "image": "i.jpg"}
+    r = t.process_results(doc, "a man riding a bike")
+    # filename-style question_id parses to the numeric id
+    # (coco_cap/utils.py:33-35)
+    assert r["image_id"] == 391895
+    doc2 = {"question_id": "COCO_val2014_000000000042.jpg",
+            "answer": ["two cats sleeping on a couch"], "image": "j.jpg"}
+    r2 = t.process_results(doc2, "two cats sleeping on a couch")
+    agg = t.aggregate([r, r2])
+    assert agg["coco2014_cap_Bleu_1"] == pytest.approx(1.0)
+    # CIDEr needs corpus-level idf: a 1-doc corpus scores 0 by definition
+    assert agg["coco2014_cap_CIDEr"] > 0
+    assert t.primary_metric == "coco2014_cap_CIDEr"
+    # test split is submission-only passthrough
+    tt = get_task("coco2014_cap_test")
+    rr = tt.process_results(doc, "whatever caption")
+    assert rr == {"image_id": 391895, "pred": "whatever caption"}
+    assert tt.aggregate([rr]) == {"submission_rows": 1.0}
+
+
+def test_nocaps_textcaps_flickr_field_mapping():
+    nv = get_task("nocaps_val")
+    r = nv.process_results({"image_id": 5, "image": "i.jpg",
+                            "annotations_captions": ["a dog", "the dog"]},
+                           "a dog")
+    assert r["image_id"] == 5 and r["answer"] == ["a dog", "the dog"]
+    assert nv.aggregate([r])["nocaps_Bleu_1"] == pytest.approx(1.0)
+
+    tc = get_task("textcaps_val")
+    r = tc.process_results({"image_id": "abc", "image": "i.jpg",
+                            "caption_str": ["sign says stop"]},
+                           "sign says stop")
+    # textcaps keeps the raw (string) image_id (utils.py:52, no int cast)
+    assert r["image_id"] == "abc"
+
+    fl = get_task("flickr30k_test")
+    r = fl.process_results({"img_id": "42", "image": "i.jpg",
+                            "caption": ["kids playing soccer"]},
+                           "kids playing soccer")
+    assert r["image_id"] == 42  # int cast (flickr30k/utils.py:35)
+    r2 = fl.process_results({"img_id": "43", "image": "j.jpg",
+                             "caption": ["a red barn in a field"]},
+                            "a red barn in a field")
+    agg = fl.aggregate([r, r2])
+    assert agg["flickr_CIDEr"] > 0
+    assert fl.primary_metric == "flickr_CIDEr"

@@ -4,6 +4,7 @@ from videoitg_tpu.eval.api import register_group
 from videoitg_tpu.eval.tasks import (  # noqa: F401
     activitynetqa,
     ai2d,
+    captioning,
     cgbench,
     chartqa,
     cinepile,
@@ -70,6 +71,13 @@ register_group("pope_full", ["pope_adv", "pope_pop", "pope_random"])
 register_group("vqav2", ["vqav2_val", "vqav2_test"])
 register_group("vqa_bench", ["textvqa_val", "vqav2_val", "ok_vqa_val2014",
                              "vizwiz_vqa_val", "gqa", "ocrbench"])
+
+# Captioning family; coco_cap mirrors the reference's coco_cap.yaml group.
+register_group("coco_cap", ["coco2014_cap_val", "coco2014_cap_test",
+                            "coco2017_cap_val", "coco2017_cap_test"])
+register_group("caption_bench", ["coco2014_cap_val", "coco2017_cap_val",
+                                 "nocaps_val", "textcaps_val",
+                                 "flickr30k_test"])
 
 # ---------------------------------------------------------------------------
 # Hub media specs (reference dataset_kwargs: dataset_path + cache_dir per
@@ -169,3 +177,11 @@ _attach_media(_embedded("lmms-lab/OK-VQA"), "ok_vqa_val2014")
 _attach_media(_embedded("lmms-lab/VizWiz-VQA"),
               "vizwiz_vqa_val", "vizwiz_vqa_test")
 _attach_media(_embedded("lmms-lab/ST-VQA"), "stvqa")
+_attach_media(_embedded("lmms-lab/COCO-Caption"),
+              "coco2014_cap_val", "coco2014_cap_test")
+_attach_media(_embedded("lmms-lab/COCO-Caption2017"),
+              "coco2017_cap_val", "coco2017_cap_test")
+_attach_media(_embedded("lmms-lab/NoCaps"), "nocaps_val", "nocaps_test")
+_attach_media(_embedded("lmms-lab/TextCaps"),
+              "textcaps_val", "textcaps_test")
+_attach_media(_embedded("lmms-lab/flickr30k"), "flickr30k_test")
