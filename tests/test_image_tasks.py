@@ -768,3 +768,151 @@ def test_nocaps_textcaps_flickr_field_mapping():
     agg = fl.aggregate([r, r2])
     assert agg["flickr_CIDEr"] > 0
     assert fl.primary_metric == "flickr_CIDEr"
+
+
+# ---------------------------------------------------------------------------
+# MathVista (tasks/mathvista.py vs mathvista_evals.py + the 4 yamls)
+# ---------------------------------------------------------------------------
+
+def _mv_doc(**kw):
+    d = {"pid": "1", "question": "Which number is missing?",
+         "query": "Hint: ...\nQuestion: Which number is missing?",
+         "choices": [], "unit": "", "precision": 0,
+         "question_type": "free_form", "answer_type": "integer",
+         "answer": "14", "image": "img.jpg",
+         "metadata": {"task": "math word problem", "language": "english",
+                      "source": "iconqa", "category": "general-vqa",
+                      "context": "abstract scene", "grade": "elementary",
+                      "skills": ["arithmetic"]}}
+    d.update(kw)
+    return d
+
+
+def test_mathvista_create_one_query_variants():
+    from videoitg_tpu.eval.tasks.mathvista import create_one_query
+
+    mc = {"question": "What fraction is blue?", "unit": "",
+          "choices": ["3/11", "8/11"], "precision": 0,
+          "question_type": "multi_choice", "answer_type": "text"}
+    # solution shot_type (mathvista_evals.py:437-441 + 549-551)
+    q = create_one_query(mc, "solution")
+    assert q == ("Question: What fraction is blue?\n"
+                 "Choices:\n(A) 3/11\n(B) 8/11\n"
+                 "Hint: Please answer the question and provide the correct "
+                 "option letter, e.g., A, B, C, D, at the end.\n"
+                 "Solution:")  # .strip() eats the trailing space
+    # format-prompt: bare question, "A. x" options, no "Solution:" cue
+    q = create_one_query(mc, "format-prompt")
+    assert q == ("What fraction is blue?\nA. 3/11\nB. 8/11\n"
+                 "Answer with the option's letter from the given choices "
+                 "directly.")
+    # step-by-step shares solution hints but drops the cue
+    q = create_one_query(mc, "step-by-step")
+    assert q.endswith("at the end.") and "Solution:" not in q
+    # reason-first puts the hint FIRST (mathvista_evals.py:564-566)
+    ff = {"question": "How much money?", "unit": "$", "choices": [],
+          "precision": 2, "question_type": "free_form",
+          "answer_type": "float"}
+    q = create_one_query(ff, "reason-first")
+    assert q.startswith("First perform reasoning")
+    assert "Question: How much money? (Unit: $)" in q
+    assert "two decimal places" in q
+
+
+def test_mathvista_extract_and_normalize():
+    from videoitg_tpu.eval.tasks.mathvista import (
+        extract_answer, get_most_similar, normalize_extracted_answer,
+        safe_equal)
+
+    mc = {"question_type": "multi_choice", "answer_type": "text",
+          "choices": ["3/11", "8/11"], "query": "q"}
+    # direct membership short-circuit (mathvista_evals.py:240-241)
+    assert extract_answer("8/11", mc) == "8/11"
+    ff_int = {"question_type": "free_form", "answer_type": "integer",
+              "choices": [], "query": "q"}
+    assert extract_answer("14", ff_int) == "14"
+    ff_f = {"question_type": "free_form", "answer_type": "float",
+            "choices": [], "query": "q"}
+    assert extract_answer("1.45", ff_f) == "1.45"
+    # quick-extract regex
+    assert extract_answer('bla The answer is "42". bla', ff_int,
+                          quick_extract=True) == "42"
+
+    # normalize: "(B)" letter pull -> option text
+    assert normalize_extracted_answer("(B) 8/11", ["3/11", "8/11"],
+                                      "multi_choice", "text", 0) == "8/11"
+    assert normalize_extracted_answer("B", ["3/11", "8/11"],
+                                      "multi_choice", "text", 0) == "8/11"
+    # not a letter -> Levenshtein most-similar
+    assert normalize_extracted_answer("8 / 11", ["3/11", "8/11"],
+                                      "multi_choice", "text", 0) == "8/11"
+    assert get_most_similar("cat", ["cart", "dog"]) == "cart"
+    # int goes through float (mathvista_evals.py:318: int(float(x)))
+    assert normalize_extracted_answer("14.0", [], "free_form",
+                                      "integer", 0) == "14"
+    assert normalize_extracted_answer("1.456", [], "free_form",
+                                      "float", 2) == "1.46"
+    assert normalize_extracted_answer("junk", [], "free_form",
+                                      "float", 2) is None
+    assert safe_equal(" 14 ", "14") and not safe_equal("14", "15")
+
+
+def test_mathvista_judge_extraction_standin():
+    """The offline exact-match judge answers the DEMO_PROMPT extraction
+    call deterministically (judge.py _extraction_prompt)."""
+    from videoitg_tpu.eval.judge import ExactMatchJudge
+    from videoitg_tpu.eval.tasks.mathvista import DEMO_PROMPT
+
+    j = ExactMatchJudge()
+
+    def ask(query, response):
+        p = f"{DEMO_PROMPT.strip()}\n\n{query}\n\n{response}\n\nExtracted answer: "
+        return j([{"role": "user", "content": p}])
+
+    assert ask("Question: q", "The missing number is 14.") == "14"
+    assert ask("Question: q", "Reasoning...\n\nThe correct answer is (B) 8/11.") == "B"
+    assert ask("Question: q", "Answer: 1.45") == "1.45"
+    assert ask("Question: q", "The peak is between [2007, 2008].") == "[2007, 2008]"
+    assert ask("Question: q", "Answer: B") == "B"
+
+
+def test_mathvista_process_and_aggregate():
+    t = get_task("mathvista_testmini_cot")
+    r = t.process_results(_mv_doc(), "After reasoning, Answer: 14")
+    assert r["prediction"] == "14" and r["true_false"] is True
+    assert r["task"] == "math word problem"
+    r2 = t.process_results(
+        _mv_doc(pid="2", question_type="multi_choice", answer_type="text",
+                choices=["red", "blue"], answer="blue",
+                metadata={"task": "figure question answering"}),
+        "The answer is (A) red.")
+    assert r2["prediction"] == "red" and r2["true_false"] is False
+    agg = t.aggregate([r, r2])
+    assert agg["mathvista_accuracy"] == 50.0
+    assert agg["mathvista_question_type_free_form"] == 100.0
+    assert agg["mathvista_task_figure_question_answering"] == 0.0
+    assert t.primary_metric == "mathvista_accuracy"
+
+    # test split: withheld answers -> submission rows only
+    tt = get_task("mathvista_test")
+    rr = tt.process_results(_mv_doc(answer=None), "Answer: 7")
+    assert rr["true_false"] is False
+    assert tt.aggregate([rr]) == {"submission_rows": 1.0}
+
+
+def test_mathvista_registration_and_groups():
+    from videoitg_tpu.eval.api import GROUP_REGISTRY
+
+    for n in ("mathvista_testmini_cot", "mathvista_testmini_solution",
+              "mathvista_testmini_format", "mathvista_test"):
+        assert get_task(n) is not None
+    assert set(GROUP_REGISTRY["mathvista_testmini"]) == {
+        "mathvista_testmini_cot", "mathvista_testmini_solution",
+        "mathvista_testmini_format"}
+    # phi3v override flips to the solution-style prompt (yaml kwargs)
+    t = get_task("mathvista_testmini_format")
+    doc = _mv_doc(choices=["a", "b"], question_type="multi_choice",
+                  answer_type="text")
+    assert "option's letter" in t.doc_to_text(doc)
+    kw = t.prompt_overrides.get("phi3v")
+    assert "Solution:" in t.doc_to_text(doc, **kw)

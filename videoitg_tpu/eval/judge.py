@@ -150,6 +150,36 @@ class ExactMatchJudge(Judge):
                 (self._norm(text) in a or a in self._norm(text))]
         return hits[0] if len(hits) == 1 else "E"
 
+    def _extraction_prompt(self, user: str) -> str:
+        """Emulate the MathVista answer-extraction call (mathvista/
+        mathvista_evals.py:115-140 DEMO_PROMPT + create_test_prompt):
+        the prompt is demo examples + "{query}\\n\\n{response}\\n\\n
+        Extracted answer: ". Deterministic stand-in: read the final
+        response paragraph (the hints instruct models to put the answer
+        "at the end") and pull, in order, an "Answer: xxx" tail, a
+        parenthesised option letter, the last number, else the last
+        line. NOT the reference GPT extractor; divergence documented in
+        the module docstring."""
+        body = user[:user.rfind("Extracted answer:")]
+        # drop the demo bank: everything up to its final exemplar answer
+        demo_end = body.rfind("Extracted answer:")
+        if demo_end != -1:
+            body = body[demo_end:].split("\n", 1)[-1]
+        tail = body.strip().split("\n\n")[-1].strip()
+        m = re.findall(r"Answer:\s*(.+)", tail)
+        if m:
+            tail = m[-1].strip()
+        lm = re.search(r"\(([A-Za-z])\)", tail)
+        if lm:
+            return lm.group(1).upper()
+        listm = re.search(r"\[[^\[\]]*\]", tail)
+        if listm:
+            return listm.group(0)
+        nm = re.findall(r"-?\d+(?:\.\d+)?", tail)
+        if nm and not re.fullmatch(r"[A-Za-z]", tail.strip(" .")):
+            return nm[-1]
+        return tail.splitlines()[-1].strip().rstrip(".") if tail else ""
+
     def _caption_qa(self, user: str) -> str:
         """Emulate the vdc caption-QA generation step (vdc/utils.py:
         201-225): answer a question from a detailed description. Returns
@@ -177,6 +207,8 @@ class ExactMatchJudge(Judge):
             return self._mmbench_match(user)
         if "detailed description:" in user and "question:" in user:
             return self._caption_qa(user)
+        if "extract the answer from the model response" in user:
+            return self._extraction_prompt(user)
         answer = None
         preds = []
         for line in user.splitlines():

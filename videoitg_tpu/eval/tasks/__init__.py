@@ -15,6 +15,7 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     funqa,
     gqa,
     longvideobench,
+    mathvista,
     mix_evals,
     mlvu,
     mmbench,
@@ -61,6 +62,15 @@ register_group("image_bench",
                ["ai2d", "chartqa", "docvqa_val", "gqa", "infovqa_val",
                 "mme", "mmstar", "ocrbench", "pope", "realworldqa",
                 "scienceqa_img", "seedbench", "textvqa_val"])
+
+# MathVista groups mirror mathvista.yaml / mathvista_testmini.yaml.
+register_group("mathvista_testmini", ["mathvista_testmini_cot",
+                                      "mathvista_testmini_solution",
+                                      "mathvista_testmini_format"])
+register_group("mathvista", ["mathvista_testmini_cot",
+                             "mathvista_testmini_solution",
+                             "mathvista_testmini_format",
+                             "mathvista_test"])
 
 # POPE split variants mirror the reference's pope_full group
 # (pope_adv/pop/random yamls).
