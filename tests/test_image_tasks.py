@@ -916,3 +916,97 @@ def test_mathvista_registration_and_groups():
     assert "option's letter" in t.doc_to_text(doc)
     kw = t.prompt_overrides.get("phi3v")
     assert "Solution:" in t.doc_to_text(doc, **kw)
+
+
+# ---------------------------------------------------------------------------
+# MathVerse (tasks/mathverse.py vs mathverse_evals.py + 7 yamls)
+# ---------------------------------------------------------------------------
+
+def test_mathverse_query_builder():
+    from videoitg_tpu.eval.tasks.mathverse import create_one_query
+
+    p = {"question": "Find x.", "query_wo": "plain query", "query_cot":
+         "cot query", "question_type": "multi-choice"}
+    # format-prompt (every vendored yaml) reduces to the prebuilt query
+    assert create_one_query(p, "format-prompt") == "plain query"
+    assert create_one_query(p, "format-prompt",
+                            query_type="query_cot") == "cot query"
+    # custom-prompt: hint by question type, "Question: ..." text
+    hint = {"multi-choice": "Pick a letter.", "free-form": "Answer freely."}
+    assert (create_one_query(p, "custom-prompt", hint=hint)
+            == "Pick a letter.\nQuestion: Find x.")
+    p2 = dict(p, question_type="free-form")
+    assert create_one_query(p2, "custom-prompt", hint=hint).startswith(
+        "Answer freely.")
+    with pytest.raises(ValueError):
+        create_one_query(p, "solution")
+
+
+def test_mathverse_judge_standins():
+    from videoitg_tpu.eval.judge import ExactMatchJudge
+    from videoitg_tpu.eval.tasks.mathverse import (
+        DEMO_PROMPT_EXTRACT, DEMO_PROMPT_SCORE, extract_answer,
+        score_answer)
+
+    j = ExactMatchJudge()
+    # extraction shape
+    p = (f"{DEMO_PROMPT_EXTRACT.strip()}\n\nModel response: 'Therefore "
+         f"the distance is approximately 22.3 meters.'\nExtracted Answer: ")
+    assert j([{"role": "user", "content": p}]) == "22.3"
+    assert extract_answer("The correct option is (D).", judge=j) == "D"
+    assert extract_answer("", judge=j) == ""
+    # consistency shape: exact + containment + miss
+    assert score_answer("q", "C", "C", judge=j) is True
+    assert score_answer("q", "22.3", "approximately 22.3", judge=j) is True
+    assert score_answer("q", "C", "B", judge=j) is False
+    # quick_match bypasses the judge entirely
+    assert score_answer("q", "C", "C", quick_match=True) is True
+    assert score_answer("q", "0.5m", "50cm", quick_match=True) is False
+    # the format slots survive the demo's {{3}} escaping
+    filled = DEMO_PROMPT_SCORE.strip().format(question="Q", gt="G",
+                                              extraction="E")
+    assert "[Standard Answer]: G" in filled and "2√{3}" in filled
+
+
+def test_mathverse_process_and_aggregate():
+    t = get_task("mathverse_testmini_vision_dominant")
+    doc = {"sample_index": "7", "problem_index": "3",
+           "problem_version": "Vision Dominant",
+           "question": "Find x.", "answer": "42",
+           "question_type": "free-form",
+           "query_wo": "Find x directly.", "query_cot": "Think then find x.",
+           "metadata": {"split": "testmini", "subfield": "Plane Geometry"},
+           "image": ""}
+    assert t.doc_to_text(doc) == "Find x.".replace("Find x.",
+                                                   "Find x directly.")
+    # 40-word response: trunk_response keeps the LAST 30 words before
+    # extraction (mathverse_evals.py:301-304)
+    long = " ".join(["word"] * 39 + ["Answer: 42"])
+    r = t.process_results(doc, long)
+    assert r["extraction"] == "42" and r["true_false"] is True
+    assert len(r["prediction"].split(" ")) == 30
+    r2 = t.process_results(dict(doc, sample_index="8", answer="7"),
+                           "Answer: 42")
+    agg = t.aggregate([r, r2])
+    assert agg["mathverse_accuracy"] == 50.0
+    assert agg["mathverse_problem_version_vision_dominant"] == 50.0
+    assert agg["mathverse_subfield_plane_geometry"] == 50.0
+    # withheld answer -> scored False, no judge call
+    r3 = t.process_results(dict(doc, answer=None), "Answer: 42")
+    assert r3["true_false"] is False
+
+
+def test_mathverse_registration_and_visuals():
+    from videoitg_tpu.eval.api import GROUP_REGISTRY
+    from videoitg_tpu.eval.tasks.mathverse import doc_to_visual
+
+    assert len(GROUP_REGISTRY["mathverse"]) == 7
+    for n in GROUP_REGISTRY["mathverse"]:
+        assert get_task(n) is not None
+    # blank image -> no visual (text_only split, utils.py:26-29)
+    assert doc_to_visual({"image": ""}) is None
+    assert doc_to_visual({"image": None}) is None
+    # zero-frame adapter path: text-only docs run end to end
+    a = get_adapter("echo-answer")()
+    frames, ids = a.frames_for_doc("d1", None)
+    assert frames.shape[0] == 0 and ids == []

@@ -132,6 +132,16 @@ class FrameSelectionConsumer(ModelAdapter):
         [N,H,W,3] (the model-side preprocess resizes again anyway —
         divergence from the reference's raw PIL list is bounded to that
         intermediate resample and only occurs for heterogeneous docs)."""
+        if video_path is None or video_path == "" or video_path == []:
+            # Text-only docs (mathverse text_only split: doc_to_visual
+            # returns [] when the image field is blank, mathverse/
+            # utils.py:26-29). Zero frames; chat adapters then build an
+            # image-free prompt.
+            self.last_metadata = {
+                "fps": 0.0, "frames_indices": [], "total_num_frames": 0,
+                "video_backend": "none",
+            }
+            return np.zeros((0, 2, 2, 3), dtype=np.uint8), []
         if isinstance(video_path, (list, tuple)):
             from PIL import Image
 

@@ -180,6 +180,40 @@ class ExactMatchJudge(Judge):
             return nm[-1]
         return tail.splitlines()[-1].strip().rstrip(".") if tail else ""
 
+    def _mathverse_extract(self, user: str) -> str:
+        """Emulate the MathVerse extraction call (mathverse/
+        mathverse_evals.py:178-188: demos + \"Model response: '{r}'\\n
+        Extracted Answer: \"). Same tail heuristic as
+        _extraction_prompt, applied to the quoted model response."""
+        m = re.findall(r"Model response:\s*'(.*?)'\nExtracted [Aa]nswer:",
+                       user, re.S)
+        if not m:
+            return ""
+        tail = m[-1].strip().split("\n\n")[-1].strip()
+        am = re.findall(r"Answer:\s*(.+)", tail)
+        if am:
+            tail = am[-1].strip()
+        lm = re.search(r"\(([A-Za-z])\)", tail)
+        if lm:
+            return lm.group(1).upper()
+        nm = re.findall(r"-?\d+(?:\.\d+)?", tail)
+        if nm and not re.fullmatch(r"[A-Za-z]", tail.strip(" .")):
+            return nm[-1]
+        return tail.splitlines()[-1].strip().rstrip(".") if tail else "null"
+
+    def _consistency(self, user: str) -> str:
+        """Emulate the MathVerse 0/1 consistency judgement (mathverse/
+        mathverse_evals.py:205-221): compare the final [Standard Answer]
+        / [Model_answer] pair, normalized containment."""
+        gts = re.findall(r"\[Standard Answer\]:\s*(.*)", user)
+        preds = re.findall(r"\[Model_answer\] :\s*(.*)", user)
+        if not gts or not preds:
+            return "0"
+        gt, pred = self._norm(gts[-1]), self._norm(preds[-1])
+        hit = bool(gt) and (gt == pred or
+                            (len(gt) > 1 and (gt in pred or pred in gt)))
+        return "1" if hit else "0"
+
     def _caption_qa(self, user: str) -> str:
         """Emulate the vdc caption-QA generation step (vdc/utils.py:
         201-225): answer a question from a detailed description. Returns
@@ -209,6 +243,10 @@ class ExactMatchJudge(Judge):
             return self._caption_qa(user)
         if "extract the answer from the model response" in user:
             return self._extraction_prompt(user)
+        if "termed 'Model Response'" in user:
+            return self._mathverse_extract(user)
+        if "Determine whether these two answers are consistent" in user:
+            return self._consistency(user)
         answer = None
         preds = []
         for line in user.splitlines():

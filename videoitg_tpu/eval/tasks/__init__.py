@@ -15,6 +15,7 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     funqa,
     gqa,
     longvideobench,
+    mathverse,
     mathvista,
     mix_evals,
     mlvu,
@@ -62,6 +63,15 @@ register_group("image_bench",
                ["ai2d", "chartqa", "docvqa_val", "gqa", "infovqa_val",
                 "mme", "mmstar", "ocrbench", "pope", "realworldqa",
                 "scienceqa_img", "seedbench", "textvqa_val"])
+
+# MathVerse group mirrors mathverse.yaml.
+register_group("mathverse", ["mathverse_testmini",
+                             "mathverse_testmini_text_only",
+                             "mathverse_testmini_text_lite",
+                             "mathverse_testmini_text_dominant",
+                             "mathverse_testmini_vision_intensive",
+                             "mathverse_testmini_vision_dominant",
+                             "mathverse_testmini_vision_only"])
 
 # MathVista groups mirror mathvista.yaml / mathvista_testmini.yaml.
 register_group("mathvista_testmini", ["mathvista_testmini_cot",
