@@ -1010,3 +1010,95 @@ def test_mathverse_registration_and_visuals():
     a = get_adapter("echo-answer")()
     frames, ids = a.frames_for_doc("d1", None)
     assert frames.shape[0] == 0 and ids == []
+
+
+# ---------------------------------------------------------------------------
+# MM-Vet v1/v2 (tasks/mmvet.py vs mmvet/utils.py + mmvetv2/utils.py)
+# ---------------------------------------------------------------------------
+
+def test_mmvet_judge_rubric_standin():
+    from videoitg_tpu.eval.tasks.mmvet import judge_score
+
+    # <AND>: fraction of required elements present (rubric exemplars)
+    assert judge_score("What is x?", "-1<AND>-5", "x = 3") == 0.0
+    assert judge_score("What is x?", "-1<AND>-5", "x = -1") == 0.5
+    assert judge_score("What is x?", "-1<AND>-5",
+                       "x = -1 or x = -5") == 1.0
+    # <OR>: any element suffices
+    assert judge_score("q", "cat<OR>dog", "I see a dog") == 1.0
+    assert judge_score("q", "cat<OR>dog", "a bird") == 0.0
+    # multiline predictions survive the prompt parse
+    assert judge_score("q", "paris", "Reasoning...\nline two\nParis.") == 1.0
+
+
+def test_mmvet_v1_task():
+    t = get_task("mmvet")
+    doc = {"question_id": "v1_0", "question": "What is x?",
+           "answer": "-1 <AND> -5", "capability": "rec,math",
+           "image": None}
+    assert t.doc_to_text(doc).startswith("First please perform reasoning")
+    r = t.process_results(doc, "x = -1")
+    assert r["score"] == 0.5 and r["capabilities"] == "rec,math"
+    r2 = t.process_results(
+        {"question_id": "v1_1", "question": "color?", "answer": "red",
+         "capability": "rec", "image": None}, "red")
+    agg = t.aggregate([r, r2])
+    assert agg["mmvet_overall"] == pytest.approx(75.0)
+    assert agg["mmvet_rec"] == pytest.approx(75.0)
+    assert agg["mmvet_math"] == pytest.approx(50.0)
+    assert agg["mmvet_detail_math_rec"] == pytest.approx(50.0)
+    assert agg["mmvet_detail_rec"] == pytest.approx(100.0)
+
+
+def test_mmvetv2_prompt_and_visual_order():
+    from PIL import Image
+
+    t = get_task("mmvetv2")
+    img_a = Image.new("RGB", (30, 20), (255, 0, 0))
+    img_b = Image.new("RGB", (20, 40), (0, 255, 0))
+    doc = {"id": "v2_0",
+           "question": "Compare <image_2><IMG> with <image_0><IMG> now.",
+           "answer": "same", "capability": ["rec", "seq"],
+           "image_0": img_a, "image_2": img_b}
+    # <IMG> separators dropped, <image_N> tokens kept
+    # (interleaved_format: false in the vendored config)
+    txt = t.doc_to_text(doc)
+    assert "<IMG>" not in txt and "<image_2>" in txt
+    # visuals resolve in question-token order: image_2 first
+    vis = t.doc_to_visual(doc)
+    assert vis[0] is not img_a and vis[0].size == (20, 40)
+    r = t.process_results(doc, "they are the same")
+    assert r["score"] == 1.0 and r["capabilities"] == ["rec", "seq"]
+    agg = t.aggregate([r])
+    assert agg["mmvetv2_overall"] == pytest.approx(100.0)
+    assert agg["mmvetv2_seq"] == pytest.approx(100.0)
+    assert agg["mmvetv2_detail_rec_seq"] == pytest.approx(100.0)
+
+
+def test_mmvetv2_group_img_composite():
+    from PIL import Image
+
+    from videoitg_tpu.eval.tasks.mmvet import process_images
+
+    # two wide images: horizontal concat would be extremely wide, so the
+    # vertical composite wins (utils.py:124-138 aspect-ratio rule)
+    wide = [Image.new("RGB", (800, 100), (i * 80, 10, 10))
+            for i in range(2)]
+    comp = process_images(wide, size=100)
+    # vertical layout: width pinned to size, heights stacked (2 x 12)
+    assert comp.size == (100, 24)
+    # two tall images -> horizontal wins: height pinned, widths abut
+    tall = [Image.new("RGB", (100, 800), (10, i * 80, 10))
+            for i in range(2)]
+    comp = process_images(tall, size=100)
+    assert comp.size == (24, 100)
+    # the composite rides the adapter's PIL branch end to end
+    a = get_adapter("echo-answer")()
+    frames, ids = a.frames_for_doc("d", comp)
+    assert frames.shape[0] == 1 and ids == [0]
+    # and the group task is registered with the composite visual
+    t = get_task("mmvetv2_group_img")
+    doc = {"id": "g0", "question": "<image_0> what?", "answer": "x",
+           "capability": ["rec"], "image_0": wide[0]}
+    v = t.doc_to_visual(doc)
+    assert hasattr(v, "size")

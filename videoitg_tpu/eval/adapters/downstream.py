@@ -142,19 +142,32 @@ class FrameSelectionConsumer(ModelAdapter):
                 "video_backend": "none",
             }
             return np.zeros((0, 2, 2, 3), dtype=np.uint8), []
+        if hasattr(video_path, "convert"):  # in-memory PIL image
+            # Tasks that BUILD their visual (mmvetv2_group_img's labeled
+            # composite, mmvetv2/utils.py:141-147) return a PIL.Image
+            # directly instead of round-tripping through a temp file.
+            frame = np.asarray(video_path.convert("RGB"), dtype=np.uint8)
+            self.last_metadata = {
+                "fps": 0.0, "frames_indices": [0], "total_num_frames": 1,
+                "video_backend": "pil",
+            }
+            return frame[None], [0]
         if isinstance(video_path, (list, tuple)):
             from PIL import Image
 
             stills = []
             for p in video_path:
-                with Image.open(p) as im:
-                    im = im.convert("RGB")
-                    if stills and im.size != (stills[0].shape[1],
-                                              stills[0].shape[0]):
-                        im = im.resize((stills[0].shape[1],
-                                        stills[0].shape[0]),
-                                       Image.Resampling.BILINEAR)
-                    stills.append(np.asarray(im, dtype=np.uint8))
+                if hasattr(p, "convert"):  # caller-owned PIL image
+                    im = p.convert("RGB")  # convert() returns a copy
+                else:
+                    with Image.open(p) as f:
+                        im = f.convert("RGB")
+                if stills and im.size != (stills[0].shape[1],
+                                          stills[0].shape[0]):
+                    im = im.resize((stills[0].shape[1],
+                                    stills[0].shape[0]),
+                                   Image.Resampling.BILINEAR)
+                stills.append(np.asarray(im, dtype=np.uint8))
             n = len(stills)
             self.last_metadata = {
                 "fps": 0.0, "frames_indices": list(range(n)),

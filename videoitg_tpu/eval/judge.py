@@ -214,6 +214,30 @@ class ExactMatchJudge(Judge):
                             (len(gt) > 1 and (gt in pred or pred in gt)))
         return "1" if hit else "0"
 
+    def _mmvet_rubric(self, user: str) -> str:
+        """Emulate the MM-Vet 0.0-1.0 rubric (mmvet/utils.py:38-47 +
+        104-136): the query is the last line "question | gt | pred |".
+        Deterministic stand-in: the gt splits on <AND> into required
+        groups (each group may offer <OR> alternatives); score =
+        matched groups / total groups — which reproduces the rubric's
+        own worked examples (1-of-2 ANDs = 0.5)."""
+        # the query is everything after the rubric's final exemplar
+        # ("... | 1.0\n"); predictions may span lines
+        query = user.rsplit("| 1.0\n", 1)[-1].rstrip().rstrip("|")
+        parts = query.split(" | ")
+        if len(parts) < 3:
+            return "0.0"
+        gt, pred = parts[1], self._norm(" | ".join(parts[2:]))
+        groups = [g for g in gt.split("<AND>") if g.strip()]
+        if not groups:
+            return "0.0"
+        hit = 0
+        for g in groups:
+            alts = [self._norm(a) for a in g.split("<OR>")]
+            if any(a and a in pred for a in alts):
+                hit += 1
+        return f"{hit / len(groups):.1f}"
+
     def _caption_qa(self, user: str) -> str:
         """Emulate the vdc caption-QA generation step (vdc/utils.py:
         201-225): answer a question from a detailed description. Returns
@@ -247,6 +271,8 @@ class ExactMatchJudge(Judge):
             return self._mathverse_extract(user)
         if "Determine whether these two answers are consistent" in user:
             return self._consistency(user)
+        if "to give a correctness score for the prediction" in user:
+            return self._mmvet_rubric(user)
         answer = None
         preds = []
         for line in user.splitlines():

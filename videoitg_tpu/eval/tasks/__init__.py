@@ -23,6 +23,7 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     mme,
     mmmu,
     mmstar,
+    mmvet,
     mmworld,
     moviechat,
     mvbench,
