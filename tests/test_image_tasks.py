@@ -1102,3 +1102,61 @@ def test_mmvetv2_group_img_composite():
            "capability": ["rec"], "image_0": wide[0]}
     v = t.doc_to_visual(doc)
     assert hasattr(v, "size")
+
+
+# ---------------------------------------------------------------------------
+# HallusionBench (tasks/hallusion_bench.py vs evaluate_hb.py + utils.py)
+# ---------------------------------------------------------------------------
+
+def _hb_doc(qid, fid, cat="VD", sub="illusion", sid=0, gt="1",
+            details="Yes, the segments are equal.", vi="1"):
+    return {"question": "Are they equal?", "gt_answer": gt,
+            "gt_answer_details": details, "category": cat,
+            "subcategory": sub, "set_id": sid, "figure_id": fid,
+            "question_id": qid, "visual_input": vi, "image": None}
+
+
+def test_hallusion_teacher_judge_standin():
+    from videoitg_tpu.eval.tasks.hallusion_bench import judge_correctness
+
+    # matching yes polarity -> correct -> "1"
+    assert judge_correctness("q", "Yes, equal.", "Yes they are.") == "1"
+    # opposing polarity -> incorrect -> "0"
+    assert judge_correctness("q", "Yes, equal.", "No, different.") == "0"
+    # prediction with no polarity -> unclear -> "2"
+    assert judge_correctness("q", "Yes, equal.", "Cannot tell.") == "2"
+
+
+def test_hallusion_correctness_rules_and_aggregation():
+    t = get_task("hallusion_bench_image")
+    # VD pair: with-figure answered right, edited-figure answered wrong
+    r1 = t.process_results(_hb_doc(0, 0), "Yes")
+    r2 = t.process_results(_hb_doc(0, 1, details="No, they differ.",
+                                   gt="0"), "Yes")
+    # VS figure_id 0 (no visual): unclear counts as CORRECT
+    # (utils.py:166-168)
+    r3 = t.process_results(_hb_doc(1, 0, cat="VS", vi="0"),
+                           "I cannot tell without more context.")
+    assert r3["gpt_check"] == "2"
+    agg = t.aggregate([r1, r2, r3])
+    # aAcc: r1 + r3 correct of 3
+    assert agg["hallusion_aAcc"] == pytest.approx(round(200 / 3, 4))
+    # fAcc: VS fig-0 excluded; two VD figures -> fig0 all-correct,
+    # fig1 wrong -> 50
+    assert agg["hallusion_fAcc"] == 50.0
+    # qAcc: VD pair (q0 over fig0+fig1) fails; VS q1 passes -> 50
+    assert agg["hallusion_qAcc"] == 50.0
+
+
+def test_hallusion_intern_variant():
+    t = get_task("hallusion_bench_image_intern")
+    r1 = t.process_results(_hb_doc(0, 0, gt="1"), "Yes it is")
+    r2 = t.process_results(_hb_doc(0, 1, gt="0"), "yes")  # wrong
+    r3 = t.process_results(_hb_doc(1, 1, gt="0"), "Absolutely not")
+    assert r1["hit"] and not r2["hit"] and r3["hit"]
+    agg = t.aggregate([r1, r2, r3])
+    assert agg["hallusion_aAcc"] == pytest.approx(round(200 / 3, 4))
+    # qAcc groups: (q0: hit,miss -> 0), (q1: hit -> 1) => 50
+    assert agg["hallusion_qAcc"] == 50.0
+    # fAcc groups: (fig0: hit), (fig1: miss,hit -> 0) => 50
+    assert agg["hallusion_fAcc"] == 50.0

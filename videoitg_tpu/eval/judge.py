@@ -238,6 +238,35 @@ class ExactMatchJudge(Judge):
                 hit += 1
         return f"{hit / len(groups):.1f}"
 
+    def _teacher(self, user: str) -> str:
+        """Emulate the HallusionBench teacher judgement (hallusion_bench/
+        utils.py:38-60): correct / incorrect / unclear. Deterministic
+        stand-in on yes/no polarity (the benchmark is yes/no): matching
+        polarity -> correct, opposing -> incorrect, missing -> unclear;
+        falls back to normalized containment for non-polar answers."""
+        m = re.search(r"Reference answer:\s*(.*?)\nPrediction answer:"
+                      r"(.*?)\nOutput:", user, re.S)
+        if not m:
+            return "unclear"
+        ref, pred = m.group(1), m.group(2)
+
+        def polarity(s: str):
+            s = s.lower()
+            has_yes = re.search(r"\byes\b", s) is not None
+            has_no = re.search(r"\b(no|not)\b", s) is not None
+            if has_yes == has_no:
+                return None
+            return has_yes
+        rp, pp = polarity(ref), polarity(pred)
+        if rp is not None and pp is not None:
+            return "correct" if rp == pp else "incorrect"
+        if pp is None and rp is not None:
+            return "unclear"
+        r, p = self._norm(ref), self._norm(pred)
+        if r and p and (r in p or p in r):
+            return "correct"
+        return "incorrect"
+
     def _caption_qa(self, user: str) -> str:
         """Emulate the vdc caption-QA generation step (vdc/utils.py:
         201-225): answer a question from a detailed description. Returns
@@ -273,6 +302,8 @@ class ExactMatchJudge(Judge):
             return self._consistency(user)
         if "to give a correctness score for the prediction" in user:
             return self._mmvet_rubric(user)
+        if "Imagine you are an intelligent teacher" in user:
+            return self._teacher(user)
         answer = None
         preds = []
         for line in user.splitlines():

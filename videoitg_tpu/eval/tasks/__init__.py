@@ -14,6 +14,7 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     egoschema,
     funqa,
     gqa,
+    hallusion_bench,
     longvideobench,
     mathverse,
     mathvista,
