@@ -122,3 +122,72 @@ def test_registration():
         "submission_rows": 1.0}
     assert TASK_REGISTRY["mmmu_val"].generation_kwargs[
         "max_new_tokens"] == 16
+
+
+# ---------------------------------------------------------------------------
+# MMMU-Pro (tasks/mmmu_pro.py vs mmmu_pro/utils.py + 6 yamls)
+# ---------------------------------------------------------------------------
+
+def test_mmmu_pro_standard_prompt_and_parse():
+    from videoitg_tpu.eval.api import get_task
+
+    t = get_task("mmmu_pro_standard")
+    doc = {"id": "s0", "subject": "Math",
+           "question": "What is <image 1> plus one?",
+           "options": "['1', '2', '3']", "answer": "B"}
+    txt = t.doc_to_text(doc)
+    assert txt.endswith("Answer with the option letter from the given "
+                        "choices directly.")
+    assert "A. 1\nB. 2\nC. 3" in txt
+    r = t.process_results(doc, "The answer is (B).")
+    assert r["parsed_pred"] == "B"
+    # cot variant shares docs but asks for 'Answer: $LETTER'
+    tc = get_task("mmmu_pro_standard_cot")
+    assert "Think step by step" in tc.doc_to_text(doc)
+
+
+def test_mmmu_pro_vision_no_parse_rule():
+    from videoitg_tpu.eval.api import get_task
+
+    t = get_task("mmmu_pro_vision")
+    # vision docs: no question/options fields -> raw response compared
+    # exactly (utils.py:72-79)
+    doc = {"id": "v0", "subject": "Art", "answer": "C", "image": None}
+    assert t.process_results(doc, "C")["parsed_pred"] == "C"
+    # even "C." does NOT match gold "C" at eval time — preserved quirk
+    rec = t.process_results(doc, "C.")
+    agg = t.aggregate([rec])
+    assert agg["mmmu_pro_acc"] == 0.0
+
+
+def test_mmmu_pro_composite_letters_cut_and_pad():
+    from videoitg_tpu.eval.api import get_task
+
+    t = get_task("mmmu_pro_composite")
+    doc = {"id": "c0", "subject": "Physics",
+           "answers": "['A', 'C', 'D']", "image": None}
+    r = t.process_results(doc, "No: 1\nAnswer: A\nNo: 2\nAnswer: B")
+    assert r["parsed_pred"] == ["A", "B", ""]
+    # element-wise scoring: 1 of 3 sub-questions correct
+    agg = t.aggregate([r])
+    assert agg["mmmu_pro_acc"] == pytest.approx(round(1 / 3, 5))
+    assert agg["mmmu_pro_Physics"] == pytest.approx(round(1 / 3, 5))
+
+
+def test_mmmu_pro_domain_rollups_and_groups():
+    from videoitg_tpu.eval.api import GROUP_REGISTRY, get_task
+
+    t = get_task("mmmu_pro_vision")
+    recs = [
+        {"id": 1, "subject": "Math", "answer": "A", "parsed_pred": "A"},
+        {"id": 2, "subject": "Math", "answer": "B", "parsed_pred": "C"},
+        {"id": 3, "subject": "Art", "answer": "D", "parsed_pred": "D"},
+    ]
+    agg = t.aggregate(recs)
+    # instruction-level overall: 2/3
+    assert agg["mmmu_pro_acc"] == pytest.approx(round(2 / 3, 5))
+    assert agg["mmmu_pro_Science"] == 0.5        # Math domain
+    assert agg["mmmu_pro_Art and Design"] == 1.0
+    assert GROUP_REGISTRY["mmmu_pro"] == ["mmmu_pro_vision",
+                                          "mmmu_pro_standard"]
+    assert len(GROUP_REGISTRY["mmmu_pro_cot"]) == 3

@@ -23,6 +23,7 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     mmbench,
     mme,
     mmmu,
+    mmmu_pro,
     mmstar,
     mmvet,
     mmworld,
@@ -65,6 +66,13 @@ register_group("image_bench",
                ["ai2d", "chartqa", "docvqa_val", "gqa", "infovqa_val",
                 "mme", "mmstar", "ocrbench", "pope", "realworldqa",
                 "scienceqa_img", "seedbench", "textvqa_val"])
+
+# MMMU-Pro groups mirror mmmu_pro.yaml (composite dropped from the
+# formal eval upstream) and mmmu_pro_cot.yaml.
+register_group("mmmu_pro", ["mmmu_pro_vision", "mmmu_pro_standard"])
+register_group("mmmu_pro_cot", ["mmmu_pro_vision_cot",
+                                "mmmu_pro_composite_cot",
+                                "mmmu_pro_standard_cot"])
 
 # MathVerse group mirrors mathverse.yaml.
 register_group("mathverse", ["mathverse_testmini",
