@@ -1160,3 +1160,91 @@ def test_hallusion_intern_variant():
     assert agg["hallusion_qAcc"] == 50.0
     # fAcc groups: (fig0: hit), (fig1: miss,hit -> 0) => 50
     assert agg["hallusion_fAcc"] == 50.0
+
+
+# ---------------------------------------------------------------------------
+# RefCOCO family (tasks/refcoco.py vs refcoco/utils.py + utils_rec.py)
+# ---------------------------------------------------------------------------
+
+def test_refcoco_bbox_parse_and_metrics():
+    from videoitg_tpu.eval.tasks.refcoco import (
+        compute_center_accuracy, compute_iou, parse_float_sequence_within)
+
+    assert parse_float_sequence_within(
+        "The box is [0.1, 0.2, 0.5, 0.6].") == [0.1, 0.2, 0.5, 0.6]
+    # first bracketed run wins; no match -> zeros
+    assert parse_float_sequence_within("[1,2,3,4] then [5,6,7,8]") == [1, 2, 3, 4]
+    assert parse_float_sequence_within("no box here") == [0, 0, 0, 0]
+    # IoU of identical boxes is 1; disjoint is 0
+    assert compute_iou([0, 0, 1, 1], [0, 0, 1, 1]) == 1.0
+    assert compute_iou([0, 0, .5, .5], [.5, .5, 1, 1]) == 0.0
+    # half-overlap
+    assert compute_iou([0, 0, 1, 1], [0, 0, 1, .5]) == pytest.approx(0.5)
+    # center rule: center of PRED inside GOLD
+    assert compute_center_accuracy([0, 0, 1, 1], [0.4, 0.4, 0.6, 0.6])
+    assert not compute_center_accuracy([0, 0, .2, .2], [0.8, 0.8, 1, 1])
+
+
+def test_refcoco_rec_explode_and_aggregate(tmp_path):
+    from PIL import Image
+
+    from videoitg_tpu.eval.api import get_task
+    from videoitg_tpu.eval.tasks.refcoco import rec_explode_docs
+
+    img = tmp_path / "i.png"
+    Image.new("RGB", (100, 50), (5, 5, 5)).save(img)
+    docs = [{"question_id": 7, "image": str(img),
+             "bbox": [10, 10, 20, 30],  # xywh, pixel space
+             "answer": ["the red car", "a car"]}]
+    rows = rec_explode_docs(docs)
+    assert len(rows) == 2 and rows[0]["answer"] == "the red car"
+    # normalized xyxy via image dims (100x50)
+    assert rows[0]["bbox"] == pytest.approx([0.1, 0.2, 0.3, 0.8])
+
+    t = get_task("refcoco_bbox_rec_val")
+    assert t.doc_to_text(rows[0]).endswith("describes: the red car")
+    r_exact = t.process_results(rows[0], "[0.1, 0.2, 0.3, 0.8]")
+    r_near = t.process_results(rows[1], "box: [0.1, 0.2, 0.3, 0.6]")
+    agg = t.aggregate([r_exact, r_near])
+    assert agg["refcoco_IoU"] == pytest.approx((1.0 + 2 / 3) / 2)
+    assert agg["refcoco_ACC@0.5"] == 1.0
+    assert agg["refcoco_ACC@0.7"] == 0.5
+    assert agg["refcoco_Center_ACC"] == 1.0
+
+
+def test_refcoco_caption_tasks_and_visual_overlays(tmp_path):
+    import numpy as np
+    from PIL import Image
+
+    from videoitg_tpu.eval.api import GROUP_REGISTRY, get_task
+
+    img = tmp_path / "j.png"
+    Image.new("RGB", (60, 40), (9, 9, 9)).save(img)
+    doc = {"question_id": 1, "image": str(img), "bbox": [5, 5, 20, 10],
+           "segmentation": [2, 2, 30, 2, 30, 20],
+           "answer": ["a thing on the left"]}
+    t = get_task("refcoco_bbox_val")
+    assert t.doc_to_text(doc) == ("Provide a short description for this "
+                                  "region.")
+    # the visual is the image with a red rectangle drawn (xywh -> xyxy)
+    v = t.doc_to_visual(doc)
+    a = np.asarray(v)
+    assert tuple(a[5, 5]) == (255, 0, 0) and tuple(a[15, 25]) == (255, 0, 0)
+    assert tuple(a[0, 0]) == (9, 9, 9)
+    # seg variant draws the polygon instead
+    vs = get_task("refcoco_seg_val").doc_to_visual(doc)
+    assert np.asarray(vs).shape == (40, 60, 3)
+    r = t.process_results(doc, "a thing on the left")
+    r2 = t.process_results({**doc, "question_id": 2,
+                            "answer": ["a bright green box"]},
+                           "a bright green box")
+    agg = t.aggregate([r, r2])
+    assert agg["refcoco_Bleu_1"] == pytest.approx(1.0)
+    assert agg["refcoco_CIDEr"] > 0  # needs >1 doc: idf is corpus-level
+    # 27 registered tasks, groups mirror the yaml group fields
+    assert len(GROUP_REGISTRY["refcoco_bbox_rec"]) == 4
+    assert len(GROUP_REGISTRY["refcoco+_seg"]) == 3
+    assert len(GROUP_REGISTRY["refcocog_bbox"]) == 2
+    for g in ("refcoco+_bbox_rec", "refcocog_seg"):
+        for n in GROUP_REGISTRY[g]:
+            assert get_task(n) is not None

@@ -35,6 +35,7 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     perceptiontest,
     pope,
     realworldqa,
+    refcoco,
     scienceqa,
     seedbench,
     stvqa,
@@ -66,6 +67,15 @@ register_group("image_bench",
                ["ai2d", "chartqa", "docvqa_val", "gqa", "infovqa_val",
                 "mme", "mmstar", "ocrbench", "pope", "realworldqa",
                 "scienceqa_img", "seedbench", "textvqa_val"])
+
+# RefCOCO family groups mirror the per-yaml group fields.
+for _ds, _splits in (("refcoco", ("val", "testA", "testB", "test")),
+                     ("refcoco+", ("val", "testA", "testB")),
+                     ("refcocog", ("val", "test"))):
+    register_group(f"{_ds}_bbox_rec",
+                   [f"{_ds}_bbox_rec_{s}" for s in _splits])
+    register_group(f"{_ds}_bbox", [f"{_ds}_bbox_{s}" for s in _splits])
+    register_group(f"{_ds}_seg", [f"{_ds}_seg_{s}" for s in _splits])
 
 # MMMU-Pro groups mirror mmmu_pro.yaml (composite dropped from the
 # formal eval upstream) and mmmu_pro_cot.yaml.
