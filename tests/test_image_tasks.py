@@ -1248,3 +1248,81 @@ def test_refcoco_caption_tasks_and_visual_overlays(tmp_path):
     for g in ("refcoco+_bbox_rec", "refcocog_seg"):
         for n in GROUP_REGISTRY[g]:
             assert get_task(n) is not None
+
+
+# ---------------------------------------------------------------------------
+# MuirBench + MME-RealWorld
+# ---------------------------------------------------------------------------
+
+def test_muirbench_prompt_filter_and_rollups():
+    from videoitg_tpu.eval.filters import apply_task_filters
+
+    t = get_task("muirbench")
+    doc = {"question": "Which image shows a cat?",
+           "options": ["first", "second"], "answer": "A", "idx": 0,
+           "task": "Ordering", "image_relation": "x", "image_type": "y",
+           "image_list": []}
+    txt = t.doc_to_text(doc)
+    assert "A. first\nB. second" in txt
+    assert txt.endswith("directly.")
+    # filter: leading "B." wins; free text passes through
+    assert apply_task_filters(t, ["B. the second one"], [doc]) == ["B"]
+    assert apply_task_filters(t, ["the second"], [doc]) == ["the second"]
+    r_hit = t.process_results(doc, "A")
+    r_miss = t.process_results(dict(doc, idx=1, task="Counting"), "B")
+    agg = t.aggregate([r_hit, r_miss])
+    assert agg["muirbench_score_overall"] == 0.5
+    assert agg["muirbench_score_ordering"] == 1.0
+    assert agg["muirbench_score_counting"] == 0.0
+
+
+def test_mme_realworld_extract_and_aggregate():
+    import base64
+    import io
+
+    from PIL import Image
+
+    from videoitg_tpu.eval.tasks.mme_realworld import (
+        extract_characters_regex)
+
+    # prefix stripping + first-letter rule
+    assert extract_characters_regex("The best answer is C.") == "C"
+    assert extract_characters_regex("(B)") == "B"
+    # >10 words, no letter -> ""
+    assert extract_characters_regex(
+        "this is a very long sentence that rambles on and on forever") == ""
+    # option-text containment fallback -> letter
+    assert extract_characters_regex("(e)") == "E"
+    # dict -> "" -> the empty string is "in" every choice, so the
+    # containment loop returns "A" (utils.py:117-121, bug-for-bug)
+    assert extract_characters_regex({}) == "A"
+
+    t = get_task("mmerealworld")
+    doc = {"index": 3, "question": "What is shown?",
+           "multi-choice options": ["(A) car", "(B) bus", "(C) bike",
+                                    "(D) train", "(E) cannot decide"],
+           "answer": "A", "category": "Perception/Monitoring",
+           "l2-category": "color/attribute", "bytes": None, "image": None}
+    txt = t.doc_to_text(doc)
+    assert "The choices are listed below:" in txt
+    assert txt.endswith("The best answer is: ")
+    r = t.process_results(doc, "The best answer is A")
+    r2 = t.process_results(dict(doc, index=4, answer="B",
+                                category="Reasoning/Autonomous_Driving",
+                                **{"l2-category": "counting"}), "E")
+    assert r["pred_answer"] == "A" and r2["is_E"]
+    agg = t.aggregate([r, r2])
+    assert agg["mme_realworld_score"] == 0.5
+    assert agg["mme_realworld_task_perception"] == 1.0
+    assert agg["mme_realworld_task_reasoning"] == 0.0
+    # attribute l2-categories collapse to "<head>/attribute"
+    assert agg["mme_realworld_l2_color_attribute"] == 1.0
+    # cn variant prompt
+    tc = get_task("mmerealworld_cn")
+    assert tc.doc_to_text(doc).endswith("最佳答案为： ")
+    # base64 visual decode
+    buf = io.BytesIO()
+    Image.new("RGB", (8, 8), (1, 2, 3)).save(buf, format="PNG")
+    b64 = base64.b64encode(buf.getvalue()).decode()
+    v = t.doc_to_visual({"bytes": b64})
+    assert v.size == (8, 8)

@@ -22,12 +22,14 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     mlvu,
     mmbench,
     mme,
+    mme_realworld,
     mmmu,
     mmmu_pro,
     mmstar,
     mmvet,
     mmworld,
     moviechat,
+    muirbench,
     mvbench,
     nextqa,
     ocrbench,
