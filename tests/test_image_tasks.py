@@ -1326,3 +1326,76 @@ def test_mme_realworld_extract_and_aggregate():
     b64 = base64.b64encode(buf.getvalue()).decode()
     v = t.doc_to_visual({"bytes": b64})
     assert v.size == (8, 8)
+
+
+# ---------------------------------------------------------------------------
+# IconQA + IllusionVQA + Q-Bench family
+# ---------------------------------------------------------------------------
+
+def test_iconqa_three_question_types():
+    t = get_task("iconqa_val")
+    base = {"question_id": "1", "answers": "two", "query_image": None,
+            "question": "How many shapes"}
+    img_doc = dict(base, ques_type="choose_img")
+    txt = t.doc_to_text(img_doc)
+    assert "A. The first image.\nB. The second image." in txt
+    assert txt.endswith("directly.")
+    txt_doc = dict(base, ques_type="choose_txt", choices="cat,dog,fox")
+    assert "A. cat\nB. dog\nC. fox" in t.doc_to_text(txt_doc)
+    fib = dict(base, ques_type="fill_in_blank")
+    assert t.doc_to_text(fib).endswith("single word or phrase.")
+    with pytest.raises(ValueError):
+        t.doc_to_text(dict(base, ques_type="bogus"))
+    r = t.process_results(fib, "two")
+    assert r["anls"] == 1.0
+    assert t.aggregate([r, t.process_results(fib, "zzz")])[
+        "iconqa_anls"] == 0.5
+
+
+def test_illusionvqa_letter_target_and_scoring():
+    from videoitg_tpu.eval.filters import apply_task_filters
+
+    t = get_task("illusionvqa_comprehension")
+    doc = {"question": "What do you see?", "options": ["circle", "square"],
+           "answer": "square", "image": None}
+    assert t.doc_to_target(doc) == "B"
+    txt = t.doc_to_text(doc)
+    assert txt.startswith("You'll be given an image")
+    assert "A. circle\nB. square" in txt
+    assert apply_task_filters(t, ["B. square"], [doc]) == ["B"]
+    r = t.process_results(doc, "B")
+    assert r["exact_match"] == 1.0
+    # punctuation/case ignored
+    assert t.process_results(doc, "b.")["exact_match"] == 1.0
+    assert get_task("illusionvqa_soft_localization") is not None
+
+
+def test_qbench_options_parse_and_rollups():
+    t = get_task("qbench_dev")
+    doc = {"id": "q0", "question": "How is the clarity?",
+           "option0": "Good", "option1": "Bad", "option2": "N/A",
+           "option3": "N/A", "correct_choice": "A",
+           "question_concern": 0, "question_type": 1, "image": None}
+    txt = t.doc_to_text(doc)
+    assert "A. Good\nB. Bad" in txt and "N/A" not in txt
+    r = t.process_results(doc, "(A) looks good")
+    assert r["parsed_pred"] == "A"
+    r2 = t.process_results(dict(doc, id="q1", correct_choice="B",
+                                question_concern=2, question_type=0), "A")
+    agg = t.aggregate([r, r2])
+    # each sample lands in 2 buckets; ins-level acc == plain acc
+    assert agg["qbench_acc"] == 0.5
+    assert agg["qbench_global_distortion"] == 1.0
+    assert agg["qbench_yes_no"] == 0.0
+    # qbench2 pairs route both images (PIL objects pass through)
+    from PIL import Image
+
+    t2 = get_task("qbench2_dev")
+    i1, i2 = Image.new("RGB", (4, 4)), Image.new("RGB", (4, 4))
+    assert t2.doc_to_visual({"image1": i1, "image2": i2}) == [i1, i2]
+    # abench category rollup
+    ta = get_task("abench_dev")
+    ra = ta.process_results({"id": "a0", "question": "q", "option0": "x",
+                             "option1": "y", "correct_choice": "A",
+                             "category": "style", "image": None}, "A")
+    assert ta.aggregate([ra])["abench_style"] == 1.0

@@ -15,6 +15,8 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     funqa,
     gqa,
     hallusion_bench,
+    iconqa,
+    illusionvqa,
     longvideobench,
     mathverse,
     mathvista,
@@ -36,6 +38,7 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     ok_vqa,
     perceptiontest,
     pope,
+    qbench,
     realworldqa,
     refcoco,
     scienceqa,
@@ -69,6 +72,12 @@ register_group("image_bench",
                ["ai2d", "chartqa", "docvqa_val", "gqa", "infovqa_val",
                 "mme", "mmstar", "ocrbench", "pope", "realworldqa",
                 "scienceqa_img", "seedbench", "textvqa_val"])
+
+# iconqa.yaml and qbenchs_dev.yaml groups.
+register_group("iconqa", ["iconqa_val", "iconqa_test"])
+register_group("qbenchs_dev", ["qbench_dev", "qbench2_dev", "abench_dev"])
+register_group("illusionvqa", ["illusionvqa_comprehension",
+                               "illusionvqa_soft_localization"])
 
 # RefCOCO family groups mirror the per-yaml group fields.
 for _ds, _splits in (("refcoco", ("val", "testA", "testB", "test")),
