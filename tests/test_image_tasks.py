@@ -1399,3 +1399,79 @@ def test_qbench_options_parse_and_rollups():
                              "option1": "y", "correct_choice": "A",
                              "category": "style", "image": None}, "A")
     assert ta.aggregate([ra])["abench_style"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# LLaVA-Bench family + WildVision
+# ---------------------------------------------------------------------------
+
+def test_llava_bench_review_scoring():
+    from videoitg_tpu.eval.tasks.llava_bench import parse_score
+
+    assert parse_score("7 8\ngood") == [7.0, 8.0]
+    # bare comma works; "7, 8" does NOT (split on " " leaves an empty
+    # token — same upstream, utils.py:97-101)
+    assert parse_score("7,8\ngood") == [7.0, 8.0]
+    assert parse_score("7, 8\ngood") == [-1, -1]
+    assert parse_score("no scores here") == [-1, -1]
+
+    t = get_task("llava_in_the_wild")
+    doc = {"question": "Describe the scene.",
+           "gpt_answer": "A red car parked near a tall tree.",
+           "caption": ["A red car.", "A tall tree."],
+           "category": "detail", "image": None, "question_id": 0}
+    # exact echo of the reference answer -> stand-in gives 10 10 -> 100.0
+    r = t.process_results(doc, "A red car parked near a tall tree.")
+    assert r["scores"] == [10.0, 10.0]
+    # unrelated answer scores low but >= 1
+    r2 = t.process_results(dict(doc, category="conv"),
+                           "Nothing interesting.")
+    assert r2["scores"][0] == 10.0 and 1 <= r2["scores"][1] <= 3
+    agg = t.aggregate([r, r2])
+    assert agg["gpt_eval_llava_detail"] == 100.0
+    assert agg["gpt_eval_llava_conv"] < 40
+    assert agg["gpt_eval_llava_all"] == pytest.approx(
+        round(round((10 + r2["scores"][1]) / 2, 3) / 10 * 100, 1))
+    assert get_task("llava_bench_coco") is not None
+
+
+def test_llava_wilder_vision_parts():
+    from PIL import Image
+
+    t = get_task("llava_wilder_small")
+    doc = {"Question": "What color?", "Answer": "Blue.",
+           "image": Image.new("RGB", (6, 6), (0, 0, 255))}
+    assert t.doc_to_text(doc) == "What color?"
+    r = t.process_results(doc, "Blue.")
+    assert r["scores"] == [10.0, 10.0]
+    assert t.aggregate([r])["gpt_eval_llava_all"] == 100.0
+
+
+def test_wildvision_verdict_rules_and_aggregation():
+    from videoitg_tpu.eval.tasks.wildvision import (
+        classify_verdict, get_score)
+
+    # unique match extraction
+    assert get_score("verdict: [[B>A]]")[0] == "B>A"
+    assert get_score("no verdict")[0] is None
+    assert get_score("[[A=B]] and [[B>A]]")[0] is None
+    assert classify_verdict("A>>B") == (-2, "model_a", "Worse++")
+    assert classify_verdict("A>B") == (-1, "model_a", "Worse")
+    assert classify_verdict("B>>A") == (2, "model_b", "Better++")
+    assert classify_verdict("garbage") == (0, "tie", "Unclear")
+
+    t = get_task("wildvision_0617")
+    doc = {"instruction": "Describe the image.",
+           "claude-3-sonnet-20240229": "A cat sits on a mat near a window.",
+           "image": None}
+    # echoing the baseline answer -> stand-in declares a tie
+    r_tie = t.process_results(doc, "A cat sits on a mat near a window.")
+    assert r_tie["winner"] == "tie" and r_tie["judgement"] == "Tie"
+    r_worse = t.process_results(doc, "Completely unrelated words entirely.")
+    assert r_worse["winner"] == "model_a"
+    agg = t.aggregate([r_tie, r_worse])
+    # elo win rate closed form: (0 wins + 1 tie/2) / 2 = 25%
+    assert agg["wildvision_elo_win_rate"] == 25.0
+    assert agg["wildvision_win_rate"] == 0.0
+    assert agg["wildvision_judgement_tie"] == 50.0
+    assert agg["wildvision_raw_score"] <= 0

@@ -30,9 +30,25 @@ import os
 import re
 import string
 import time
+from collections import Counter
 from typing import Dict, List, Optional
 
 Message = Dict[str, str]  # {"role": ..., "content": ...}
+
+
+def content_text(content) -> str:
+    """Flatten OpenAI-style content to its text: plain strings pass
+    through; vision-style part lists ([{"type": "text", ...},
+    {"type": "image_url", ...}]) keep their text parts (the reference's
+    image-attaching judges — llava_wilder/utils.py:57-74,
+    wild_vision_bench/utils.py:82-96 — use this shape; HttpJudge posts
+    the parts verbatim, text-only judges read just the text)."""
+    if isinstance(content, str):
+        return content
+    if isinstance(content, list):
+        return "\n".join(p.get("text", "") for p in content
+                         if isinstance(p, dict) and p.get("type") == "text")
+    return str(content)
 
 _OPTION_RE = re.compile(r"\s*([A-Z])\.\s*(.*)")
 _BARE_LETTER_RE = re.compile(r"\s*([A-Z])\b")
@@ -285,9 +301,65 @@ class ExactMatchJudge(Judge):
         return max(sentences,
                    key=lambda s: len(qwords & set(self._norm(s).split())))
 
+    def _pairwise_review(self, user: str) -> str:
+        """Emulate the LLaVA-Bench two-score review (llava-in-the-wild/
+        utils.py:117-160 + rule.json prompts; llava_wilder the same with
+        Assistant 1 pinned to 10): first line "s1 s2". Deterministic
+        stand-in: Assistant 1 (the reference answer) scores 10;
+        Assistant 2 scores 1-10 by token-F1 overlap with Assistant 1.
+        NOT the reference metric — use http:/hf: for parity runs."""
+        m = re.search(r"\[(?:Assistant|Answer) 1\]\n(.*?)\n\[End of "
+                      r"(?:Assistant|Answer) 1\]", user, re.S)
+        n = re.search(r"\[(?:Assistant|Answer) 2\]\n(.*?)\n\[End of "
+                      r"(?:Assistant|Answer) 2\]", user, re.S)
+        if not (m and n):
+            return "-1 -1\nunparseable review request"
+        t1 = self._norm(m.group(1)).split()
+        t2 = self._norm(n.group(1)).split()
+        if not t1 or not t2:
+            return "10 1\nempty answer"
+        common = Counter(t1) & Counter(t2)
+        overlap = sum(common.values())
+        p = overlap / len(t2)
+        r = overlap / len(t1)
+        f1 = 2 * p * r / (p + r) if (p + r) else 0.0
+        return f"10 {max(1, round(10 * f1))}\ntoken-overlap stand-in"
+
+    def _arena_verdict(self, user: str) -> str:
+        """Emulate the WildVision pairwise verdict (wild_vision_bench/
+        utils.py:50-76): A = the baseline answer, B = the model's.
+        Deterministic stand-in on token-F1 between the two answers:
+        >=0.6 -> [[A=B]], >=0.3 -> [[A>B]], else [[A>>B]] — offline it
+        never declares the model better than the baseline; documented
+        as non-comparable."""
+        m = re.search(r"<\|The Start of Assistant A's Answer\|>\n(.*?)\n"
+                      r"<\|The End of Assistant A's Answer\|>", user, re.S)
+        n = re.search(r"<\|The Start of Assistant B's Answer\|>\n(.*?)\n"
+                      r"<\|The End of Assistant B's Answer\|>", user, re.S)
+        if not (m and n):
+            return "My final verdict is tie: [[A=B]]"
+        t1 = self._norm(m.group(1)).split()
+        t2 = self._norm(n.group(1)).split()
+        common = Counter(t1) & Counter(t2)
+        overlap = sum(common.values())
+        denom = len(t1) + len(t2)
+        f1 = 2 * overlap / denom if denom else 0.0
+        if f1 >= 0.6:
+            return "My final verdict is tie: [[A=B]]"
+        if f1 >= 0.3:
+            return "My final verdict: [[A>B]]"
+        return "My final verdict: [[A>>B]]"
+
     def __call__(self, messages, max_tokens: int = 64) -> str:
-        user = next((m["content"] for m in messages
+        user = next((content_text(m["content"]) for m in messages
                      if m.get("role") == "user"), "")
+        system = next((content_text(m["content"]) for m in messages
+                       if m.get("role") == "system"), "")
+        if "<|User Prompt|>" in user or ("impartial judge" in system and
+                                         "[[A>>B]]" in system):
+            return self._arena_verdict(user)
+        if "[End of Assistant 1]" in user or "[End of Answer 1]" in user:
+            return self._pairwise_review(user)
         if '"[[option letter]]"' in user:
             return self._mc_extract(user)
         if "several options of a single-choice question" in user:
@@ -395,6 +467,9 @@ class HFJudge(Judge):
     def __call__(self, messages, max_tokens: int = 64) -> str:
         import torch
 
+        # text-only LM: flatten any vision-style part lists to their text
+        messages = [{**m, "content": content_text(m["content"])}
+                    for m in messages]
         tok = self.tokenizer
         if getattr(tok, "chat_template", None):
             ids = tok.apply_chat_template(

@@ -17,6 +17,7 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     hallusion_bench,
     iconqa,
     illusionvqa,
+    llava_bench,
     longvideobench,
     mathverse,
     mathvista,
@@ -56,6 +57,7 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     vitatecs,
     vizwiz_vqa,
     vqav2,
+    wildvision,
     worldqa,
     youcook2,
 )
