@@ -1475,3 +1475,85 @@ def test_wildvision_verdict_rules_and_aggregation():
     assert agg["wildvision_win_rate"] == 0.0
     assert agg["wildvision_judgement_tie"] == 50.0
     assert agg["wildvision_raw_score"] <= 0
+
+
+# ---------------------------------------------------------------------------
+# MultiDocVQA + WebSRC + ScreenSpot
+# ---------------------------------------------------------------------------
+
+def test_multidocvqa_evaluator_rules():
+    from videoitg_tpu.eval.tasks.multidocvqa import (
+        calculate_accuracy, calculate_anls)
+
+    # "none" prediction hard-zeroed in BOTH metrics
+    assert calculate_accuracy(["none"], "none") == 0
+    assert calculate_anls(["none"], "none") == 0
+    assert calculate_accuracy(["paris"], "paris") == 1
+    # anls: similarity gate at 0.5
+    assert calculate_anls(["answer"], "nswer") == pytest.approx(1 - 1 / 6)
+    assert calculate_anls(["abcdef"], "zzzzzz") == 0
+
+    t = get_task("multidocvqa_val")
+    doc = {"questionId": "7", "question": "Total?",
+           "answers": "['42', 'forty-two']", "image_1": None}
+    assert t.doc_to_text(doc).endswith("single word or phrase.")
+    r = t.process_results(doc, " 42 ")
+    assert r["accuracy"] == 1 and r["anls"] == 1.0
+    agg = t.aggregate([r, t.process_results(doc, "none")])
+    assert agg["multidocvqa_accuracy"] == 0.5
+    # test split emits submission rows
+    tt = get_task("multidocvqa_test")
+    rr = tt.process_results(doc, "42")
+    assert rr == {"questionId": 7, "answer": "42", "answer_page": None}
+
+
+def test_websrc_f1_and_domains():
+    from videoitg_tpu.eval.tasks.websrc import compute_f1
+
+    assert compute_f1("yes", "yes") == 1.0
+    assert compute_f1("$25", "25") == pytest.approx(2 * (1 / 1) * (1 / 2)
+                                                    / (1 / 1 + 1 / 2))
+    assert compute_f1("", "x") == 0.0
+    t = get_task("websrc_val")
+    doc = {"id": "d1", "page_id": "p1", "domain": "auto",
+           "question": "Price?", "answer": "$25", "image": None}
+    assert t.doc_to_text(doc).startswith("Answer the question using")
+    r = t.process_results(doc, "$25")
+    r2 = t.process_results(dict(doc, id="d2", domain="book"), "wrong")
+    agg = t.aggregate([r, r2])
+    assert agg["websrc_squad_f1"] == 0.5
+    assert agg["websrc_f1_auto"] == 1.0 and agg["websrc_f1_book"] == 0.0
+
+
+def test_screenspot_rec_and_reg(tmp_path):
+    import numpy as np
+    from PIL import Image
+
+    img = tmp_path / "s.png"
+    Image.new("RGB", (50, 50), (7, 7, 7)).save(img)
+
+    t = get_task("screenspot_rec_test")
+    doc = {"file_name": "s.png", "instruction": "click the OK button",
+           "bbox": [0.1, 0.1, 0.3, 0.3], "data_type": "text",
+           "data_source": "ios", "image": str(img)}
+    assert "two decimal places" in t.doc_to_text(doc)
+    r = t.process_results(doc, "[0.1, 0.1, 0.3, 0.3]")
+    r2 = t.process_results(dict(doc, data_type="icon",
+                                data_source="macos_shell"), "nothing")
+    agg = t.aggregate([r, r2])
+    assert agg["screenspot_IoU"] == pytest.approx(0.5)
+    assert agg["screenspot_ACC@0.5-mobile_text"] == 1.0
+    assert agg["screenspot_ACC@0.5-desktop_icon"] == 0.0
+    # REG: xyxy box drawn as-is (no xywh conversion), width 3
+    tr = get_task("screenspot_reg_test")
+    vdoc = dict(doc, bbox=[5, 5, 20, 20])
+    v = tr.doc_to_visual(vdoc)
+    a = np.asarray(v)
+    assert tuple(a[5, 10]) == (255, 0, 0) and tuple(a[30, 30]) == (7, 7, 7)
+    assert tr.doc_to_text(doc) == ("Direct a user to interact with the "
+                                   "highlighted region [0.10, 0.10, 0.30, "
+                                   "0.30].")
+    rr = [tr.process_results(doc, "click the OK button"),
+          tr.process_results(dict(doc, instruction="open settings menu"),
+                             "open settings menu")]
+    assert tr.aggregate(rr)["screenspot_CIDEr"] > 0

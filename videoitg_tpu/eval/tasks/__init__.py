@@ -33,6 +33,7 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     mmworld,
     moviechat,
     muirbench,
+    multidocvqa,
     mvbench,
     nextqa,
     ocrbench,
@@ -43,6 +44,7 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     realworldqa,
     refcoco,
     scienceqa,
+    screenspot,
     seedbench,
     stvqa,
     tempcompass,
@@ -57,6 +59,7 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     vitatecs,
     vizwiz_vqa,
     vqav2,
+    websrc,
     wildvision,
     worldqa,
     youcook2,
@@ -74,6 +77,11 @@ register_group("image_bench",
                ["ai2d", "chartqa", "docvqa_val", "gqa", "infovqa_val",
                 "mme", "mmstar", "ocrbench", "pope", "realworldqa",
                 "scienceqa_img", "seedbench", "textvqa_val"])
+
+# multidocvqa.yaml / websrc.yaml / _screenspot.yaml groups.
+register_group("multidocvqa", ["multidocvqa_val", "multidocvqa_test"])
+register_group("websrc", ["websrc_val", "websrc_test"])
+register_group("screenspot", ["screenspot_reg_test", "screenspot_rec_test"])
 
 # iconqa.yaml and qbenchs_dev.yaml groups.
 register_group("iconqa", ["iconqa_val", "iconqa_test"])
