@@ -1557,3 +1557,99 @@ def test_screenspot_rec_and_reg(tmp_path):
           tr.process_results(dict(doc, instruction="open settings menu"),
                              "open settings menu")]
     assert tr.aggregate(rr)["screenspot_CIDEr"] > 0
+
+
+# ---------------------------------------------------------------------------
+# II-Bench + ConBench + SynthDoG + NaturalBench
+# ---------------------------------------------------------------------------
+
+def test_ii_bench_extraction_votes():
+    from videoitg_tpu.eval.tasks.ii_bench import extract_option_labels
+
+    assert extract_option_labels("The answer is (C).") == "C"
+    # bare letters; most-frequent with LAST-listed tiebreak
+    assert extract_option_labels("A or B? I say B") == "B"
+    assert extract_option_labels("A then B") == "B"  # tie -> last listed
+    # option-text containment fallback
+    assert extract_option_labels("the red balloon",
+                                 ["a dog", "the red balloon", "x", "y",
+                                  "z", "w"]) == "B"
+    assert extract_option_labels("no letters at all") is None
+    assert extract_option_labels({}) == "error"
+    t = get_task("ii_bench")
+    doc = {"id": 1, "question": "q?", "option1": "a", "option2": "b",
+           "option3": "c", "option4": "d", "option5": "e", "option6": "f",
+           "answer": "A", "image": None}
+    assert "(A) a" in t.doc_to_text(doc)
+    r = t.process_results(doc, "(A)")
+    assert t.aggregate([r])["ii_bench_accuracy"] == 1.0
+
+
+def test_conbench_consistency_score():
+    t = get_task("conbench")
+    docs = [
+        {"image_id": "i1", "question_field": "N/Y", "answer": "Yes",
+         "question": "Is it red?", "image": None},
+        {"image_id": "i1", "question_field": "Choices", "answer": "B",
+         "question": "(A) blue (B) red", "image": None},
+        {"image_id": "i1", "question_field": "Q/A", "answer": "red",
+         "question": "What color?", "image": None},
+    ]
+    rs = [t.process_results(docs[0], "Yes, it is."),
+          t.process_results(docs[1], " b"),
+          t.process_results(docs[2], "Red\n")]
+    assert [r["score"] for r in rs] == [1, 1, 1]
+    assert t.aggregate(rs)["ConScore_D"] == 1.0
+    # one miss on the image -> not consistent
+    rs[2] = t.process_results(docs[2], "blue")
+    assert t.aggregate(rs)["ConScore_D"] == 0.0
+    # Q/A anls gate at 0.95 is strict
+    assert t.process_results(docs[2], "redd")["score"] == 0
+    assert t.process_results(docs[2], "red")["score"] == 1
+
+
+def test_synthdog_nted_closed_form():
+    from videoitg_tpu.eval.tasks.synthdog import cal_acc_flat
+
+    # exact: ed=0 -> 1 - 1/(1+len)
+    gt = "hello world"
+    assert cal_acc_flat(gt, gt) == pytest.approx(1 - 1 / 12)
+    # totally different text floors at 0
+    assert cal_acc_flat("zzz", "ab") == 0.0
+    t = get_task("synthdog_en")
+    doc = {"image": None, "ground_truth":
+           '{"gt_parse": {"text_sequence": "hello world"}}'}
+    assert t.doc_to_target(doc) == ["hello world"]
+    r = t.process_results(doc, "Hello World")  # lowered before scoring
+    assert r["score"] == pytest.approx(1 - 1 / 12)
+    agg = t.aggregate([r, t.process_results(doc, "zzz")])
+    assert agg["synthdog_ted_sum"] == pytest.approx(r["score"])
+    assert agg["synthdog_ted"] == pytest.approx(r["score"] / 2)
+
+
+def test_naturalbench_group_math():
+    from videoitg_tpu.eval.tasks.naturalbench import extract_answer
+
+    assert extract_answer("Yes, it is.") == 1
+    assert extract_answer("No.") == 0
+    assert extract_answer("yes... no wait") == 1  # first position wins
+    assert extract_answer("hmm") == -1
+    # mc: case-insensitive word-boundary A/B (a lowercase 'a' hits A)
+    assert extract_answer("a", task_type="multiple_choice") == 1
+    assert extract_answer("The answer is B",
+                          task_type="multiple_choice") == 0
+
+    t = get_task("naturalbench")
+    docs = [{"Index": i, "Question": "q", "Question_Type": "yes_no",
+             "Image": None} for i in range(8)]
+    # group 0 answers perfectly (yes, no, no, yes); group 1 all "yes"
+    perfect = ["yes", "no", "no", "yes"]
+    always_yes = ["yes"] * 4
+    rs = [t.process_results(d, a)
+          for d, a in zip(docs, perfect + always_yes)]
+    agg = t.aggregate(rs)
+    assert agg["naturalbench_G_Acc"] == 0.5
+    assert agg["naturalbench_Acc"] == pytest.approx((4 + 2) / 8)
+    assert agg["naturalbench_Q_Acc"] == 0.5
+    assert agg["naturalbench_I_Acc"] == 0.5
+    assert t.doc_to_text(docs[0]).endswith("Please answer Yes or No.")

@@ -8,6 +8,7 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     cgbench,
     chartqa,
     cinepile,
+    conbench,
     cuva,
     cvrr,
     docvqa,
@@ -16,6 +17,7 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     gqa,
     hallusion_bench,
     iconqa,
+    ii_bench,
     illusionvqa,
     llava_bench,
     longvideobench,
@@ -35,6 +37,7 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     muirbench,
     multidocvqa,
     mvbench,
+    naturalbench,
     nextqa,
     ocrbench,
     ok_vqa,
@@ -47,6 +50,7 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     screenspot,
     seedbench,
     stvqa,
+    synthdog,
     tempcompass,
     temporalbench,
     textvqa,
@@ -77,6 +81,9 @@ register_group("image_bench",
                ["ai2d", "chartqa", "docvqa_val", "gqa", "infovqa_val",
                 "mme", "mmstar", "ocrbench", "pope", "realworldqa",
                 "scienceqa_img", "seedbench", "textvqa_val"])
+
+# synthdog.yaml group.
+register_group("synthdog", ["synthdog_en", "synthdog_zh"])
 
 # multidocvqa.yaml / websrc.yaml / _screenspot.yaml groups.
 register_group("multidocvqa", ["multidocvqa_val", "multidocvqa_test"])
