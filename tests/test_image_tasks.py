@@ -1653,3 +1653,66 @@ def test_naturalbench_group_math():
     assert agg["naturalbench_Q_Acc"] == 0.5
     assert agg["naturalbench_I_Acc"] == 0.5
     assert t.doc_to_text(docs[0]).endswith("Please answer Yes or No.")
+
+
+# ---------------------------------------------------------------------------
+# CMMMU + GQA-ru
+# ---------------------------------------------------------------------------
+
+def test_cmmmu_mcq_votes_and_prompt():
+    from videoitg_tpu.eval.tasks.cmmmu import (
+        construct_prompt, get_multi_choice_prediction)
+
+    letters = ["A", "B", "C", "D"]
+    i2a = dict(zip(letters, ["红", "蓝", "绿", "黄"]))
+    # occurrence-counted: (B) twice beats (A) once
+    assert get_multi_choice_prediction("(A) 不对，(B)。就是(B)",
+                                       letters, i2a) == "B"
+    # multi-select: tied max counts concatenate in ABCD order
+    assert get_multi_choice_prediction("(A)(C)", letters, i2a) == "AC"
+    # option-text votes
+    assert get_multi_choice_prediction("答案是红", letters, i2a) == "A"
+    doc = {"type": "选择", "question": '见<img="f1.png">',
+           "option1": "红", "option2": "蓝", "option3": "绿",
+           "option4": "黄", "image_1_filename": "f1.png", "id": 1}
+    p = construct_prompt(doc)
+    assert "<图片 1>" in p and '<img="f1.png">' not in p
+    assert p.startswith("请回答以下多项选择题")
+
+
+def test_cmmmu_fill_blank_and_tf():
+    from videoitg_tpu.eval.tasks.cmmmu import (
+        get_TF_prediction, get_fill_blank_prediction, normalize_str)
+
+    preds = get_fill_blank_prediction("计算后，答案是 42。", "42")
+    assert 42.0 in preds
+    # length sanity filter drops over-long strings
+    assert normalize_str("x" * 100, "short") == []
+    assert normalize_str("3,200", "x") == [3200.0]
+    tf = get_TF_prediction("这个说法正确。")
+    assert any("正确" in p for p in tf)
+
+    t = get_task("cmmmu_val")
+    doc = {"id": 5, "type": "判断", "question": "对吗",
+           "answer": "对", "subcategory": "数学"}
+    r = t.process_results(doc, "这个陈述正确")
+    assert t.aggregate([r])["cmmmu_acc"] == 1.0
+    assert t.aggregate([r])["cmmmu_科学"] == 1.0
+    # fill-in containment scoring
+    doc2 = {"id": 6, "type": "填空", "question": "几",
+            "answer": "42", "subcategory": "物理"}
+    r2 = t.process_results(doc2, "所以等于 42")
+    assert t.aggregate([r2])["cmmmu_acc"] == 1.0
+    # test split emits submission rows
+    tt = get_task("cmmmu_test")
+    assert tt.process_results(doc, "x") == {"id": 5, "type": "判断",
+                                            "response": "x"}
+
+
+def test_gqa_ru_task():
+    t = get_task("gqa_ru")
+    doc = {"id": "r1", "question": "Какого цвета машина?",
+           "answer": "красный", "imageId": "n1"}
+    assert t.doc_to_text(doc).endswith("Ответь одним словом.")
+    assert t.process_results(doc, "Красный.")["exact_match"] == 1.0
+    assert t.process_results(doc, "синий")["exact_match"] == 0.0

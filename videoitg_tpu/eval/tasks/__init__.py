@@ -8,6 +8,7 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     cgbench,
     chartqa,
     cinepile,
+    cmmmu,
     conbench,
     cuva,
     cvrr,
@@ -15,6 +16,7 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     egoschema,
     funqa,
     gqa,
+    gqa_ru,
     hallusion_bench,
     iconqa,
     ii_bench,
@@ -81,6 +83,9 @@ register_group("image_bench",
                ["ai2d", "chartqa", "docvqa_val", "gqa", "infovqa_val",
                 "mme", "mmstar", "ocrbench", "pope", "realworldqa",
                 "scienceqa_img", "seedbench", "textvqa_val"])
+
+# _cmmmu.yaml group.
+register_group("cmmmu", ["cmmmu_val", "cmmmu_test"])
 
 # synthdog.yaml group.
 register_group("synthdog", ["synthdog_en", "synthdog_zh"])
