@@ -191,3 +191,43 @@ def test_mmmu_pro_domain_rollups_and_groups():
     assert GROUP_REGISTRY["mmmu_pro"] == ["mmmu_pro_vision",
                                           "mmmu_pro_standard"]
     assert len(GROUP_REGISTRY["mmmu_pro_cot"]) == 3
+
+
+# ---------------------------------------------------------------------------
+# JMMMU (tasks/jmmmu.py vs jmmmu/utils.py + 28 yamls)
+# ---------------------------------------------------------------------------
+
+def test_jmmmu_prompt_and_registration():
+    from videoitg_tpu.eval.api import GROUP_REGISTRY, get_task
+
+    assert len(GROUP_REGISTRY["jmmmu"]) == 28
+    assert len(GROUP_REGISTRY["jmmmu_culture_specific"]) == 4
+    t = get_task("jmmmu_japanese_art")
+    doc = {"id": "test_Japanese_Art_1", "question": "<image1>は何ですか",
+           "options": "['猫', '犬']", "answer": "A",
+           "question_type": "multiple-choice"}
+    txt = t.doc_to_text(doc)
+    # <image1> typo normalized, options lettered, Japanese instruction
+    assert "<image 1>" in txt and "A. 猫\nB. 犬" in txt
+    assert txt.endswith("直接記入してください。")
+    r = t.process_results(doc, "答えは (A) です")
+    assert r["parsed_pred"] == "A" and r["subdomain"] == "Japanese_Art"
+
+
+def test_jmmmu_open_response_japanese():
+    from videoitg_tpu.eval.api import get_task
+    from videoitg_tpu.eval.tasks.jmmmu import parse_open_response_ja
+
+    # Japanese indicator splits the answer tail
+    preds = parse_open_response_ja("計算します。答えは 42 です")
+    assert 42.0 in preds
+    # equation indicator on the last sentence
+    preds = parse_open_response_ja("x ＝ 3.5")
+    assert 3.5 in preds
+    t = get_task("jmmmu_math")
+    doc = {"id": "test_Math_1", "question": "いくつ?", "options": "[]",
+           "answer": "42", "question_type": "open"}
+    r = t.process_results(doc, "よって、42")
+    agg = t.aggregate([r])
+    assert agg["jmmmu_acc"] == 1.0
+    assert agg["jmmmu_Science"] == 1.0  # Math rolls into Science

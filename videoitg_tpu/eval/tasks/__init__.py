@@ -21,6 +21,7 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     iconqa,
     ii_bench,
     illusionvqa,
+    jmmmu,
     llava_bench,
     longvideobench,
     mathverse,
@@ -83,6 +84,18 @@ register_group("image_bench",
                ["ai2d", "chartqa", "docvqa_val", "gqa", "infovqa_val",
                 "mme", "mmstar", "ocrbench", "pope", "realworldqa",
                 "scienceqa_img", "seedbench", "textvqa_val"])
+
+# jmmmu.yaml groups (culture split per the per-yaml tags).
+from videoitg_tpu.eval.tasks.jmmmu import (  # noqa: E402
+    CULTURE_AGNOSTIC as _JA,
+    CULTURE_SPECIFIC as _JS,
+)
+
+register_group("jmmmu_culture_agnostic",
+               [f"jmmmu_{s.lower()}" for s in _JA])
+register_group("jmmmu_culture_specific",
+               [f"jmmmu_{s.lower()}" for s in _JS])
+register_group("jmmmu", [f"jmmmu_{s.lower()}" for s in _JA + _JS])
 
 # _cmmmu.yaml group.
 register_group("cmmmu", ["cmmmu_val", "cmmmu_test"])
