@@ -1716,3 +1716,40 @@ def test_gqa_ru_task():
     assert t.doc_to_text(doc).endswith("Ответь одним словом.")
     assert t.process_results(doc, "Красный.")["exact_match"] == 1.0
     assert t.process_results(doc, "синий")["exact_match"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# SEED-Bench-2 / 2-Plus
+# ---------------------------------------------------------------------------
+
+def test_seedbench_2_prompt_and_case_sensitivity():
+    t = get_task("seedbench_2")
+    doc = {"question": "Which?", "choice_a": "cat", "choice_b": "x.jpg",
+           "choice_c": "dog", "choice_d": "fox", "answer": "A",
+           "data_type": "Scene Understanding", "data_id": ["a"],
+           "question_id": 1, "image": []}
+    txt = t.doc_to_text(doc)
+    # image-path choices render as the image token
+    assert "B. <image>" in txt and "A. cat" in txt
+    # Image Generation docs prepend len(data_id)-4 tokens... only when
+    # positive; 1-4 => none
+    gen = dict(doc, data_type="Image Generation",
+               data_id=["a", "b", "c", "d", "e", "f"])
+    assert t.doc_to_text(gen).startswith("<image> <image>\n")
+    r = t.process_results(doc, "A. cat")
+    assert r["pred"] == "A"
+    # v2 scoring is case-SENSITIVE: "a" != "A"
+    r_low = t.process_results(doc, "a")
+    agg = t.aggregate([r, r_low])
+    assert agg["seed_all"] == 0.5
+    assert agg["seed_Scene_Understanding"] == 0.5
+
+    tp = get_task("seedbench_2_plus")
+    docp = {"question": "Which?", "choice_A": "cat", "choice_B": "dog",
+            "choice_C": "fox", "choice_D": "owl", "answer": "A",
+            "question_image_type": "chart", "question_id": 2,
+            "image": None}
+    rp = tp.process_results(docp, "a")  # 2-plus lowercases
+    aggp = tp.aggregate([rp])
+    assert aggp["seedbench_2_plus_all"] == 1.0
+    assert aggp["seedbench_2_plus_Chart"] == 1.0

@@ -52,6 +52,7 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     scienceqa,
     screenspot,
     seedbench,
+    seedbench_2,
     stvqa,
     synthdog,
     tempcompass,
@@ -271,3 +272,59 @@ _attach_media(_embedded("lmms-lab/NoCaps"), "nocaps_val", "nocaps_test")
 _attach_media(_embedded("lmms-lab/TextCaps"),
               "textcaps_val", "textcaps_test")
 _attach_media(_embedded("lmms-lab/flickr30k"), "flickr30k_test")
+_attach_media(_embedded("AI4Math/MathVista"),
+              "mathvista_testmini_cot", "mathvista_testmini_solution",
+              "mathvista_testmini_format", "mathvista_test")
+_attach_media(_embedded("CaraJ/MathVerse-lmmseval"),
+              *[t for t in TASK_REGISTRY if t.startswith("mathverse_")])
+_attach_media(_embedded("lmms-lab/MMVet"), "mmvet")
+_attach_media(_embedded("whyu/mm-vet-v2"), "mmvetv2", "mmvetv2_group_img")
+_attach_media(_embedded("lmms-lab/HallusionBench"),
+              "hallusion_bench_image", "hallusion_bench_image_intern")
+_attach_media(_embedded("MMMU/MMMU_Pro"),
+              *[t for t in TASK_REGISTRY if t.startswith("mmmu_pro_")])
+_attach_media(_embedded("lmms-lab/RefCOCO"),
+              *[t for t in TASK_REGISTRY if t.startswith("refcoco_")])
+_attach_media(_embedded("lmms-lab/RefCOCOplus"),
+              *[t for t in TASK_REGISTRY if t.startswith("refcoco+_")])
+_attach_media(_embedded("lmms-lab/RefCOCOg"),
+              *[t for t in TASK_REGISTRY if t.startswith("refcocog_")])
+_attach_media(_embedded("MUIRBENCH/MUIRBENCH"), "muirbench")
+_attach_media(_embedded("yifanzhang114/MME-RealWorld-Lmms-eval"),
+              "mmerealworld")
+_attach_media(_embedded("yifanzhang114/MME-RealWorld-CN-Lmms-eval"),
+              "mmerealworld_cn")
+_attach_media(_embedded("yifanzhang114/MME-RealWorld-lite-lmms-eval"),
+              "mmerealworld_lite")
+_attach_media(_embedded("lmms-lab/ICON-QA"), "iconqa_val", "iconqa_test")
+_attach_media(_embedded("csebuetnlp/illusionVQA-Comprehension"),
+              "illusionvqa_comprehension")
+_attach_media(_embedded("csebuetnlp/illusionVQA-Soft-Localization"),
+              "illusionvqa_soft_localization")
+_attach_media(_embedded("q-future/Q-Bench-HF"), "qbench_dev")
+_attach_media(_embedded("q-future/Q-Bench2-HF"), "qbench2_dev")
+_attach_media(_embedded("q-future/A-Bench-HF"), "abench_dev")
+_attach_media(_embedded("lmms-lab/llava-bench-in-the-wild"),
+              "llava_in_the_wild")
+_attach_media(_embedded("lmms-lab/llava-bench-coco"), "llava_bench_coco")
+_attach_media(_embedded("lmms-lab/LLaVA-Bench-Wilder"),
+              "llava_wilder_small")
+_attach_media(_embedded("WildVision/wildvision-arena-data"),
+              "wildvision_0617", "wildvision_0630")
+_attach_media(_embedded("lmms-lab/MP-DocVQA"),
+              "multidocvqa_val", "multidocvqa_test")
+_attach_media(_embedded("rootsautomation/websrc"),
+              "websrc_val", "websrc_test")
+_attach_media(_embedded("rootsautomation/ScreenSpot"),
+              "screenspot_rec_test", "screenspot_reg_test")
+_attach_media(_embedded("lmms-lab/II-Bench"), "ii_bench")
+_attach_media(_embedded("ConBench/ConBench_D"), "conbench")
+_attach_media(_embedded("naver-clova-ix/synthdog-en"), "synthdog_en")
+_attach_media(_embedded("naver-clova-ix/synthdog-zh"), "synthdog_zh")
+_attach_media(_embedded("BaiqiL/NaturalBench-lmms-eval"), "naturalbench")
+_attach_media(_embedded("lmms-lab/CMMMU"), "cmmmu_val", "cmmmu_test")
+_attach_media(_embedded("deepvk/GQA-ru"), "gqa_ru")
+_attach_media(_embedded("JMMMU/JMMMU"),
+              *[t for t in TASK_REGISTRY if t.startswith("jmmmu_")])
+_attach_media(_embedded("lmms-lab/SEED-Bench-2"), "seedbench_2")
+_attach_media(_embedded("doolayer/SEED-Bench-2-Plus"), "seedbench_2_plus")
