@@ -1753,3 +1753,54 @@ def test_seedbench_2_prompt_and_case_sensitivity():
     aggp = tp.aggregate([rp])
     assert aggp["seedbench_2_plus_all"] == 1.0
     assert aggp["seedbench_2_plus_Chart"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# MMT + Vibe-Eval
+# ---------------------------------------------------------------------------
+
+def test_mmt_parser_and_rollups():
+    from videoitg_tpu.eval.tasks.mmt import parse_multi_choice_response
+
+    assert parse_multi_choice_response("(B)", ["A", "B", "C"]) == "B"
+    assert parse_multi_choice_response("I pick C", ["A", "B", "C"]) == "C"
+    assert parse_multi_choice_response("A. because", ["A", "B"]) == "A"
+    # multi-candidate: LAST occurrence wins
+    assert parse_multi_choice_response("A no wait B final",
+                                       ["A", "B"]) == "B"
+    t = get_task("mmt_val")
+    doc = {"index": 1, "question": "What?", "A": "cat", "B": "dog",
+           "C": "", "answer": "A", "l2-category": "visual_recognition",
+           "split": "VAL", "image": []}
+    txt = t.doc_to_text(doc)
+    assert txt.startswith("Question: <image>\n")
+    assert "A: cat\nB: dog" in txt and "C:" not in txt
+    assert txt.endswith("single character from the given options.")
+    r = t.process_results(doc, "A")
+    r2 = t.process_results(dict(doc, index=2, answer="B",
+                                **{"l2-category": "counting"}), "A")
+    agg = t.aggregate([r, r2])
+    assert agg["mmt_accuracy"] == 50.0
+    assert agg["mmt_visual_recognition"] == 100.0
+    assert agg["mmt_counting"] == 0.0
+    for n in ("mmt_test", "mmt_mi_val", "mmt_mi_test"):
+        assert get_task(n) is not None
+
+
+def test_vibe_eval_rating_standin():
+    t = get_task("vibe_eval")
+    doc = {"example_id": "e1", "category": "difficulty-hard",
+           "prompt": "Describe the image.",
+           "reference": "A small red fox jumps over the sleeping dog.",
+           "image": None, "media_url": ""}
+    # echoing the reference -> top rating 5 -> 100
+    r = t.process_results(doc, "A small red fox jumps over the sleeping dog.")
+    assert r["score"] == 5
+    r2 = t.process_results(dict(doc, example_id="e2",
+                                category="difficulty-normal"),
+                           "completely unrelated words entirely here")
+    assert r2["score"] == 1
+    agg = t.aggregate([r, r2])
+    assert agg["vibe_eval_all"] == pytest.approx((100 + 0) / 2)
+    assert agg["vibe_eval_hard"] == 100.0
+    assert agg["vibe_eval_normal"] == 0.0

@@ -283,6 +283,23 @@ class ExactMatchJudge(Judge):
             return "correct"
         return "incorrect"
 
+    def _rating(self, user: str) -> str:
+        """Emulate the Vibe-Eval 1-5 rating (vibe_eval/utils.py:39-55):
+        deterministic token-F1 between [Assistant Response] and
+        [Ground Truth Response], binned to 1-5."""
+        m = re.search(r"\[Assistant Response\]\n(.*?)\n\n\[Ground Truth "
+                      r"Response\]\n(.*?)\n\n\[System\]", user, re.S)
+        if not m:
+            return "Explanation: unparseable\nRating: 1"
+        t1 = self._norm(m.group(1)).split()
+        t2 = self._norm(m.group(2)).split()
+        common = Counter(t1) & Counter(t2)
+        overlap = sum(common.values())
+        denom = len(t1) + len(t2)
+        f1 = 2 * overlap / denom if denom else 0.0
+        rating = 1 + round(4 * f1)
+        return f"Explanation: token-overlap stand-in\nRating: {rating}"
+
     def _caption_qa(self, user: str) -> str:
         """Emulate the vdc caption-QA generation step (vdc/utils.py:
         201-225): answer a question from a detailed description. Returns
@@ -376,6 +393,8 @@ class ExactMatchJudge(Judge):
             return self._mmvet_rubric(user)
         if "Imagine you are an intelligent teacher" in user:
             return self._teacher(user)
+        if "Rate whether the assistant response correctly matches" in user:
+            return self._rating(user)
         answer = None
         preds = []
         for line in user.splitlines():

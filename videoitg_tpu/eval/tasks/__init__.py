@@ -34,6 +34,7 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     mmmu,
     mmmu_pro,
     mmstar,
+    mmt,
     mmvet,
     mmworld,
     moviechat,
@@ -60,6 +61,7 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     textvqa,
     vatex,
     vdc,
+    vibe_eval,
     video_detail_description,
     videochatgpt,
     videomme,
@@ -97,6 +99,10 @@ register_group("jmmmu_culture_agnostic",
 register_group("jmmmu_culture_specific",
                [f"jmmmu_{s.lower()}" for s in _JS])
 register_group("jmmmu", [f"jmmmu_{s.lower()}" for s in _JA + _JS])
+
+# mmt.yaml / mmt_mi.yaml groups.
+register_group("mmt", ["mmt_val", "mmt_test"])
+register_group("mmt_mi", ["mmt_mi_val", "mmt_mi_test"])
 
 # _cmmmu.yaml group.
 register_group("cmmmu", ["cmmmu_val", "cmmmu_test"])
@@ -326,5 +332,9 @@ _attach_media(_embedded("lmms-lab/CMMMU"), "cmmmu_val", "cmmmu_test")
 _attach_media(_embedded("deepvk/GQA-ru"), "gqa_ru")
 _attach_media(_embedded("JMMMU/JMMMU"),
               *[t for t in TASK_REGISTRY if t.startswith("jmmmu_")])
+_attach_media(_embedded("lmms-lab/MMT-Benchmark"), "mmt_val", "mmt_test")
+_attach_media(_embedded("lmms-lab/MMT_MI-Benchmark"),
+              "mmt_mi_val", "mmt_mi_test")
+_attach_media(_embedded("RekaAI/VibeEval"), "vibe_eval")
 _attach_media(_embedded("lmms-lab/SEED-Bench-2"), "seedbench_2")
 _attach_media(_embedded("doolayer/SEED-Bench-2-Plus"), "seedbench_2_plus")
