@@ -12,8 +12,10 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     conbench,
     cuva,
     cvrr,
+    detailcaps,
     docvqa,
     egoschema,
+    ferret,
     funqa,
     gqa,
     gqa_ru,
@@ -23,9 +25,12 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     illusionvqa,
     jmmmu,
     llava_bench,
+    llava_interleave,
     longvideobench,
     mathverse,
     mathvista,
+    mia_bench,
+    mirb,
     mix_evals,
     mlvu,
     mmbench,
@@ -68,6 +73,7 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     vinoground,
     vitatecs,
     vizwiz_vqa,
+    vl_rewardbench,
     vqav2,
     websrc,
     wildvision,

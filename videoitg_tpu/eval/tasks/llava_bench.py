@@ -37,7 +37,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional
 
-from videoitg_tpu.eval.api import Task, register_task
+from videoitg_tpu.eval.api import Task, register_group, register_task
 from videoitg_tpu.eval.judge import get_judge
 
 SYSTEM_MSG = ("You are a helpful and precise assistant for checking the "
@@ -193,11 +193,11 @@ def aggregate(records: List[dict]) -> Dict[str, float]:
     return out
 
 
-def _make_load(hub: str, split: str):
+def _make_load(hub: str, split: str, subset: Optional[str] = None):
     def load_docs(data_root: str, split_: str = split) -> List[dict]:
         from videoitg_tpu.eval.loaders import load_benchmark_docs
 
-        return load_benchmark_docs(hub, data_root, split_)
+        return load_benchmark_docs(hub, data_root, split_, subset=subset)
     return load_docs
 
 
@@ -223,3 +223,31 @@ for _name, _hub, _split, _text_field, _proc, _gen in (
         load_docs=_make_load(_hub, _split),
         generation_kwargs=dict(_gen),
     ))
+
+
+# Multilingual LLaVA-Bench-in-the-Wild (parity: lmms_eval/tasks/
+# multilingual-llava-bench-in-the-wild/: utils.py is byte-identical to
+# llava-in-the-wild's modulo the yaml filename — verified by diff — and
+# rule.json is IDENTICAL, so the nine language tasks reuse
+# process_results_wild/aggregate unchanged; each yaml only picks a
+# dataset config on gagan3012/multilingual-llava-bench).
+MULTILINGUAL_LANGS = ("arabic", "bengali", "chinese", "french", "hindi",
+                      "japanese", "russian", "spanish", "urdu")
+
+for _lang in MULTILINGUAL_LANGS:
+    register_task(Task(
+        name=f"llava_in_the_wild_{_lang}",
+        doc_to_visual=doc_to_visual,
+        doc_to_text=_make_doc_to_text("question"),
+        doc_to_target=lambda doc: doc.get("gpt_answer", ""),
+        process_results=process_results_wild,
+        aggregate=aggregate,
+        primary_metric="gpt_eval_llava_all",
+        load_docs=_make_load("gagan3012/multilingual-llava-bench", "train",
+                             subset=_lang),
+        generation_kwargs={"max_new_tokens": 1024, "temperature": 0,
+                           "do_sample": False},
+    ))
+
+register_group("multilingual_llava_bench",
+               [f"llava_in_the_wild_{lang}" for lang in MULTILINGUAL_LANGS])

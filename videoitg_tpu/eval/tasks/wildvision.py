@@ -152,7 +152,9 @@ def process_results(doc, response: str) -> dict:
 
 def aggregate(records: List[dict]) -> Dict[str, float]:
     if not records:
-        return {"wildvision_raw_score": 0.0}
+        return {"wildvision_raw_score": 0.0,
+                "wildvision_elo_win_rate": 0.0,
+                "wildvision_win_rate": 0.0}
     n = len(records)
     wins_b = sum(r["winner"] == "model_b" for r in records)
     ties = sum(r["winner"] == "tie" for r in records)
