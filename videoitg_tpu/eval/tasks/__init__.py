@@ -23,7 +23,9 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     iconqa,
     ii_bench,
     illusionvqa,
+    internal_eval,
     jmmmu,
+    live_bench,
     llava_bench,
     llava_interleave,
     longvideobench,
@@ -65,6 +67,7 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     temporalbench,
     textvqa,
     vatex,
+    vcr_wiki,
     vdc,
     vibe_eval,
     video_detail_description,
