@@ -42,6 +42,7 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     mmmu_pro,
     mmstar,
     mmt,
+    mmupd,
     mmvet,
     mmworld,
     moviechat,
@@ -52,6 +53,7 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     nextqa,
     ocrbench,
     ok_vqa,
+    olympiadbench,
     perceptiontest,
     pope,
     qbench,
