@@ -31,6 +31,7 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     longvideobench,
     mathverse,
     mathvista,
+    megabench,
     mia_bench,
     mirb,
     mix_evals,
