@@ -41,6 +41,7 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     mme_realworld,
     mmmu,
     mmmu_pro,
+    mmsearch,
     mmstar,
     mmt,
     mmupd,
