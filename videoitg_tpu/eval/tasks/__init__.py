@@ -19,8 +19,10 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     funqa,
     gqa,
     gqa_ru,
+    gsm8k,
     hallusion_bench,
     iconqa,
+    ifeval_task,
     ii_bench,
     illusionvqa,
     internal_eval,
@@ -39,6 +41,7 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     mmbench,
     mme,
     mme_realworld,
+    mmlu_pro,
     mmmu,
     mmmu_pro,
     mmsearch,
@@ -69,6 +72,7 @@ from videoitg_tpu.eval.tasks import (  # noqa: F401
     synthdog,
     tempcompass,
     temporalbench,
+    text_mc,
     textvqa,
     vatex,
     vcr_wiki,
