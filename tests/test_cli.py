@@ -170,3 +170,18 @@ def test_cli_evaluate_cache_requests(workdir):
     assert len(cached) == 1
     r = _run(cmd, cwd=workdir)
     assert "loaded 2 docs from request cache" in r.stdout
+
+
+def test_when_weights_land_script_wellformed():
+    """scripts/when_weights_land.sh parses and documents all four steps;
+    the full --selftest (parity harness + golden regen + judge probe +
+    adapter smoke, several minutes of CPU) is run out-of-suite — this
+    pins the script's shape so drift is caught cheaply."""
+    import subprocess
+
+    path = "scripts/when_weights_land.sh"
+    subprocess.run(["bash", "-n", path], check=True)
+    src = open(path).read()
+    for marker in ("parity_vs_torch.py", "GOLDEN_REGEN=1",
+                   "--judge", "internvl-chat", "--selftest"):
+        assert marker in src, marker

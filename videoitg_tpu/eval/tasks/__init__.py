@@ -355,3 +355,59 @@ _attach_media(_embedded("lmms-lab/MMT_MI-Benchmark"),
 _attach_media(_embedded("RekaAI/VibeEval"), "vibe_eval")
 _attach_media(_embedded("lmms-lab/SEED-Bench-2"), "seedbench_2")
 _attach_media(_embedded("doolayer/SEED-Bench-2-Plus"), "seedbench_2_plus")
+
+# --- Round-5 task families -------------------------------------------------
+# Image/interleave ports: visuals embedded in the HF rows (same pattern
+# as the reference's PIL-column datasets).
+_attach_media(_embedded("foundation-multimodal-models/DetailCaps-4870"),
+              "detailcaps")
+_attach_media(_embedded("gagan3012/multilingual-llava-bench"),
+              *[t for t in TASK_REGISTRY
+                if t.startswith("llava_in_the_wild_")])
+_attach_media(_embedded("lmms-lab/Ferret-Bench"), "ferret")
+_attach_media(_embedded("lmms-lab/MIA-Bench"), "mia_bench")
+_attach_media(_embedded("MMInstruction/VL-RewardBench"), "vl_rewardbench")
+_attach_media(_embedded("VLLMs/MIRB-hf"), "mirb")
+_attach_media(_embedded("lmms-lab/LLaVA-NeXT-Interleave-Bench"),
+              "llava_interleave_bench_in_domain",
+              "llava_interleave_bench_out_domain",
+              "llava_interleave_bench_multi_view")
+_attach_media(_embedded("lmms-lab/D170_v4.1_EN"), "d170_en")
+_attach_media(_embedded("lmms-lab/D170_v4.1_CN"), "d170_cn")
+_attach_media(_embedded("lmms-lab/DC100_EN"), "dc100_en")
+_attach_media(_embedded("lmms-lab/DC200_CN"), "dc200_cn")
+_attach_media(_embedded("lmms-lab/LiveBench"),
+              "live_bench_2406", "live_bench_2407", "live_bench_2409")
+_attach_media(_embedded("MM-UPD/MM-UPD"),
+              *[t for t in TASK_REGISTRY
+                if t.startswith(("mmaad_", "mmiasd_", "mmivqd_"))])
+_attach_media(_embedded("lmms-lab/OlympiadBench"),
+              "olympiadbench_test_en", "olympiadbench_test_cn")
+for _lang in ("en", "zh"):
+    for _diff in ("easy", "hard"):
+        for _size in ("", "_100", "_500"):
+            _attach_media(
+                _embedded(f"vcr-org/VCR-wiki-{_lang}-{_diff}-test"
+                          + _size.replace("_", "-")),
+                f"vcr_wiki_{_lang}_{_diff}{_size}")
+_attach_media(_embedded("CaraJ/MMSearch"),
+              "mmsearch_end2end", "mmsearch_rerank",
+              "mmsearch_summarization")
+# MEGA-Bench ships real media blobs next to the rows; cache_dir matches
+# megabench/_default_template_yaml (dataset_kwargs.cache_dir).
+_attach_media(MediaSpec("TIGER-Lab/MEGA-Bench", "megabench_data"),
+              "megabench_core", "megabench_open",
+              "megabench_core_si", "megabench_open_si")
+# Text-only suites: no visuals at all — embedded spec records the hub id.
+_attach_media(_embedded("gsm8k"), "gsm8k")
+_attach_media(_embedded("wis-k/instruction-following-eval"), "ifeval")
+_attach_media(_embedded("hellaswag"), "hellaswag")
+_attach_media(_embedded("allenai/ai2_arc"), "arc_easy", "arc_challenge")
+_attach_media(_embedded("Idavidrein/gpqa"),
+              "gpqa_main_zeroshot", "gpqa_diamond_zeroshot",
+              "gpqa_extended_zeroshot")
+_attach_media(_embedded("hails/mmlu_no_train"),
+              *[t for t in TASK_REGISTRY
+                if t.startswith("mmlu_") and not t.startswith("mmlu_pro_")])
+_attach_media(_embedded("TIGER-Lab/MMLU-Pro"),
+              *[t for t in TASK_REGISTRY if t.startswith("mmlu_pro_")])
