@@ -32,6 +32,15 @@ BASELINE_FRAMES_PER_SEC = 2000.0
 # 2k. vs_baseline keeps the literal denominator for cross-round continuity;
 # vs_chip_bound reports against the per-chip silicon-consistent target.
 CHIP_BOUND_FRAMES_PER_SEC = 250.0
+# Round-5 reconciliation (docs/PERF.md "Speed-of-light accounting —
+# RECONCILED"): composing the MEASURED per-stage floors (tower GEMM-only
+# 1205 ms + amortized attention kernels 684 ms + projector + LM stage)
+# bounds the single-question program at ~3.04 s/video => ~168 f/s. The
+# old 300-380 "2x-peak int8" band is struck (XLA int8 GEMMs measure 253
+# TFLOP/s, attention runs 48-113 TFLOP/s at its structural shapes).
+# vs_floor reports against this measured-floor composition; the 250 f/s
+# chip bound remains reachable only by the Q>=3 tower-reuse workload.
+FLOOR_FRAMES_PER_SEC = 168.0
 
 
 def _build_params(model: str, dtype, act_int8: bool):
@@ -138,6 +147,7 @@ def run_bench(model: str, num_frames: int, iters: int, text_len: int,
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FRAMES_PER_SEC, 3),
         "vs_chip_bound": round(fps / CHIP_BOUND_FRAMES_PER_SEC, 3),
+        "vs_floor": round(fps / FLOOR_FRAMES_PER_SEC, 3),
         "model": model,
         "batch": batch,
         "num_frames": num_frames,

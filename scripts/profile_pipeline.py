@@ -135,6 +135,10 @@ def main():
                         "headline tier; default here is weight-only int8")
     args = p.parse_args()
 
+    from videoitg_tpu.utils.common import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+
     if args.pipeline_videos:
         profile_decode_overlap(args.model, args.pipeline_videos, args.num_frames)
         return

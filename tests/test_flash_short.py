@@ -85,3 +85,26 @@ def test_short_kernel_multi_frame_blocks():
         out = np.asarray(
             _flash_mha_short_jit(q, k, v, group=2, interpret=True, frames=f))
         np.testing.assert_allclose(out, ref, atol=5e-6, rtol=1e-5)
+
+
+def test_vision_group_env_knob(monkeypatch):
+    """VIDEOITG_VISION_GROUP overrides the pipelined head-group size at
+    CALL time (g=8 newly compiles on libtpu 0.0.34 — docs/PERF.md round-5
+    Mosaic retry); numerics must be group-invariant."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from videoitg_tpu.ops.attention import mha_reference
+    from videoitg_tpu.ops.flash_attention_short import flash_mha_short
+
+    rng = np.random.default_rng(6)
+    b, h, s, d = 2, 8, 33, 8
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    ref = np.asarray(mha_reference(q, k, v))
+    for g in ("8", "2"):
+        monkeypatch.setenv("VIDEOITG_VISION_GROUP", g)
+        out = np.asarray(flash_mha_short(q, k, v, group=4, interpret=True))
+        np.testing.assert_allclose(out, ref, atol=5e-6, rtol=1e-5)

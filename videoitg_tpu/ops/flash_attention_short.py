@@ -150,6 +150,9 @@ def flash_mha_short(
         impl = os.environ.get("VIDEOITG_VISION_SOFTMAX", "exact")
     kt = os.environ.get("VIDEOITG_VISION_KT", "1") != "0"
     frames = int(os.environ.get("VIDEOITG_VISION_FRAMES", "1"))
+    # g=8 compiles on libtpu 0.0.34 (round-2 compilers crashed it) but
+    # measures slower amortized than g=4 — kept as an A/B knob.
+    group = int(os.environ.get("VIDEOITG_VISION_GROUP", str(group)))
     return _flash_mha_short_jit(q, k, v, group=group, interpret=interpret,
                                 impl=impl, kt=kt, sm_scale=sm_scale,
                                 frames=frames)
