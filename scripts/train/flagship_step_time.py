@@ -98,6 +98,90 @@ def run_logged(cmd: list, log_path: str, timeout_s: int) -> str:
     return out
 
 
+def run_synthetic(steps: int, lora: int, quantize_base: str | None,
+                  batch: int) -> None:
+    """Device-compute-only steady-state: one on-device feature batch
+    (the cache-hit path's [B, T, P, C] form), run_step in a loop.
+
+    Through THIS sandbox's tunnel the pipeline arm pays a ~1.7 GB/step
+    feature upload (host->device is tunneled; on a real host that copy is
+    PCIe ~0.1 s and prefetch hides it), so the synthetic arm is the
+    honest measure of the train step itself at the flagship geometry.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from videoitg_tpu.utils.common import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+
+    from videoitg_tpu.config import preset
+    from videoitg_tpu.models.grounding import GroundingBatch, init_grounding
+    from videoitg_tpu.train.lora import add_lora, make_lora_optimizer
+    from videoitg_tpu.train.train_step import (
+        create_train_state, make_train_step, run_step,
+    )
+
+    cfg = preset("videoitg-2b")
+    dtype = jnp.bfloat16
+    params = init_grounding(jax.random.PRNGKey(0), cfg, dtype=dtype)
+    if quantize_base == "int8":
+        from videoitg_tpu.ops.quant import quantize_grounding_int8
+
+        params = quantize_grounding_int8(params)
+    params = add_lora(params, jax.random.PRNGKey(1), rank=lora)
+    tx = make_lora_optimizer(params, learning_rate=2e-4, total_steps=steps,
+                             schedule="constant", warmup_ratio=0.0)
+    state = create_train_state(params, tx)
+    step_fn = make_train_step(cfg, tx, hw=HW, use_flash=True, remat=True)
+
+    b, t = batch, N_FRAMES
+    p_, c_ = cfg.vision.num_patches, cfg.vision.hidden_size
+    feats = jax.random.normal(jax.random.PRNGKey(2), (b, t, p_, c_), dtype)
+    labels = np.zeros((b, t), np.float32)
+    labels[:, 7] = 1.0
+    gb = GroundingBatch(
+        frames=feats,
+        frame_valid=jnp.ones((b, t), bool),
+        text_ids=jnp.zeros((b, cfg.max_text_len), jnp.int32)
+        .at[:, :5].set(jnp.arange(5) + 3),
+        text_valid=jnp.zeros((b, cfg.max_text_len), bool)
+        .at[:, :5].set(True),
+        labels=jnp.asarray(labels),
+    )
+    seq = t * HW * HW + cfg.max_text_len
+    print(f"[flagship-synthetic] 2B{'+int8' if quantize_base else ''} "
+          f"LoRA r{lora} b={b} {t}f hw={HW} seq={seq}")
+
+    t0 = time.time()
+    state, metrics = run_step(step_fn, state, gb)
+    _ = float(metrics["loss"])
+    print(f"[flagship-synthetic] compile+step0: {time.time() - t0:.1f}s")
+    try:
+        ms = jax.devices()[0].memory_stats()
+        print(f"[flagship-synthetic] HBM in use "
+              f"{ms['bytes_in_use'] / 2**30:.2f} GiB / peak "
+              f"{ms.get('peak_bytes_in_use', 0) / 2**30:.2f} GiB")
+    except Exception:
+        pass
+    ts = []
+    for _i in range(steps):
+        t0 = time.time()
+        state, metrics = run_step(step_fn, state, gb)
+        _ = float(metrics["loss"])
+        ts.append(time.time() - t0)
+    print(json.dumps({
+        "geometry": f"{t}f hw={HW} seq~{seq}",
+        "tier": ("2b-qlora-int8" if quantize_base else "2b-lora")
+                + f"-r{lora}",
+        "batch": b,
+        "mode": "synthetic-device-only",
+        "windows_s_per_step": [round(x, 3) for x in ts],
+        "steady_s_per_step": round(min(ts), 3),
+    }))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=8)
@@ -106,8 +190,15 @@ def main():
     p.add_argument("--lora", type=int, default=16)
     p.add_argument("--quantize-base", default=None, choices=[None, "int8"])
     p.add_argument("--no-cache", action="store_true")
+    p.add_argument("--synthetic", action="store_true",
+                   help="device-compute-only arm: on-device feature batch, "
+                        "no input pipeline (tunnel-upload-free)")
     p.add_argument("--workdir", default="/tmp/videoitg_flagship_train")
     args = p.parse_args()
+
+    if args.synthetic:
+        run_synthetic(args.steps, args.lora, args.quantize_base, args.batch)
+        return
 
     os.makedirs(args.workdir, exist_ok=True)
     out_dir = os.path.join(args.workdir, "out")

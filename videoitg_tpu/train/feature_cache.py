@@ -144,19 +144,23 @@ def make_tower_fn(params: dict, cfg: GroundingConfig, chunk: int = 128,
 
     vision = params["vision"]
 
+    # vision goes through the jit boundary as an ARGUMENT: closing over it
+    # would bake every tower weight into the jaxpr as constants, and this
+    # sandbox's remote-compile tunnel rejects the resulting ~GB HLO payload
+    # with HTTP 413 (found round 5 at the 1024-frame flagship precompute).
     @jax.jit
-    def run(frames):
+    def run(vision_p, frames):
         from videoitg_tpu.models import siglip as siglip_mod
 
         return siglip_mod.siglip_features(
-            vision, frames, cfg.vision, use_flash=use_flash).astype(
+            vision_p, frames, cfg.vision, use_flash=use_flash).astype(
                 np.float32)
 
     def tower(frames_pre) -> np.ndarray:
         t = frames_pre.shape[0]
         outs = []
         for lo in range(0, t, chunk):
-            outs.append(np.asarray(run(frames_pre[lo:lo + chunk])))
+            outs.append(np.asarray(run(vision, frames_pre[lo:lo + chunk])))
         return np.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
     return tower
