@@ -134,7 +134,8 @@ def run_synthetic(steps: int, lora: int, quantize_base: str | None,
     tx = make_lora_optimizer(params, learning_rate=2e-4, total_steps=steps,
                              schedule="constant", warmup_ratio=0.0)
     state = create_train_state(params, tx)
-    step_fn = make_train_step(cfg, tx, hw=HW, use_flash=True, remat=True)
+    step_fn = make_train_step(cfg, tx, hw=HW, use_flash=True, remat=True,
+                              donate=True)
 
     b, t = batch, N_FRAMES
     p_, c_ = cfg.vision.num_patches, cfg.vision.hidden_size

@@ -377,10 +377,11 @@ def main(argv=None) -> int:
                     from videoitg_tpu.train.vlm_sft import make_vlm_train_step
 
                     fn = make_vlm_train_step(cfg, tx, hw=hw,
-                                             use_flash=not on_cpu, remat=True)
+                                             use_flash=not on_cpu, remat=True,
+                                             donate=True)
                 else:
                     fn = make_train_step(cfg, tx, hw=hw, use_flash=not on_cpu,
-                                         remat=True)
+                                         remat=True, donate=True)
                 step_fns[key] = offload_wrap(fn) if offload_wrap else fn
             state, metrics = run_step(step_fns[key], state, batch, mesh=mesh,
                                       microbatches=args.pp_microbatches)

@@ -9,6 +9,7 @@ rematerializes decoder layers (jax.checkpoint, reference used
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -40,6 +41,7 @@ def make_train_step(
     use_flash: bool = False,
     remat: bool = True,
     param_dtype=jnp.float32,
+    donate: bool = False,
 ):
     """Returns jitted (state, batch) -> (state, metrics).
 
@@ -55,7 +57,13 @@ def make_train_step(
         )
         return loss, metrics
 
-    @jax.jit
+    # donate=True consumes the incoming TrainState's buffers: without
+    # donation apply_updates holds old+new params simultaneously — at the
+    # 1024-frame flagship geometry that extra params-sized peak is the
+    # difference between fitting and OOM on a 16 GB v5e. Opt-in because a
+    # donated state (and the params pytree it was built from) is DELETED
+    # after the call; cli/train turns it on.
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def step_fn(state: TrainState, batch: GroundingBatch):
         # allow_int: QLoRA trees carry int8/int4 base weights — those leaves
         # get float0 gradients. float0 supports no arithmetic, so convert to

@@ -9,6 +9,7 @@ fps ∈ {0.5, 1, 2, 4, 8} augmentation (train_vlm.py:1074-1077).
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import random
@@ -153,7 +154,7 @@ def collate_vlm(
 
 def make_vlm_train_step(cfg: GroundingConfig, tx, hw: int,
                         use_flash: bool = False, remat: bool = True,
-                        freeze_vision: bool = True):
+                        freeze_vision: bool = True, donate: bool = False):
     """jitted (state, batch) -> (state, metrics) for the SFT objective."""
     import optax
 
@@ -163,7 +164,9 @@ def make_vlm_train_step(cfg: GroundingConfig, tx, hw: int,
         return vlm_loss(params, batch, cfg, hw=hw, use_flash=use_flash,
                         remat=remat, freeze_vision=freeze_vision)
 
-    @jax.jit
+    # donate: see train_step.make_train_step — opt-in removal of the
+    # old+new params peak; the donated state is consumed.
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def step_fn(state: TrainState, batch: VLMBatch):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch)
