@@ -22,8 +22,11 @@
 # --selftest exercises every step on committed fixture checkpoints and a
 # synthesized test video (no network): parity --selftest, golden regen
 # into a scratch copy, hf: judge on a random tiny LM vs exact-match, and
-# the adapter smoke on the tiny InternVL fixture. CI covers it via
-# tests/test_cli.py::test_when_weights_land_selftest.
+# the adapter smoke on the tiny InternVL fixture. The suite pins the
+# script's shape cheaply (test_cli.py::test_when_weights_land_script_-
+# wellformed); the full selftest runs via
+# VIDEOITG_RUN_RUNBOOK_SELFTEST=1 pytest tests/test_cli.py -k runbook
+# (several minutes of CPU — out of the default suite).
 
 set -euo pipefail
 cd "$(dirname "$0")/.."

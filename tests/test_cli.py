@@ -185,3 +185,19 @@ def test_when_weights_land_script_wellformed():
     for marker in ("parity_vs_torch.py", "GOLDEN_REGEN=1",
                    "--judge", "internvl-chat", "--selftest"):
         assert marker in src, marker
+
+
+@pytest.mark.skipif(
+    not os.environ.get("VIDEOITG_RUN_RUNBOOK_SELFTEST"),
+    reason="several minutes of CPU; opt in with "
+           "VIDEOITG_RUN_RUNBOOK_SELFTEST=1")
+def test_when_weights_land_runbook_selftest():
+    """Full end-to-end run of the when-weights-land runbook on fixtures:
+    parity harness, golden-regen byte-stability, judge drift probe,
+    downstream-adapter smoke (VERDICT r4 item 6's acceptance)."""
+    import subprocess
+
+    r = subprocess.run(["bash", "scripts/when_weights_land.sh", "--selftest"],
+                       capture_output=True, text=True, timeout=3600)
+    assert r.returncode == 0, f"STDOUT:{r.stdout[-3000:]}\nSTDERR:{r.stderr[-2000:]}"
+    assert "SELFTEST COMPLETE" in r.stdout

@@ -118,6 +118,35 @@ def test_checkpoint_save_resume(tmp_path):
     )
 
 
+def test_donated_step_matches_undonated():
+    """donate=True only changes buffer aliasing (the apply_updates old+new
+    params peak that OOMs the 1024f flagship geometry, docs/PERF.md), never
+    numerics: three steps must produce bit-identical losses and params."""
+    rng = np.random.default_rng(7)
+    batch = _make_batch(rng)
+
+    def run(donate):
+        params = init_grounding(jax.random.PRNGKey(4), CFG, dtype=jnp.float32)
+        tx = make_grounding_optimizer(params, learning_rate=5e-3,
+                                      total_steps=10, warmup_ratio=0.0,
+                                      schedule="constant")
+        state = create_train_state(params, tx)
+        step_fn = make_train_step(CFG, tx, hw=2, use_flash=False,
+                                  donate=donate)
+        losses = []
+        for _ in range(3):
+            state, metrics = step_fn(state, batch)
+            losses.append(float(metrics["loss"]))
+        return losses, state
+
+    losses_ref, state_ref = run(donate=False)
+    losses_don, state_don = run(donate=True)
+    assert losses_ref == losses_don, (losses_ref, losses_don)
+    for a, b in zip(jax.tree.leaves(state_ref.params),
+                    jax.tree.leaves(state_don.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_dataset_and_batching(tmp_path):
     from videoitg_tpu.data.video import write_test_video
 
