@@ -36,6 +36,14 @@ BUDGET = 16384
 HW = 4  # floor(sqrt(16384/1024)); --vision-min-num 4 pins the draw
 
 
+def _text_len() -> int:
+    """The preset's max_text_len bucket (deferred import: the subprocess
+    launcher itself never needs jax)."""
+    from videoitg_tpu.config import preset
+
+    return preset("videoitg-2b").max_text_len
+
+
 def build_data(workdir: str, n_videos: int) -> str:
     from videoitg_tpu.data.video import write_test_video
 
@@ -232,7 +240,9 @@ def main():
         raise SystemExit("no step-time windows in train log")
     steady = min(windows[1:]) if len(windows) > 1 else windows[0]
     summary = {
-        "geometry": f"{N_FRAMES}f hw={HW} seq~{N_FRAMES * HW * HW + 26}",
+        # text length is the preset's max_text_len bucket, same as the
+        # synthetic arm's seq accounting (NOT the +26 spare video frames)
+        "geometry": f"{N_FRAMES}f hw={HW} seq~{N_FRAMES * HW * HW + _text_len()}",
         "tier": ("2b-qlora-int8" if args.quantize_base else "2b-lora")
                 + (f"-r{args.lora}" if args.lora else "-full"),
         "batch": args.batch,

@@ -93,6 +93,90 @@ def test_with_fewshot_wraps_doc_text():
     assert task.doc_text(docs[3]) == "Q: q3"
 
 
+def test_fewshot_config_exemplar_overrides():
+    """mmlu_pro-style fewshot_config: exemplars render via their own
+    doc_to_text with a constant empty target (_default_template_yaml
+    fewshot_config)."""
+    docs = _docs(3)
+    task = _task(fewshot_config={
+        "sampler": "first_n",
+        "doc_to_text": lambda d: f"COT[{d['q']}]",
+        "doc_to_target": "",
+    })
+    fs = with_fewshot(task, docs, 2)  # sampler=None -> config's first_n
+    out = fs.doc_text(docs[2])
+    # exemplars use the override renderer + " " + ""; query uses the
+    # task's own doc_to_text
+    assert out == "COT[q0] \n\nCOT[q1] \n\nQ: q2"
+
+
+def test_fewshot_description_hoisted_once():
+    """mmlu-style: the subject header renders once BEFORE the exemplars
+    (reference description-first order), with the query rendered bare via
+    query_kwargs."""
+    docs = _docs(3)
+    task = _task(
+        doc_to_text=lambda d, description="HDR\n": f"{description}Q: {d['q']}",
+        fewshot_config={
+            "sampler": "first_n",
+            "description": "HDR\n",
+            "doc_to_text": lambda d: f"Q: {d['q']}",
+            "query_kwargs": {"description": ""},
+        },
+    )
+    fs = with_fewshot(task, docs, 1)
+    assert fs.doc_text(docs[2]) == "HDR\nQ: q0 a0\n\nQ: q2"
+    # zero-shot path unchanged: header baked into doc_to_text
+    assert task.doc_text(docs[2]) == "HDR\nQ: q2"
+
+
+def test_mc_expansions_deduped_in_sampler():
+    """mc-loglikelihood expansion docs (same content, different _choice/
+    _ll_id) collapse to one exemplar per source question."""
+    docs = _docs(3)
+    expanded = [{**d, "_choice": i, "_ll_id": f"{d['q']}::{i}"}
+                for d in docs for i in range(4)]
+    s = FirstNSampler(expanded, _task(), rnd=random.Random(0))
+    assert len(s.docs) == 3
+    ctx = s.get_context(expanded[-1], 2)
+    assert ctx.split("\n\n")[:2] == ["Q: q0 a0", "Q: q1 a1"]
+
+
+def test_text_suite_fewshot_defaults_registered():
+    """gsm8k ships 5-shot from train (gsm8k.yaml:30-31), mmlu_pro 5-shot
+    from validation with first_n + fewshot_to_text, mmlu 0-shot default
+    but dev-split first_n when shots are requested; exemplar targets for
+    MC tasks render the GOLD letter."""
+    import videoitg_tpu.eval.tasks  # noqa: F401
+    from videoitg_tpu.eval.api import TASK_REGISTRY
+
+    g = TASK_REGISTRY["gsm8k"]
+    assert g.num_fewshot == 5 and g.fewshot_split == "train"
+
+    mp = TASK_REGISTRY["mmlu_pro_math"]
+    assert mp.num_fewshot == 5 and mp.fewshot_split == "validation"
+    assert mp.fewshot_config["sampler"] == "first_n"
+    assert mp.fewshot_config["doc_to_target"] == ""
+    ex = mp.fewshot_config["doc_to_text"](
+        {"question": "1+1?", "options": ["2", "3"],
+         "cot_content": "A: Let's think step by step. It is 2. "
+                        "The answer is (A)."})
+    assert ex.startswith("Question:\n1+1?\nOptions:\nA. 2\nB. 3\n")
+    assert "Answer: Let's think step by step." in ex
+
+    mm = TASK_REGISTRY["mmlu_abstract_algebra"]
+    assert mm.num_fewshot is None and mm.fewshot_split == "dev"
+    assert mm.fewshot_config["sampler"] == "first_n"
+    # gold LETTER, not the per-expansion continuation
+    assert mm.fewshot_config["doc_to_target"](
+        {"answer": 2, "_choice": 0}) == "C"
+    # header hoisted: exemplar renderer is bare
+    bare = mm.fewshot_config["doc_to_text"](
+        {"question": "q", "choices": ["w", "x", "y", "z"]})
+    assert not bare.startswith("The following are")
+    assert mm.fewshot_config["description"].startswith("The following are")
+
+
 def test_with_fewshot_preserves_prompt_override_validation():
     docs = _docs(3)
     task = _task(

@@ -305,6 +305,119 @@ def test_megabench_task_prompting_and_submission():
     assert out["num_queries"] == 2.0
 
 
+def test_aggregate_counts_unsupported_queries_in_denominators():
+    """evaluator.py:147-235: -1 scores leave the numerator only; every
+    query stays in num_queries/mean denominators and an all-unsupported
+    task still counts toward the macro denominator as 0."""
+    def rec(task, qid, q):
+        return {"task_name": task, "global_idx": qid,
+                "scores": {"field": {}, "info": {}, "query": q}}
+
+    records = [rec("t1", 0, 1.0), rec("t1", 1, 1.0), rec("t1", 2, -1),
+               rec("t2", 3, -1), rec("t2", 4, -1)]
+    from videoitg_tpu.eval.tasks.megabench import aggregate
+
+    out = aggregate(records)
+    # t1 mean = 2/3 (NOT 2/2), t2 mean = 0 (NOT dropped)
+    assert out["macro_mean_score"] == pytest.approx((2 / 3) / 2)
+    # micro = 2 / 5 (NOT 2/2)
+    assert out["micro_mean_score"] == pytest.approx(0.4)
+    assert out["num_tasks"] == 2.0 and out["num_queries"] == 5.0
+
+
+def test_vlm_judge_attaches_path_images(tmp_path):
+    """'with image' judge configs receive path-string images from
+    submission records (vlm_as_judge.py:44-55): the file is loaded and
+    base64-attached; unreadable paths degrade to text-only."""
+    from PIL import Image
+
+    from videoitg_tpu.eval import judge as judge_mod
+
+    img_path = tmp_path / "q.png"
+    Image.new("RGB", (8, 6), (250, 10, 10)).save(img_path)
+
+    seen = {}
+
+    class CapturingJudge(judge_mod.Judge):
+        def __call__(self, messages, **kw):
+            seen["parts"] = messages[0]["content"]
+            return "**Score explanation**: ok\n\n**Score**: 10"
+
+    old = judge_mod.get_judge()
+    try:
+        judge_mod.set_default_judge(CapturingJudge())
+        judge = S.VLMJudgeScore({
+            "judge_model_type": "with image",
+            "eval_criteria_prompt": "Pred: {pred}",
+            "reference_type": "single",
+            "template_mapping": {"pred": "model_output"},
+        })
+        score, _info = judge.match(
+            "ans", {}, [str(img_path), str(tmp_path / "missing.png")], "q")
+        assert score == pytest.approx(1.0)
+        kinds = [p["type"] for p in seen["parts"]]
+        # one image attached (the readable one), then the text prompt
+        assert kinds == ["image_url", "text"]
+        assert seen["parts"][0]["image_url"]["url"].startswith(
+            "data:image/jpeg;base64,")
+    finally:
+        judge_mod.set_default_judge(old)
+
+
+def test_megabench_process_results_passes_images():
+    """The scoring query dict carries the submission record's raw
+    query_media paths (evaluator.py hands query['images'] to the judge)."""
+    from videoitg_tpu.eval.tasks.megabench import process_results
+
+    doc = {
+        "id": 1, "task_name": "t", "task_description": "d",
+        "example_text": "e", "query_text": "q <image>",
+        "global_media": "[]", "example_media": "[]",
+        "query_media": "['img.png']",
+        "answer": "{'f': 'x'}", "eval_context": "{}",
+        "metric_info": ("{'field_score_function': {'f': "
+                        "'exact_str_match'}, 'aggregation': {'function': "
+                        "'mean', 'field_weights': {'f': 1}}, "
+                        "'response_parse_function': 'dummy'}"),
+    }
+    rec = process_results(doc, "x")
+    assert rec["images"] == ["img.png"]
+    assert rec["scores"]["query"] in (0, 1)
+
+
+def test_mixed_media_memo_decodes_once(tmp_path, monkeypatch):
+    """doc_to_text + doc_to_visual on the same mixed doc share one
+    media expansion (the reference computes prompt and images together)."""
+    import videoitg_tpu.eval.tasks.megabench as mb
+
+    calls = {"n": 0}
+    real = mb._mixed_prompt_and_images
+
+    def counting(doc, max_nframes, data_root):
+        calls["n"] += 1
+        return real(doc, max_nframes, data_root)
+
+    monkeypatch.setattr(mb, "_mixed_prompt_and_images", counting)
+    from videoitg_tpu.data.video import write_test_video
+
+    vid = tmp_path / "v.mp4"
+    write_test_video(str(vid), 64, 48, 6, 10, 4)
+    img = tmp_path / "i.png"
+    from PIL import Image
+
+    Image.new("RGB", (4, 4)).save(img)
+    doc = {
+        "task_description": "desc <image>", "example_text": "",
+        "query_text": "q <video>",
+        "global_media": f"['{img}']", "example_media": "[]",
+        "query_media": f"['{vid}']",
+    }
+    text = mb.doc_to_text(doc)
+    visuals = mb.doc_to_visual(doc)
+    assert calls["n"] == 1
+    assert "[video start]" in text and len(visuals) >= 2
+
+
 def test_score_task_summary():
     score_config = {
         "field_score_function": {"f": "exact_str_match"},

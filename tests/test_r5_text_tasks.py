@@ -267,6 +267,29 @@ def test_ifeval_registry_covers_reference_ids():
     assert not missing, missing
 
 
+def test_ifeval_case_checkers_undetectable_language():
+    """instructions.py:1333-1338: LangDetectException (undetectable text)
+    counts the case instruction as FOLLOWED unconditionally — the
+    isupper()/islower() predicate is not consulted on that path."""
+    from videoitg_tpu.eval.ifeval import INSTRUCTION_DICT
+
+    upper = INSTRUCTION_DICT["change_case:english_capital"](
+        "change_case:english_capital")
+    upper.build_description()
+    lower = INSTRUCTION_DICT["change_case:english_lowercase"](
+        "change_case:english_lowercase")
+    lower.build_description()
+    # letterless -> language undetectable -> followed, despite isupper()
+    # and islower() both being False
+    assert upper.check_following("1234 !!") is True
+    assert lower.check_following("1234 !!") is True
+    # detectable English still applies the case predicate
+    assert upper.check_following("THIS IS SHOUTING IN ENGLISH") is True
+    assert upper.check_following("this is quiet english text") is False
+    assert lower.check_following("this is quiet english text") is True
+    assert lower.check_following("THIS IS SHOUTING IN ENGLISH") is False
+
+
 def test_ifeval_punkt_standins():
     from videoitg_tpu.eval.ifeval import INSTRUCTION_DICT, count_sentences
 

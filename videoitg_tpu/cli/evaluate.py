@@ -55,12 +55,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "dill request cache)")
     p.add_argument("--seed", type=int, default=1234,
                    help="recorded into report metadata (reference --seed)")
-    p.add_argument("--num_fewshot", type=int, default=0,
+    p.add_argument("--num_fewshot", type=int, default=None,
                    help="labeled examples prepended per question "
-                        "(reference --num_fewshot; video tasks are 0-shot)")
-    p.add_argument("--fewshot_sampler", default="default",
-                   help="'default' (random) or 'first_n' "
-                        "(reference api/samplers.py registry)")
+                        "(reference --num_fewshot). Default: the task's "
+                        "own num_fewshot (gsm8k/mmlu_pro ship 5-shot, "
+                        "video tasks 0-shot); pass 0 to force zero-shot")
+    p.add_argument("--fewshot_sampler", default=None,
+                   help="'default' (random) or 'first_n' (reference "
+                        "api/samplers.py registry). Default: the task's "
+                        "fewshot_config sampler, else 'default'")
     p.add_argument("--report_to", default="jsonl",
                    help="'jsonl' or 'jsonl,wandb' — eval-side W&B sink "
                         "(reference WandbLogger, logging_utils.py:70)")
@@ -217,16 +220,28 @@ def main(argv=None) -> int:
         _set_data_root(adapter, data_root if data_root != args.data_root
                        else adapter_base_root)
 
-        if args.num_fewshot:
-            # Fewshot context prefix (reference --num_fewshot +
-            # api/samplers.py); fewshot docs come from the eval split
-            # itself, matching the reference default when no dedicated
-            # fewshot_split is configured.
+        # Fewshot context prefix (reference --num_fewshot + api/samplers.py
+        # + the task yaml's num_fewshot/fewshot_split/fewshot_config).
+        # CLI --num_fewshot overrides the task default; exemplars come from
+        # task.fewshot_split when configured (gsm8k: train, mmlu_pro:
+        # validation), else the eval split itself.
+        n_shots = (args.num_fewshot if args.num_fewshot is not None
+                   else (task.num_fewshot or 0))
+        if n_shots:
             from videoitg_tpu.eval.fewshot import with_fewshot
 
-            task = with_fewshot(task, docs, args.num_fewshot,
+            eval_split = args.split
+            if task.fewshot_split and task.fewshot_split != eval_split:
+                fewshot_docs = task.load_docs(data_root, task.fewshot_split)
+                # reference same-split rule: fewshot_split == test_split
+                # (samplers.py:21-22); a configured dedicated split with no
+                # --split override is treated as distinct.
+                same_split = False
+            else:
+                fewshot_docs, same_split = docs, True
+            task = with_fewshot(task, fewshot_docs, n_shots,
                                 sampler=args.fewshot_sampler,
-                                seed=args.seed)
+                                seed=args.seed, same_split=same_split)
 
         out_dir = os.path.join(args.output_path, task.name)
         report = evaluate_task(

@@ -75,6 +75,16 @@ class Task:
     # wrappers never consume; honoring the window here is deliberate).
     # Stage-A ITG selections, when present, take precedence over the window.
     visual_window: Optional[Callable[[dict], Optional[tuple]]] = None
+    # Task-default fewshot configuration (the yaml's num_fewshot /
+    # fewshot_split / fewshot_config keys, e.g. gsm8k.yaml:30 num_fewshot 5
+    # fewshot_split train; mmlu_pro _default_template_yaml fewshot_config
+    # sampler first_n + doc_to_text fewshot_to_text + doc_to_target "").
+    # --num_fewshot on the CLI overrides num_fewshot; fewshot_config keys:
+    # "sampler" (name), "doc_to_text" / "doc_to_target" (exemplar-rendering
+    # overrides; doc_to_target may be a constant string).
+    num_fewshot: Optional[int] = None
+    fewshot_split: Optional[str] = None
+    fewshot_config: Dict[str, Any] = field(default_factory=dict)
 
     def docs_with_ids(self, docs: Sequence[dict]) -> List[tuple]:
         return [

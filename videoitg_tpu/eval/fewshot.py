@@ -62,7 +62,15 @@ class ContextSampler:
         if rnd is None:
             raise ValueError("must pass rnd to ContextSampler "
                              "(samplers.py:4 contract)")
-        if task.doc_to_target is None:
+        # fewshot_config may override how EXEMPLARS render (the yaml's
+        # fewshot_config doc_to_text/doc_to_target, applied to the sampler
+        # only — mmlu_pro renders exemplars via fewshot_to_text with an
+        # empty target). doc_to_target may be a constant string.
+        self.ex_doc_to_text = task.fewshot_config.get("doc_to_text",
+                                                      task.doc_to_text)
+        self.ex_doc_to_target = task.fewshot_config.get("doc_to_target",
+                                                        task.doc_to_target)
+        if self.ex_doc_to_target is None:
             raise ValueError(
                 f"task {task.name}: fewshot needs doc_to_target to label "
                 "examples")
@@ -70,8 +78,20 @@ class ContextSampler:
         # from it (see class docstring).
         self.base_seed = rnd.random()
         self.task = task
-        self.docs = ([docs[i] for i in fewshot_indices]
-                     if fewshot_indices else list(docs))
+        docs = ([docs[i] for i in fewshot_indices]
+                if fewshot_indices else list(docs))
+        # Dedupe by content identity (underscore keys stripped): the
+        # mc-loglikelihood expansion hands this sampler one doc PER OPTION;
+        # without the collapse first_n would draw the same question n
+        # times. Content-identical source rows are interchangeable as
+        # exemplars anyway (exclusion already treats them as one).
+        seen, uniq = set(), []
+        for d in docs:
+            k = _doc_key(d)
+            if k not in seen:
+                seen.add(k)
+                uniq.append(d)
+        self.docs = uniq
         self.target_delimiter = target_delimiter
         self.fewshot_delimiter = fewshot_delimiter
         # Reference: draw num_fewshot+1 when fewshot_split == test_split so
@@ -83,10 +103,12 @@ class ContextSampler:
         return rnd.sample(self.docs, min(n, len(self.docs)))
 
     def render_example(self, doc: dict) -> str:
-        target = self.task.doc_to_target(doc)
+        target = (self.ex_doc_to_target if isinstance(self.ex_doc_to_target,
+                                                      str)
+                  else self.ex_doc_to_target(doc))
         if isinstance(target, list):
             target = str(target[0])
-        return (self.task.doc_to_text(doc) + self.target_delimiter
+        return (self.ex_doc_to_text(doc) + self.target_delimiter
                 + str(target))
 
     def get_context(self, doc: dict, num_fewshot: int) -> str:
@@ -127,22 +149,36 @@ def get_sampler(name: str):
 
 
 def with_fewshot(task: Task, fewshot_docs: Sequence[dict], num_fewshot: int,
-                 sampler: str = "default", seed: int = 1234,
+                 sampler: Optional[str] = None, seed: int = 1234,
                  same_split: bool = True) -> Task:
     """A copy of ``task`` whose doc_to_text prepends a sampled fewshot
     context (the reference's fewshot_context concatenation,
-    api/task.py:1146-1153). num_fewshot <= 0 returns the task unchanged."""
+    api/task.py:1146-1153). num_fewshot <= 0 returns the task unchanged.
+    sampler=None resolves the task's own fewshot_config sampler (else
+    "default"); an explicit name wins."""
     if num_fewshot <= 0:
         return task
+    if sampler is None:
+        sampler = task.fewshot_config.get("sampler", "default")
     ctx = get_sampler(sampler)(fewshot_docs, task,
                                rnd=random.Random(seed),
                                same_split=same_split)
     orig = task.doc_to_text
+    # Reference prompt order is description + exemplars + query
+    # (api/task.py fewshot_context: description first). Tasks that bake a
+    # corpus header into doc_to_text (mmlu's per-subject line) hoist it
+    # via fewshot_config: "description" prepends once, "query_kwargs"
+    # overrides the query render (e.g. description="") so the header
+    # doesn't repeat per exemplar or before the final question.
+    description = task.fewshot_config.get("description", "")
+    query_kwargs = task.fewshot_config.get("query_kwargs", {})
 
     def fewshot_doc_to_text(doc, **kwargs):
         # This wrapper is **kwargs, so Task.doc_text passes everything
         # through; apply the same filtering contract to the original fn.
-        kwargs = filter_doc_text_kwargs(orig, kwargs, task.name)
-        return ctx.get_context(doc, num_fewshot) + orig(doc, **kwargs)
+        kwargs = filter_doc_text_kwargs(orig, {**kwargs, **query_kwargs},
+                                        task.name)
+        return (description + ctx.get_context(doc, num_fewshot)
+                + orig(doc, **kwargs))
 
     return dataclasses.replace(task, doc_to_text=fewshot_doc_to_text)

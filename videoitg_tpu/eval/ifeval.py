@@ -513,8 +513,13 @@ class CapitalLettersEnglishChecker(Instruction):
         pass
 
     def check_following(self, value):
+        # Reference instructions.py:1333-1338: an undetectable language
+        # (LangDetectException) counts as followed UNCONDITIONALLY — the
+        # case predicate is not consulted on that path.
         detected = detect_language(value)
-        return value.isupper() and detected in (None, "en")
+        if detected is None:
+            return True
+        return value.isupper() and detected == "en"
 
 
 class LowercaseLettersEnglishChecker(Instruction):
@@ -523,7 +528,9 @@ class LowercaseLettersEnglishChecker(Instruction):
 
     def check_following(self, value):
         detected = detect_language(value)
-        return value.islower() and detected in (None, "en")
+        if detected is None:  # undetectable -> followed (see above)
+            return True
+        return value.islower() and detected == "en"
 
 
 class CommaChecker(Instruction):

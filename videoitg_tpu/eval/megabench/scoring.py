@@ -875,6 +875,24 @@ class ProgramJudge:
 
 # --- judge-backed metrics ---------------------------------------------------------
 
+def _load_judge_image(path: str):
+    """vlm_as_judge.py:44-48 — submission records reference images as
+    './data/...' relative to the megabench HF cache; absolute/real paths
+    pass through. Returns a PIL image or None if unreadable."""
+    import os
+
+    from PIL import Image
+
+    if not os.path.exists(path):
+        hf_home = os.path.expanduser(os.getenv("HF_HOME",
+                                               "~/.cache/huggingface"))
+        path = path.replace("./data/", f"{hf_home}/megabench_data/data/")
+    try:
+        return Image.open(path)
+    except Exception:
+        return None
+
+
 def _pil_to_data_url(image, max_side=1000):
     import base64
     import io
@@ -958,7 +976,18 @@ class VLMJudgeScore:
             **mapping)
         parts = []
         if self.config.get("judge_model_type") == "with image":
+            # Submission records carry raw image PATH strings; the
+            # reference judge resolves "./data/" into the HF megabench
+            # cache and base64-encodes the file (vlm_as_judge.py:44-55,
+            # _update_image_path + create_image_content). PIL images
+            # (from in-process callers) are used directly. An unreadable
+            # path degrades that one image to text-only (the reference
+            # would crash the whole evaluation; documented divergence).
             for img in images or []:
+                if isinstance(img, str):
+                    img = _load_judge_image(img)
+                    if img is None:
+                        continue
                 if hasattr(img, "size"):
                     parts.append({"type": "image_url",
                                   "image_url":

@@ -101,4 +101,9 @@ register_task(Task(
     load_docs=load_docs,
     generation_kwargs={"until": ["Question:", "</s>", "<|im_end|>"],
                        "do_sample": False, "temperature": 0.0},
+    # gsm8k.yaml:30-31: num_fewshot 5, fewshot_split train. Exemplars
+    # render doc_to_text + " " + the gold answer (incl. its CoT and the
+    # "#### N" line) — the default sampler rendering.
+    num_fewshot=5,
+    fewshot_split="train",
 ))

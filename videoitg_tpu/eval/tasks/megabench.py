@@ -133,6 +133,22 @@ def _mixed_prompt_and_images(doc, max_nframes: int, data_root: str):
     return "\n".join(all_texts), all_images
 
 
+# doc_to_text and doc_to_visual both need the mixed-media expansion; the
+# harness calls them back-to-back per doc, so a single-slot memo avoids
+# decoding every video twice (the reference's image_video_utils returns
+# prompt and images together in one call).
+_MIXED_MEMO: dict = {}
+
+
+def _mixed_memoized(doc, max_nframes: int, data_root: str):
+    key = (id(doc), max_nframes, data_root)
+    if _MIXED_MEMO.get("key") != key:
+        _MIXED_MEMO["key"] = key
+        _MIXED_MEMO["value"] = _mixed_prompt_and_images(
+            doc, max_nframes, data_root)
+    return _MIXED_MEMO["value"]
+
+
 def doc_to_text(doc, max_video_subsample_frame: int = 64,
                 data_root: str = "") -> str:
     """utils.py:47-57."""
@@ -140,8 +156,7 @@ def doc_to_text(doc, max_video_subsample_frame: int = 64,
     if media_type in ("image", "video"):
         return "\n".join([doc["task_description"], doc["example_text"],
                           doc["query_text"]])
-    prompt, _ = _mixed_prompt_and_images(doc, max_video_subsample_frame,
-                                         data_root)
+    prompt, _ = _mixed_memoized(doc, max_video_subsample_frame, data_root)
     return prompt
 
 
@@ -152,8 +167,7 @@ def doc_to_visual(doc, data_root: str = "",
     paths = [_resolve(p, data_root) for p in media]
     if media_type in ("image", "video"):
         return paths
-    _, images = _mixed_prompt_and_images(doc, max_video_subsample_frame,
-                                         data_root)
+    _, images = _mixed_memoized(doc, max_video_subsample_frame, data_root)
     return images
 
 
@@ -183,10 +197,15 @@ def process_results(doc, response: str) -> dict:
         score_config = (literal_eval(metric_info)
                         if isinstance(metric_info, str) else metric_info)
         try:
+            # "images" rides along for gpt_4o_as_judge "with image"
+            # configs — the reference evaluator scores submission records
+            # whose images are the raw query_media paths (evaluator.py
+            # passes query["images"] into VLMJudgeScore.match).
             scores = score_query(
                 {"response": response,
                  "correct_answer": rec["correct_answer"],
-                 "query_text": rec["query_text"]},
+                 "query_text": rec["query_text"],
+                 "images": rec["images"]},
                 score_config, rec["eval_context"])
         except Exception as e:
             scores = {"field": {}, "info": {"error": str(e)},
@@ -196,25 +215,26 @@ def process_results(doc, response: str) -> dict:
 
 
 def aggregate(records: List[dict]) -> Dict[str, float]:
-    """evaluator.py:214-260 summary: per-task mean then macro over
-    tasks, micro over queries; unsupported (-1) queries excluded."""
+    """evaluator.py:147-235 summary: negative (-1/unsupported) query
+    scores are excluded from the NUMERATOR only — every query stays in
+    both denominators (num_queries += 1 unconditionally at :148,
+    mean = task_score_sum / len(query_response) at :198, macro over ALL
+    tasks at :223) — matching scripts/megabench_score.py."""
     by_task = defaultdict(list)
     for r in records:
         by_task[r["task_name"]].append(r)
-    task_means, query_scores = [], []
-    scored_tasks = 0
+    task_means = []
+    total_query_score = 0.0
     for task_name, recs in by_task.items():
-        scores = [r["scores"]["query"] for r in recs
-                  if "scores" in r and r["scores"]["query"] >= 0]
-        if scores:
-            scored_tasks += 1
-            task_means.append(sum(scores) / len(recs))
-            query_scores.extend(scores)
+        task_sum = sum(r["scores"]["query"] for r in recs
+                       if "scores" in r and r["scores"]["query"] >= 0)
+        task_means.append(task_sum / len(recs) if recs else 0.0)
+        total_query_score += task_sum
     out = {
-        "macro_mean_score": (sum(task_means) / scored_tasks
-                             if scored_tasks else 0.0),
-        "micro_mean_score": (sum(query_scores) / len(query_scores)
-                             if query_scores else 0.0),
+        "macro_mean_score": (sum(task_means) / len(by_task)
+                             if by_task else 0.0),
+        "micro_mean_score": (total_query_score / len(records)
+                             if records else 0.0),
         "num_tasks": float(len(by_task)),
         "num_queries": float(len(records)),
     }

@@ -100,6 +100,14 @@ for _subject in SUBJECTS:
         doc_id_key="question_id",
         generation_kwargs={"until": ["</s>", "Q:", "<|im_end|>"],
                            "do_sample": False, "temperature": 0.0},
+        # _default_template_yaml: 5-shot from validation, first_n, with
+        # fewshot_to_text rendering the CoT exemplar (including_answer) and
+        # an EMPTY fewshot target — the CoT already ends in "answer is (X)".
+        num_fewshot=5,
+        fewshot_split="validation",
+        fewshot_config={"sampler": "first_n",
+                        "doc_to_text": fewshot_to_text,
+                        "doc_to_target": ""},
     ))
 
 register_group("mmlu_pro", [f"mmlu_pro_{s}" for s in SUBJECTS])

@@ -40,7 +40,8 @@ def no_visual(doc, data_root: str = ""):
 def _register_mc(name: str, *, hub: str, subset, split: str,
                  doc_to_text, n_options_of, option_text_of,
                  answer_index_of, qid_of, transform=None,
-                 metric_prefix=None):
+                 metric_prefix=None, fewshot_split=None,
+                 fewshot_sampler=None, fewshot_extra=None):
     expand, doc_to_target, process, aggregate = make_mc_ll_suite(
         qid_of=qid_of,
         n_options_of=n_options_of,
@@ -48,6 +49,19 @@ def _register_mc(name: str, *, hub: str, subset, split: str,
         answer_index_of=answer_index_of,
         metric_prefix=metric_prefix or name,
     )
+
+    # Fewshot exemplars render the GOLD choice, matching the reference's
+    # multiple_choice arm (samplers.py:36-43:
+    # doc_to_choice(doc)[doc_to_target(doc)]) — NOT the per-expansion
+    # `_choice` continuation the loglikelihood requests score.
+    fewshot_config = {
+        "doc_to_target":
+            lambda d: option_text_of(d, answer_index_of(d)).strip(),
+    }
+    if fewshot_sampler:
+        fewshot_config["sampler"] = fewshot_sampler
+    if fewshot_extra:
+        fewshot_config.update(fewshot_extra)
 
     def load_docs(data_root: str, split_: str = split) -> List[dict]:
         from videoitg_tpu.eval.loaders import load_benchmark_docs
@@ -72,6 +86,8 @@ def _register_mc(name: str, *, hub: str, subset, split: str,
         load_docs=load_docs,
         doc_id_key="_ll_id",
         primary_metric=f"{metric_prefix or name}_acc",
+        fewshot_split=fewshot_split,
+        fewshot_config=fewshot_config,
     ))
 
 
@@ -252,6 +268,11 @@ def _make_mmlu_doc_to_text(subject: str):
     return doc_to_text
 
 
+def _make_bare_mmlu_doc_to_text(subject: str):
+    fn = _make_mmlu_doc_to_text(subject)
+    return lambda doc: fn(doc, description="")
+
+
 for _subject in MMLU_SUBJECTS:
     _register_mc(
         f"mmlu_{_subject}",
@@ -263,6 +284,18 @@ for _subject in MMLU_SUBJECTS:
         answer_index_of=lambda d: int(d["answer"]),
         qid_of=lambda d: d["_row"],
         metric_prefix=f"mmlu_{_subject}",
+        # _default_template_yaml: fewshot_split dev, sampler first_n
+        # (no default num_fewshot — 0-shot unless --num_fewshot is given).
+        # The subject header renders ONCE before the exemplars (lm-eval's
+        # description-first order), so exemplars and the final query use
+        # the bare question format.
+        fewshot_split="dev",
+        fewshot_sampler="first_n",
+        fewshot_extra={
+            "description": mmlu_description(_subject),
+            "doc_to_text": _make_bare_mmlu_doc_to_text(_subject),
+            "query_kwargs": {"description": ""},
+        },
     )
 
 for _cat in ("stem", "humanities", "social_sciences", "other"):
