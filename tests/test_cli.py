@@ -172,6 +172,23 @@ def test_cli_evaluate_cache_requests(workdir):
     assert "loaded 2 docs from request cache" in r.stdout
 
 
+def test_fewshot_docs_json_does_not_hit_task_loader(workdir):
+    """gsm8k defaults to 5-shot from its train split, but --docs_json
+    bypasses the task loader by contract — the fewshot exemplars must come
+    from the provided docs (this sandbox has no egress, so any hub reach
+    would fail loudly)."""
+    docs = [{"question": f"What is {i}+{i}?",
+             "answer": f"Sum it. #### {2 * i}"} for i in range(7)]
+    (workdir / "docs.json").write_text(json.dumps(docs))
+    r = _run([sys.executable, "-m", "videoitg_tpu.cli.evaluate", "--cpu",
+              "--model", "echo-answer", "--tasks", "gsm8k",
+              "--docs_json", "docs.json", "--output_path", "outg",
+              "--predict_only"], cwd=workdir)
+    assert "fewshot exemplars drawn from the provided docs" in r.stdout
+    out = workdir / "outg" / "gsm8k" / "samples.rank0.gsm8k.jsonl"
+    assert len(out.read_text().strip().splitlines()) == 7
+
+
 def test_when_weights_land_script_wellformed():
     """scripts/when_weights_land.sh parses and documents all four steps;
     the full --selftest (parity harness + golden regen + judge probe +

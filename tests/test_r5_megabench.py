@@ -416,6 +416,11 @@ def test_mixed_media_memo_decodes_once(tmp_path, monkeypatch):
     visuals = mb.doc_to_visual(doc)
     assert calls["n"] == 1
     assert "[video start]" in text and len(visuals) >= 2
+    # a DIFFERENT doc recomputes even if it reuses the first dict's
+    # memory address (the memo keys on content, not id())
+    doc2 = dict(doc, query_text="other q <video>")
+    text2 = mb.doc_to_text(doc2)
+    assert calls["n"] == 2 and text2 != text
 
 
 def test_score_task_summary():

@@ -267,10 +267,12 @@ def test_ifeval_registry_covers_reference_ids():
     assert not missing, missing
 
 
-def test_ifeval_case_checkers_undetectable_language():
-    """instructions.py:1333-1338: LangDetectException (undetectable text)
-    counts the case instruction as FOLLOWED unconditionally — the
-    isupper()/islower() predicate is not consulted on that path."""
+def test_ifeval_case_checkers_short_circuit_before_detection():
+    """instructions.py:1334 `value.isupper() and langdetect.detect(value)
+    == "en"` short-circuits: case-nonconforming text returns False without
+    ever reaching the LangDetectException->True arm; only case-conforming
+    undetectable text (e.g. '1234!!'.isupper() is False but 'A1!'.isupper()
+    is True) lands on the exception path and counts as followed."""
     from videoitg_tpu.eval.ifeval import INSTRUCTION_DICT
 
     upper = INSTRUCTION_DICT["change_case:english_capital"](
@@ -279,11 +281,11 @@ def test_ifeval_case_checkers_undetectable_language():
     lower = INSTRUCTION_DICT["change_case:english_lowercase"](
         "change_case:english_lowercase")
     lower.build_description()
-    # letterless -> language undetectable -> followed, despite isupper()
-    # and islower() both being False
-    assert upper.check_following("1234 !!") is True
-    assert lower.check_following("1234 !!") is True
-    # detectable English still applies the case predicate
+    # letterless: isupper()/islower() are both False -> short-circuit False
+    # (detect is never consulted in the reference)
+    assert upper.check_following("1234 !!") is False
+    assert lower.check_following("1234 !!") is False
+    # detectable English applies the case predicate
     assert upper.check_following("THIS IS SHOUTING IN ENGLISH") is True
     assert upper.check_following("this is quiet english text") is False
     assert lower.check_following("this is quiet english text") is True

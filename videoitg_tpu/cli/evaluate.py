@@ -107,6 +107,31 @@ def _set_data_root(adapter, root: str) -> None:
         inner.data_root = root
 
 
+def _load_docs_cached(task, data_root: str, split, cache_dir):
+    """task.load_docs with the --cache_requests JSON cache (keyed by
+    task/split/data_root — reference --cache_requests / caching/cache.py).
+    Returns (docs, from_cache). Shared by the eval-split and
+    fewshot-split loads so both hit the same cache."""
+    cache_file = None
+    if cache_dir:
+        import hashlib
+
+        os.makedirs(cache_dir, exist_ok=True)
+        key = hashlib.sha1(
+            f"{task.name}|{split}|{data_root}".encode()).hexdigest()[:16]
+        cache_file = os.path.join(cache_dir,
+                                  f"docs.{task.name}.{key}.json")
+    if cache_file and os.path.exists(cache_file):
+        with open(cache_file) as f:
+            return json.load(f), True
+    docs = (task.load_docs(data_root, split)
+            if split else task.load_docs(data_root))
+    if cache_file:
+        with open(cache_file, "w") as f:
+            json.dump(docs, f, default=str)
+    return docs, False
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.cpu:
@@ -183,26 +208,10 @@ def main(argv=None) -> int:
                 print(f"error: task {task_name} has no loader; pass --docs_json",
                       file=sys.stderr)
                 return 2
-            cache_file = None
-            if args.cache_requests:
-                import hashlib
-
-                os.makedirs(args.cache_requests, exist_ok=True)
-                key = hashlib.sha1(
-                    f"{task.name}|{args.split}|{data_root}".encode()
-                ).hexdigest()[:16]
-                cache_file = os.path.join(args.cache_requests,
-                                          f"docs.{task.name}.{key}.json")
-            if cache_file and os.path.exists(cache_file):
-                with open(cache_file) as f:
-                    docs = json.load(f)
+            docs, from_cache = _load_docs_cached(
+                task, data_root, args.split, args.cache_requests)
+            if from_cache:
                 print(f"[eval] loaded {len(docs)} docs from request cache")
-            else:
-                docs = (task.load_docs(data_root, args.split)
-                        if args.split else task.load_docs(data_root))
-                if cache_file:
-                    with open(cache_file, "w") as f:
-                        json.dump(docs, f, default=str)
 
         if (task.media is not None and task.media.from_youtube
                 and not args.data_root):
@@ -230,15 +239,27 @@ def main(argv=None) -> int:
         if n_shots:
             from videoitg_tpu.eval.fewshot import with_fewshot
 
-            eval_split = args.split
-            if task.fewshot_split and task.fewshot_split != eval_split:
-                fewshot_docs = task.load_docs(data_root, task.fewshot_split)
-                # reference same-split rule: fewshot_split == test_split
-                # (samplers.py:21-22); a configured dedicated split with no
-                # --split override is treated as distinct.
-                same_split = False
-            else:
-                fewshot_docs, same_split = docs, True
+            fewshot_docs, same_split = docs, True
+            if task.fewshot_split and task.fewshot_split != args.split:
+                if args.docs_json or task.load_docs is None:
+                    # --docs_json bypasses the task loader by contract —
+                    # don't reach for the hub behind the user's back;
+                    # exemplars come from the provided docs instead.
+                    print(f"[eval] {task.name}: --docs_json given; fewshot "
+                          f"exemplars drawn from the provided docs, not the "
+                          f"'{task.fewshot_split}' split")
+                else:
+                    # Honors --cache_requests like the eval-split load.
+                    # Reference same-split rule: fewshot_split ==
+                    # test_split (samplers.py:21-22); a dedicated split is
+                    # distinct.
+                    fewshot_docs, fs_cached = _load_docs_cached(
+                        task, data_root, task.fewshot_split,
+                        args.cache_requests)
+                    if fs_cached:
+                        print(f"[eval] loaded {len(fewshot_docs)} fewshot "
+                              "docs from request cache")
+                    same_split = False
             task = with_fewshot(task, fewshot_docs, n_shots,
                                 sampler=args.fewshot_sampler,
                                 seed=args.seed, same_split=same_split)

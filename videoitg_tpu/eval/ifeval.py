@@ -513,13 +513,14 @@ class CapitalLettersEnglishChecker(Instruction):
         pass
 
     def check_following(self, value):
-        # Reference instructions.py:1333-1338: an undetectable language
-        # (LangDetectException) counts as followed UNCONDITIONALLY — the
-        # case predicate is not consulted on that path.
+        # Reference instructions.py:1334 `value.isupper() and
+        # langdetect.detect(value) == "en"` SHORT-CIRCUITS: when the case
+        # predicate fails, detect() never runs and the result is False.
+        # Only case-conforming undetectable text reaches the
+        # LangDetectException -> True arm, which `detected in (None, "en")`
+        # reproduces exactly.
         detected = detect_language(value)
-        if detected is None:
-            return True
-        return value.isupper() and detected == "en"
+        return value.isupper() and detected in (None, "en")
 
 
 class LowercaseLettersEnglishChecker(Instruction):
@@ -527,10 +528,9 @@ class LowercaseLettersEnglishChecker(Instruction):
         pass
 
     def check_following(self, value):
+        # islower() short-circuits before detection (see above)
         detected = detect_language(value)
-        if detected is None:  # undetectable -> followed (see above)
-            return True
-        return value.islower() and detected == "en"
+        return value.islower() and detected in (None, "en")
 
 
 class CommaChecker(Instruction):

@@ -136,12 +136,17 @@ def _mixed_prompt_and_images(doc, max_nframes: int, data_root: str):
 # doc_to_text and doc_to_visual both need the mixed-media expansion; the
 # harness calls them back-to-back per doc, so a single-slot memo avoids
 # decoding every video twice (the reference's image_video_utils returns
-# prompt and images together in one call).
+# prompt and images together in one call). Keyed by the doc CONTENT the
+# expansion reads (id() is unsafe: CPython reuses freed dict addresses
+# across doc lists); single slot bounds pinned frames to one doc.
 _MIXED_MEMO: dict = {}
 
 
 def _mixed_memoized(doc, max_nframes: int, data_root: str):
-    key = (id(doc), max_nframes, data_root)
+    key = (tuple(str(doc.get(k)) for k in
+                 ("id", "task_name", "task_description", "example_text",
+                  "query_text") + MEDIA_KEYS),
+           max_nframes, data_root)
     if _MIXED_MEMO.get("key") != key:
         _MIXED_MEMO["key"] = key
         _MIXED_MEMO["value"] = _mixed_prompt_and_images(
