@@ -517,10 +517,9 @@ class CapitalLettersEnglishChecker(Instruction):
         # langdetect.detect(value) == "en"` SHORT-CIRCUITS: when the case
         # predicate fails, detect() never runs and the result is False.
         # Only case-conforming undetectable text reaches the
-        # LangDetectException -> True arm, which `detected in (None, "en")`
+        # LangDetectException -> True arm, which the stand-in's None
         # reproduces exactly.
-        detected = detect_language(value)
-        return value.isupper() and detected in (None, "en")
+        return value.isupper() and detect_language(value) in (None, "en")
 
 
 class LowercaseLettersEnglishChecker(Instruction):
@@ -529,8 +528,7 @@ class LowercaseLettersEnglishChecker(Instruction):
 
     def check_following(self, value):
         # islower() short-circuits before detection (see above)
-        detected = detect_language(value)
-        return value.islower() and detected in (None, "en")
+        return value.islower() and detect_language(value) in (None, "en")
 
 
 class CommaChecker(Instruction):

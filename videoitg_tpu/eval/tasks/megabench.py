@@ -148,9 +148,10 @@ def _mixed_memoized(doc, max_nframes: int, data_root: str):
                   "query_text") + MEDIA_KEYS),
            max_nframes, data_root)
     if _MIXED_MEMO.get("key") != key:
-        _MIXED_MEMO["key"] = key
-        _MIXED_MEMO["value"] = _mixed_prompt_and_images(
-            doc, max_nframes, data_root)
+        # compute BEFORE committing the key: a raising expansion must not
+        # pair this doc's key with the previous doc's value
+        value = _mixed_prompt_and_images(doc, max_nframes, data_root)
+        _MIXED_MEMO["key"], _MIXED_MEMO["value"] = key, value
     return _MIXED_MEMO["value"]
 
 
